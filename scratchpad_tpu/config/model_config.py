@@ -1,0 +1,154 @@
+"""Model architecture configuration.
+
+TPU-native replacement for the reference's HF/vLLM config plumbing
+(reference: scratchpad/config/model_config.py, scratchpad/config/vllm_model_config.py).
+Reads a HuggingFace ``config.json`` from a local checkpoint directory, or uses a
+built-in preset; no network access is assumed anywhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    """Architecture of a decoder-only transformer.
+
+    Field names follow HF conventions so a config.json maps directly.
+    """
+
+    architecture: str = "LlamaForCausalLM"
+    vocab_size: int = 32000
+    hidden_size: int = 2048
+    intermediate_size: int = 5632
+    num_hidden_layers: int = 22
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 4
+    head_dim: Optional[int] = None
+    hidden_act: str = "silu"
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[dict] = None
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False
+    mlp_bias: bool = False
+    # Gemma-style options
+    logit_softcap: Optional[float] = None
+    attn_logit_softcap: Optional[float] = None
+    sliding_window: Optional[int] = None
+    sliding_window_pattern: Optional[int] = None
+    query_pre_attn_scalar: Optional[float] = None
+    # Qwen3-style qk-norm
+    use_qk_norm: bool = False
+    # MoE options (0 experts = dense)
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: Optional[int] = None
+    norm_topk_prob: bool = False
+    # bookkeeping
+    model_path: Optional[str] = None
+    dtype: str = "bfloat16"
+    quantization: Optional[str] = None  # None | "w4a16" | "w8a16" | "fp8"
+    kv_cache_dtype: str = "auto"  # auto | bfloat16 | int8 | fp8
+
+    def __post_init__(self):
+        if self.head_dim is None:
+            self.head_dim = self.hidden_size // self.num_attention_heads
+
+    @property
+    def num_kv_heads(self) -> int:
+        return self.num_key_value_heads
+
+    @property
+    def context_len(self) -> int:
+        return self.max_position_embeddings
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict[str, Any], **overrides) -> "ModelConfig":
+        """Build from a parsed HF config.json dict, ignoring unknown keys."""
+        arch = (cfg.get("architectures") or ["LlamaForCausalLM"])[0]
+        field_names = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in cfg.items() if k in field_names}
+        kwargs["architecture"] = arch
+        # HF variants of softcap naming (Gemma2)
+        if "final_logit_softcapping" in cfg:
+            kwargs["logit_softcap"] = cfg["final_logit_softcapping"]
+        if "attn_logit_softcapping" in cfg:
+            kwargs["attn_logit_softcap"] = cfg["attn_logit_softcapping"]
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
+    @classmethod
+    def from_pretrained(cls, model_path: str, **overrides) -> "ModelConfig":
+        """Load from a local checkpoint dir containing config.json."""
+        cfg_path = os.path.join(model_path, "config.json")
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+        mc = cls.from_hf_config(cfg, **overrides)
+        mc.model_path = model_path
+        return mc
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+
+# Built-in presets so benchmarks run without any network access.
+PRESETS: dict[str, dict[str, Any]] = {
+    "llama-3.2-1b": dict(
+        architecture="LlamaForCausalLM",
+        vocab_size=128256, hidden_size=2048, intermediate_size=8192,
+        num_hidden_layers=16, num_attention_heads=32, num_key_value_heads=8,
+        head_dim=64, max_position_embeddings=131072, rms_norm_eps=1e-5,
+        rope_theta=500000.0, tie_word_embeddings=True,
+        rope_scaling={"rope_type": "llama3", "factor": 32.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 8192},
+    ),
+    "llama-3.1-8b": dict(
+        architecture="LlamaForCausalLM",
+        vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+        num_hidden_layers=32, num_attention_heads=32, num_key_value_heads=8,
+        head_dim=128, max_position_embeddings=131072, rms_norm_eps=1e-5,
+        rope_theta=500000.0,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 8192},
+    ),
+    "llama-3.1-70b": dict(
+        architecture="LlamaForCausalLM",
+        vocab_size=128256, hidden_size=8192, intermediate_size=28672,
+        num_hidden_layers=80, num_attention_heads=64, num_key_value_heads=8,
+        head_dim=128, max_position_embeddings=131072, rms_norm_eps=1e-5,
+        rope_theta=500000.0,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 8192},
+    ),
+    "qwen3-8b": dict(
+        architecture="Qwen3ForCausalLM",
+        vocab_size=151936, hidden_size=4096, intermediate_size=12288,
+        num_hidden_layers=36, num_attention_heads=32, num_key_value_heads=8,
+        head_dim=128, max_position_embeddings=40960, rms_norm_eps=1e-6,
+        rope_theta=1000000.0, use_qk_norm=True,
+    ),
+    "tiny-debug": dict(
+        architecture="LlamaForCausalLM",
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=1024, rope_theta=10000.0,
+    ),
+}
+
+
+def get_preset(name: str, **overrides) -> ModelConfig:
+    key = name.lower()
+    if key not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    kw = dict(PRESETS[key])
+    kw.update(overrides)
+    return ModelConfig(**kw)

@@ -1,0 +1,119 @@
+"""Engine/server flags.
+
+TPU-native analogue of the reference's flat ServerArgs dataclass
+(reference: scratchpad/server/args.py:9-218). One dataclass drives the engine,
+the scheduler and the HTTP server; ``resolve()`` materialises derived defaults
+(the reference calls this ``translate_auto``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class ServerArgs:
+    # model / weights
+    model_path: str = ""
+    preset: Optional[str] = None  # built-in architecture preset (offline runs)
+    tokenizer_path: Optional[str] = None
+    dtype: str = "bfloat16"
+    quantization: Optional[str] = None  # None | w4a16 | w8a16 | fp8
+    kv_cache_dtype: str = "auto"  # auto | bfloat16 | int8 | fp8
+    random_weights: bool = False  # initialise random weights (benchmarks)
+    context_length: Optional[int] = None
+
+    # scheduling (reference: server/args.py:23-45)
+    schedule_policy: str = "lpm"  # lpm | fcfs | lof | random | dfs-weight
+    chunked_prefill_size: int = 2048
+    max_running_requests: int = 256
+    max_prefill_tokens: int = 8192
+    max_total_tokens: Optional[int] = None  # KV pool size in tokens
+    schedule_conservativeness: float = 1.0
+    enable_mixed_chunk: bool = False
+    stream_interval: int = 1
+    watchdog_timeout: float = 120.0
+
+    # memory
+    page_size: int = 16  # tokens per KV page (TPU DMA granularity)
+    mem_fraction_static: float = 0.85
+    disable_radix_cache: bool = False
+
+    # parallelism
+    tp_size: int = 1
+    dp_size: int = 1
+    # decode/prefill compile buckets (CUDA-graph-ladder analogue,
+    # reference: model_executor/cuda_graph_runner.py:92-128)
+    decode_bs_buckets: Optional[list[int]] = None
+    prefill_token_buckets: Optional[list[int]] = None
+
+    # attention / kernels
+    attention_backend: str = "auto"  # auto | pallas | xla
+    disable_jit: bool = False
+
+    # sampling / constrained decoding
+    grammar_backend: str = "native"  # native regex/json FSM engine
+    disable_penalizer: bool = False
+    enable_overlap: bool = True  # one-step-lookahead host/device overlap
+
+    # server
+    host: str = "127.0.0.1"
+    port: int = 3000
+    served_model_name: Optional[str] = None
+    chat_template: Optional[str] = None
+    api_key: Optional[str] = None
+
+    # observability
+    log_level: str = "info"
+    enable_metrics: bool = True
+    decode_log_interval: int = 40
+    show_time_cost: bool = False
+
+    # misc
+    random_seed: int = 0
+
+    def resolve(self) -> "ServerArgs":
+        """Materialise derived defaults; idempotent."""
+        if self.served_model_name is None:
+            self.served_model_name = self.preset or self.model_path or "model"
+        if self.tokenizer_path is None:
+            self.tokenizer_path = self.model_path or None
+        if self.decode_bs_buckets is None:
+            ladder = [1, 2, 4, 8, 16, 32, 64, 128, 256]
+            self.decode_bs_buckets = [
+                b for b in ladder if b <= max(self.max_running_requests, 1)
+            ] or [1]
+        if self.prefill_token_buckets is None:
+            buckets, b = [], 128
+            while b < self.chunked_prefill_size:
+                buckets.append(b)
+                b *= 2
+            buckets.append(self.chunked_prefill_size)
+            self.prefill_token_buckets = buckets
+        return self
+
+    @classmethod
+    def add_cli_args(cls, parser: argparse.ArgumentParser) -> None:
+        for f in dataclasses.fields(cls):
+            name = "--" + f.name.replace("_", "-")
+            if f.type == "bool" or isinstance(f.default, bool):
+                parser.add_argument(
+                    name,
+                    action=argparse.BooleanOptionalAction,
+                    default=f.default,
+                )
+            else:
+                typ = str
+                if isinstance(f.default, int):
+                    typ = int
+                elif isinstance(f.default, float):
+                    typ = float
+                parser.add_argument(name, type=typ, default=f.default)
+
+    @classmethod
+    def from_cli_args(cls, args: argparse.Namespace) -> "ServerArgs":
+        field_names = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in vars(args).items() if k in field_names}
+        return cls(**kwargs).resolve()

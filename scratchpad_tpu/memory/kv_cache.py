@@ -1,0 +1,95 @@
+"""Device-side paged KV cache.
+
+TPU-native analogue of MHATokenToKVPool (reference: scratchpad/memory/pool.py:258-424).
+All layers live in two stacked device arrays
+
+    k_cache, v_cache : [num_layers, num_slots, num_kv_heads, head_dim]
+
+where ``num_slots = num_pages * page_size`` and page ``p`` owns the contiguous
+slot range ``[p*page_size, (p+1)*page_size)``. Contiguity per page is what lets
+the Pallas decode kernel DMA whole pages from HBM. Writes are flat scatters at
+``out_cache_loc`` slot indices computed by the scheduler; there is no separate
+per-layer buffer list like the reference keeps.
+
+Quantized KV (int8) stores values as int8 plus per-slot-per-head float scales
+(k_scale/v_scale: [num_layers, num_slots, num_kv_heads]); the reference instead
+uses static per-layer scales for fp8 (pool.py:274-278) which loses accuracy.
+
+Sharding: the kv-head axis is sharded over the mesh's "tp" axis, matching the
+attention-head sharding of the model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class KVCacheConfig:
+    num_layers: int
+    num_pages: int
+    page_size: int
+    num_kv_heads: int
+    head_dim: int
+    dtype: Any = jnp.bfloat16
+    quantized: bool = False  # int8 values + per-slot scales
+
+    @property
+    def num_slots(self) -> int:
+        return self.num_pages * self.page_size
+
+    def bytes_per_token(self) -> int:
+        itemsize = 1 if self.quantized else jnp.dtype(self.dtype).itemsize
+        per = 2 * self.num_layers * self.num_kv_heads * self.head_dim * itemsize
+        if self.quantized:
+            per += 2 * self.num_layers * self.num_kv_heads * 4  # f32 scales
+        return per
+
+
+@dataclasses.dataclass
+class KVCache:
+    """Pytree of device arrays holding the paged cache."""
+
+    k: jax.Array  # [L, S, Hkv, D]
+    v: jax.Array  # [L, S, Hkv, D]
+    k_scale: Optional[jax.Array] = None  # [L, S, Hkv] f32 when quantized
+    v_scale: Optional[jax.Array] = None
+
+
+jax.tree_util.register_dataclass(
+    KVCache, data_fields=["k", "v", "k_scale", "v_scale"], meta_fields=[]
+)
+
+
+def create_kv_cache(
+    cfg: KVCacheConfig, mesh: Optional[Mesh] = None, tp_axis: str = "tp"
+) -> KVCache:
+    shape = (cfg.num_layers, cfg.num_slots, cfg.num_kv_heads, cfg.head_dim)
+    store_dtype = jnp.int8 if cfg.quantized else cfg.dtype
+
+    if mesh is not None:
+        kv_sharding = NamedSharding(mesh, P(None, None, tp_axis, None))
+        scale_sharding = NamedSharding(mesh, P(None, None, tp_axis))
+    else:
+        kv_sharding = scale_sharding = None
+
+    def _zeros(shape, dtype, sharding):
+        if sharding is not None:
+            return jax.jit(
+                lambda: jnp.zeros(shape, dtype), out_shardings=sharding
+            )()
+        return jnp.zeros(shape, dtype)
+
+    k = _zeros(shape, store_dtype, kv_sharding)
+    v = _zeros(shape, store_dtype, kv_sharding)
+    k_scale = v_scale = None
+    if cfg.quantized:
+        sshape = shape[:-1]
+        k_scale = _zeros(sshape, jnp.float32, scale_sharding)
+        v_scale = _zeros(sshape, jnp.float32, scale_sharding)
+    return KVCache(k=k, v=v, k_scale=k_scale, v_scale=v_scale)

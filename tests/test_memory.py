@@ -1,0 +1,161 @@
+import numpy as np
+import pytest
+
+from scratchpad_tpu.memory import PageAllocator, ReqSlotAllocator, RadixCache
+
+
+class TestPageAllocator:
+    def test_alloc_free_roundtrip(self):
+        a = PageAllocator(num_pages=8, page_size=16)
+        assert a.available_pages == 8
+        p1 = a.alloc(3)
+        assert p1 is not None and len(p1) == 3
+        assert a.available_pages == 5
+        p2 = a.alloc(5)
+        assert a.available_pages == 0
+        assert a.alloc(1) is None
+        a.free(p1)
+        a.free(p2)
+        assert a.available_pages == 8
+        # no duplicate pages were ever handed out
+        assert len(set(p1.tolist()) | set(p2.tolist())) == 8
+
+    def test_free_group_defers(self):
+        a = PageAllocator(4, 16)
+        p = a.alloc(2)
+        a.free_group_begin()
+        a.free(p)
+        assert a.available_pages == 2  # not yet returned
+        a.free_group_end()
+        assert a.available_pages == 4
+
+    def test_backup_restore(self):
+        a = PageAllocator(4, 16)
+        state = a.backup_state()
+        a.alloc(3)
+        a.restore_state(state)
+        assert a.available_pages == 4
+
+
+class TestReqSlotAllocator:
+    def test_slots(self):
+        r = ReqSlotAllocator(max_reqs=2, max_pages_per_req=4)
+        s1, s2 = r.alloc(), r.alloc()
+        assert {s1, s2} == {0, 1}
+        assert r.alloc() is None
+        r.write_pages(s1, 0, np.array([5, 6], dtype=np.int32))
+        assert r.page_table[s1, 0] == 5 and r.page_table[s1, 1] == 6
+        r.free(s1)
+        assert r.page_table[s1].sum() == 0
+        assert r.alloc() == s1
+
+
+def _toks(n, start=0):
+    return list(range(start, start + n))
+
+
+class TestRadixCache:
+    PS = 4
+
+    def test_miss_then_hit(self):
+        c = RadixCache(page_size=self.PS)
+        m = c.match_prefix(_toks(8))
+        assert m.num_pages == 0
+        dup = c.insert(_toks(8), np.array([10, 11], np.int32))
+        assert dup == 0
+        m = c.match_prefix(_toks(8))
+        assert m.num_pages == 2
+        np.testing.assert_array_equal(m.page_ids, [10, 11])
+
+    def test_page_alignment(self):
+        c = RadixCache(page_size=self.PS)
+        c.insert(_toks(8), np.array([1, 2], np.int32))
+        # 7 tokens only covers 1 whole page
+        m = c.match_prefix(_toks(7))
+        assert m.num_pages == 1
+
+    def test_partial_match_splits(self):
+        c = RadixCache(page_size=self.PS)
+        c.insert(_toks(12), np.array([1, 2, 3], np.int32))
+        # shares first 2 pages, diverges at page 3
+        other = _toks(8) + [99, 98, 97, 96]
+        m = c.match_prefix(other)
+        assert m.num_pages == 2
+        dup = c.insert(other, np.array([4, 5, 6], np.int32))
+        assert dup == 2  # caller's first two pages are duplicates
+        # both full paths now resolvable
+        np.testing.assert_array_equal(c.match_prefix(_toks(12)).page_ids, [1, 2, 3])
+        np.testing.assert_array_equal(c.match_prefix(other).page_ids, [1, 2, 6])
+
+    def test_insert_dedup_full(self):
+        c = RadixCache(page_size=self.PS)
+        c.insert(_toks(8), np.array([1, 2], np.int32))
+        dup = c.insert(_toks(8), np.array([7, 8], np.int32))
+        assert dup == 2
+        np.testing.assert_array_equal(c.match_prefix(_toks(8)).page_ids, [1, 2])
+
+    def test_lock_protects_from_eviction(self):
+        c = RadixCache(page_size=self.PS)
+        c.insert(_toks(8), np.array([1, 2], np.int32))
+        m = c.match_prefix(_toks(8))
+        c.inc_lock_ref(m.last_node)
+        assert c.protected_pages == 2 and c.evictable_pages == 0
+        freed = []
+        n = c.evict(10, lambda ids: freed.extend(ids.tolist()))
+        assert n == 0 and freed == []
+        c.dec_lock_ref(m.last_node)
+        assert c.evictable_pages == 2
+        n = c.evict(10, lambda ids: freed.extend(ids.tolist()))
+        assert n == 2 and sorted(freed) == [1, 2]
+        assert c.match_prefix(_toks(8)).num_pages == 0
+
+    def test_evict_lru_order(self):
+        c = RadixCache(page_size=self.PS)
+        a = _toks(4)
+        b = [50, 51, 52, 53]
+        c.insert(a, np.array([1], np.int32))
+        c.insert(b, np.array([2], np.int32))
+        c.match_prefix(b)  # touch b -> a is LRU
+        freed = []
+        c.evict(1, lambda ids: freed.extend(ids.tolist()))
+        assert freed == [1]
+        assert c.match_prefix(b).num_pages == 1
+
+    def test_evict_promotes_parent_leaf(self):
+        c = RadixCache(page_size=self.PS)
+        c.insert(_toks(8), np.array([1, 2], np.int32))
+        other = _toks(4) + [99, 98, 97, 96]
+        c.insert(other, np.array([1, 3], np.int32))
+        freed = []
+        n = c.evict(3, lambda ids: freed.extend(ids.tolist()))
+        assert n == 3 and sorted(freed) == [1, 2, 3]
+
+    def test_deep_chain_and_accounting(self):
+        c = RadixCache(page_size=self.PS)
+        rng = np.random.default_rng(0)
+        seqs = []
+        next_page = [0]
+
+        def fresh_pages(n):
+            out = np.arange(next_page[0], next_page[0] + n, dtype=np.int32)
+            next_page[0] += n
+            return out
+
+        for _ in range(20):
+            length = int(rng.integers(1, 10)) * self.PS
+            if seqs and rng.random() < 0.5:
+                base = seqs[int(rng.integers(len(seqs)))]
+                cut = (int(rng.integers(0, len(base) // self.PS)) ) * self.PS
+                seq = base[:cut] + [int(x) for x in rng.integers(1000, 2000, length)]
+            else:
+                seq = [int(x) for x in rng.integers(1000, 2000, length)]
+            m = c.match_prefix(seq)
+            pages = np.concatenate(
+                [m.page_ids, fresh_pages(len(seq) // self.PS - m.num_pages)]
+            )
+            dup = c.insert(seq, pages)
+            assert dup >= m.num_pages  # at least previously matched is dup
+            seqs.append(seq)
+            # every inserted seq still fully matchable
+            got = c.match_prefix(seq)
+            assert got.num_pages == len(seq) // self.PS
