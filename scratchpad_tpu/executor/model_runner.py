@@ -1,0 +1,328 @@
+"""ModelRunner: owns params, KV cache, allocators, and the jitted step.
+
+TPU-native analogue of ModelRunner + CudaGraphRunner + TpModelWorker
+(reference: scratchpad/model_executor/model_runner.py:44-661,
+scratchpad/model_executor/cuda_graph_runner.py:144-525,
+scratchpad/managers/tp_worker.py:25-185). Where the reference captures CUDA
+graphs over a batch-size ladder, we jit one step function and let XLA's
+compile cache key on the padded bucket shapes; ``capture()`` pre-warms the
+ladder so serving never hits a compile stall.
+
+The step = forward + sample fused in one jit with the KV cache donated, so
+decode runs device-side with no host round-trip inside the step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from scratchpad_tpu.config import ModelConfig, ServerArgs
+from scratchpad_tpu.executor.forward_meta import ForwardMeta, ForwardMode
+from scratchpad_tpu.executor.weight_loader import load_hf_state, place_params
+from scratchpad_tpu.memory import (
+    KVCacheConfig,
+    PageAllocator,
+    ReqSlotAllocator,
+    create_kv_cache,
+)
+from scratchpad_tpu.models.registry import get_model_class
+from scratchpad_tpu.sampling.batch_info import SamplingBatchInfo
+from scratchpad_tpu.sampling.sampler import sample
+from scratchpad_tpu.utils import get_logger
+
+logger = get_logger("model_runner")
+
+
+@dataclasses.dataclass
+class WorkerBatch:
+    """Host-side batch handed from the scheduler (ModelWorkerBatch analogue,
+    reference: scratchpad/scheduler/schedule_batch.py:1482)."""
+
+    mode: ForwardMode
+    tokens: np.ndarray  # i32[T_real]
+    positions: np.ndarray  # i32[T_real]
+    out_cache_loc: np.ndarray  # i32[T_real]
+    req_indices: np.ndarray  # i32[T_real]
+    page_table: np.ndarray  # i32[B_real, P_real]
+    seq_lens: np.ndarray  # i32[B_real]
+    extend_lens: np.ndarray  # i32[B_real]
+    sampling_info: SamplingBatchInfo  # arrays sized B_real (padded by runner)
+    vocab_bitmask: Optional[np.ndarray] = None  # u32[B_real, ceil(V/32)]
+
+
+@dataclasses.dataclass
+class StepOutput:
+    """Device results; fetch lazily to preserve async dispatch."""
+
+    next_token_ids: jax.Array  # i32[B_bucket]
+    chosen_logprobs: jax.Array  # f32[B_bucket]
+    batch_size: int  # real rows
+
+
+def _next_bucket(ladder: list[int], n: int) -> int:
+    for b in ladder:
+        if b >= n:
+            return b
+    return ladder[-1]
+
+
+def _pow2_bucket(n: int, lo: int, hi: int) -> int:
+    b = lo
+    while b < n and b < hi:
+        b *= 2
+    return min(b, hi)
+
+
+class ModelRunner:
+    def __init__(
+        self,
+        model_config: ModelConfig,
+        server_args: ServerArgs,
+        mesh: Optional[Mesh] = None,
+        params: Any = None,
+    ):
+        self.model_config = model_config
+        self.args = server_args.resolve()
+        self.mesh = mesh
+        self.page_size = self.args.page_size
+        cfg = model_config
+
+        model_cls = get_model_class(cfg.architecture)
+        self.model = model_cls(cfg)
+        self.model.page_size = self.page_size
+
+        # ---- parameters
+        t0 = time.monotonic()
+        if params is not None:
+            self.params = params
+        elif self.args.random_weights or not cfg.model_path:
+            rng = jax.random.PRNGKey(self.args.random_seed)
+            self.params = self.model.init_params(rng, self._dtype())
+            if mesh is not None:
+                self.params = place_params(
+                    self.params, self.model.param_specs(), mesh
+                )
+        else:
+            state = load_hf_state(cfg.model_path)
+            host_params = self.model.convert_hf_state(state, self._dtype())
+            del state
+            self.params = place_params(
+                host_params, self.model.param_specs(), mesh
+            )
+        self.param_bytes = sum(
+            x.size * x.dtype.itemsize for x in jax.tree.leaves(self.params)
+        )
+        logger.info(
+            "params ready: %.2f GiB in %.1fs",
+            self.param_bytes / 2**30,
+            time.monotonic() - t0,
+        )
+
+        # ---- KV cache sizing (profile_max_num_token analogue,
+        #      reference: model_executor/model_runner.py:333-371)
+        self.max_context_len = server_args.context_length or cfg.context_len
+        num_tokens = self._profile_kv_tokens()
+        num_pages = num_tokens // self.page_size + 1  # +1 = reserved dump page
+        self.kv_config = KVCacheConfig(
+            num_layers=cfg.num_hidden_layers,
+            num_pages=num_pages,
+            page_size=self.page_size,
+            num_kv_heads=cfg.num_kv_heads,
+            head_dim=cfg.head_dim,
+            dtype=self._dtype(),
+            quantized=self.args.kv_cache_dtype == "int8",
+        )
+        self.kv_cache = create_kv_cache(self.kv_config, mesh)
+
+        # ---- allocators (page 0 reserved as the padding dump page)
+        self.page_allocator = PageAllocator(num_pages, self.page_size)
+        dump = self.page_allocator.alloc(1)
+        assert dump is not None and dump[0] == 0
+        self.max_pages_per_req = -(-self.max_context_len // self.page_size)
+        self.max_running_requests = min(
+            self.args.max_running_requests, num_pages - 1
+        )
+        self.req_slots = ReqSlotAllocator(
+            self.max_running_requests, self.max_pages_per_req
+        )
+        self.max_total_num_tokens = (num_pages - 1) * self.page_size
+        logger.info(
+            "KV pool: %d pages x %d tokens (%.2f GiB), max_running=%d",
+            num_pages - 1,
+            self.page_size,
+            num_pages * self.page_size * self.kv_config.bytes_per_token() / 2**30,
+            self.max_running_requests,
+        )
+
+        self._rng = jax.random.PRNGKey(self.args.random_seed)
+        self._jit_step = jax.jit(
+            self._step_impl,
+            static_argnames=("return_logprobs",),
+            donate_argnames=("kv",),
+        )
+
+    def _dtype(self):
+        return {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}[
+            self.args.dtype
+        ]
+
+    def _profile_kv_tokens(self) -> int:
+        if self.args.max_total_tokens:
+            return self.args.max_total_tokens
+        dev = jax.devices()[0]
+        stats = {}
+        try:
+            stats = dev.memory_stats() or {}
+        except Exception:
+            pass
+        limit = stats.get("bytes_limit")
+        if limit:
+            in_use = stats.get("bytes_in_use", self.param_bytes)
+            budget = int(limit * self.args.mem_fraction_static) - in_use
+            per_tok = self.kv_bytes_per_token()
+            tokens = max(budget // per_tok, 4096)
+            return int(tokens)
+        # CPU / unknown platform default
+        return 2**16
+
+    def kv_bytes_per_token(self) -> int:
+        cfg = self.model_config
+        itemsize = 1 if self.args.kv_cache_dtype == "int8" else jnp.dtype(self._dtype()).itemsize
+        return 2 * cfg.num_hidden_layers * cfg.num_kv_heads * cfg.head_dim * itemsize
+
+    # ------------------------------------------------------------------- step
+
+    def _step_impl(self, params, kv, meta, sinfo, rng, return_logprobs=False):
+        kv, logits = self.model(params, kv, meta)
+        ids, logprobs = sample(logits, sinfo, rng)
+        B = ids.shape[0]
+        chosen = jnp.take_along_axis(logprobs, ids[:, None], axis=-1)[:, 0]
+        if return_logprobs:
+            return kv, ids, chosen, logprobs
+        return kv, ids, chosen
+
+    def forward_and_sample(self, wb: WorkerBatch) -> StepOutput:
+        meta, sinfo = self._pad_to_buckets(wb)
+        self._rng, step_rng = jax.random.split(self._rng)
+        self.kv_cache, ids, chosen = self._jit_step(
+            self.params, self.kv_cache, meta, sinfo, step_rng
+        )
+        return StepOutput(
+            next_token_ids=ids,
+            chosen_logprobs=chosen,
+            batch_size=len(wb.seq_lens),
+        )
+
+    # -------------------------------------------------------------- bucketing
+
+    def _pad_to_buckets(self, wb: WorkerBatch):
+        B_real = len(wb.seq_lens)
+        if wb.mode == ForwardMode.DECODE:
+            B = _next_bucket(self.args.decode_bs_buckets, B_real)
+            T = B
+        else:
+            B = _pow2_bucket(B_real, 1, max(self.args.max_running_requests, 1))
+            T = _next_bucket(self.args.prefill_token_buckets, len(wb.tokens))
+        P_real = wb.page_table.shape[1] if wb.page_table.size else 1
+        P = _pow2_bucket(max(P_real, 1), 4, self.max_pages_per_req)
+        T_real = len(wb.tokens)
+
+        def pad1(x, n, fill=0):
+            out = np.full(n, fill, x.dtype if x.size else np.int32)
+            out[: len(x)] = x
+            return out
+
+        tokens = pad1(wb.tokens.astype(np.int32), T)
+        positions = pad1(wb.positions.astype(np.int32), T)
+        out_loc = pad1(wb.out_cache_loc.astype(np.int32), T)  # dump slot 0
+        req_idx = pad1(wb.req_indices.astype(np.int32), T, fill=B - 1)
+        page_table = np.zeros((B, P), np.int32)
+        if wb.page_table.size:
+            w = min(P_real, P)
+            page_table[:B_real, :w] = wb.page_table[:, :w]
+        seq_lens = pad1(wb.seq_lens.astype(np.int32), B)
+        extend_lens = pad1(wb.extend_lens.astype(np.int32), B)
+        # last flat token index per request row
+        last_idx = np.zeros(B, np.int32)
+        csum = np.cumsum(wb.extend_lens)
+        last_idx[:B_real] = np.maximum(csum - 1, 0)
+
+        meta = ForwardMeta(
+            mode=wb.mode,
+            tokens=tokens,
+            positions=positions,
+            out_cache_loc=out_loc,
+            req_indices=req_idx,
+            page_table=page_table,
+            seq_lens=seq_lens,
+            extend_lens=extend_lens,
+            last_token_idx=last_idx,
+        )
+        si = wb.sampling_info
+        V = self.model_config.vocab_size
+
+        def padB(x, fill):
+            if x is None:
+                return None
+            out = np.full((B,) + x.shape[1:], fill, x.dtype)
+            out[: x.shape[0]] = x
+            return out
+
+        sinfo = SamplingBatchInfo(
+            temperature=padB(si.temperature, 0.0),
+            top_p=padB(si.top_p, 1.0),
+            top_k=padB(si.top_k, V),
+            min_p=padB(si.min_p, 0.0),
+            presence_penalty=padB(si.presence_penalty, 0.0),
+            frequency_penalty=padB(si.frequency_penalty, 0.0),
+            repetition_penalty=padB(si.repetition_penalty, 1.0),
+            output_token_counts=padB(si.output_token_counts, 0),
+            input_token_mask=padB(si.input_token_mask, False),
+            vocab_bitmask=padB(wb.vocab_bitmask, 0xFFFFFFFF)
+            if wb.vocab_bitmask is not None
+            else None,
+        )
+        return meta, sinfo
+
+    # ------------------------------------------------------------- precompile
+
+    def capture(self, decode_only: bool = True) -> None:
+        """Pre-compile the decode bucket ladder (CUDA-graph capture analogue)."""
+        t0 = time.monotonic()
+        for bs in self.args.decode_bs_buckets:
+            if bs > self.max_running_requests:
+                break
+            wb = self._dummy_decode_batch(bs)
+            out = self.forward_and_sample(wb)
+            jax.block_until_ready(out.next_token_ids)
+        logger.info(
+            "captured %d decode buckets in %.1fs",
+            len(self.args.decode_bs_buckets),
+            time.monotonic() - t0,
+        )
+
+    def _dummy_decode_batch(self, bs: int) -> WorkerBatch:
+        sinfo = SamplingBatchInfo(
+            temperature=np.zeros(bs, np.float32),
+            top_p=np.ones(bs, np.float32),
+            top_k=np.full(bs, self.model_config.vocab_size, np.int32),
+            min_p=np.zeros(bs, np.float32),
+        )
+        return WorkerBatch(
+            mode=ForwardMode.DECODE,
+            tokens=np.zeros(bs, np.int32),
+            positions=np.zeros(bs, np.int32),
+            out_cache_loc=np.zeros(bs, np.int32),
+            req_indices=np.arange(bs, dtype=np.int32),
+            page_table=np.zeros((bs, 4), np.int32),
+            seq_lens=np.ones(bs, np.int32),
+            extend_lens=np.ones(bs, np.int32),
+            sampling_info=sinfo,
+        )

@@ -1,0 +1,83 @@
+"""Shared functional building blocks for models.
+
+Replaces the reference's nn.Module layer zoo (scratchpad/nn/layers/) with pure
+functions over param pytrees — idiomatic for jit/scan. Tensor-parallel layout
+is expressed via PartitionSpec trees (see each model's param_specs), not via
+distinct Column/RowParallelLinear classes; XLA inserts the collectives.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """RMSNorm (reference: scratchpad/nn/layers/layernorm.py:12)."""
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    x = x * jax.lax.rsqrt(var + eps)
+    return (x * weight.astype(jnp.float32)).astype(dtype)
+
+
+def silu_mul(gate: jax.Array, up: jax.Array) -> jax.Array:
+    """SiluAndMul (reference: scratchpad/nn/layers/activation.py:21)."""
+    return jax.nn.silu(gate) * up
+
+
+def gelu_mul(gate: jax.Array, up: jax.Array) -> jax.Array:
+    return jax.nn.gelu(gate, approximate=True) * up
+
+
+def compute_inv_freq(cfg) -> np.ndarray:
+    """Rotary inverse frequencies incl. Llama-3 scaling.
+
+    Host-side (numpy) precompute; the reference's full rope family lives in
+    scratchpad/nn/layers/rotary_embedding.py — on TPU we bake scaling into
+    inv_freq and apply rope on the fly inside the jitted step.
+    """
+    head_dim = cfg.head_dim
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim)
+    )
+    rs = cfg.rope_scaling
+    if rs:
+        rope_type = rs.get("rope_type", rs.get("type", "default"))
+        if rope_type == "llama3":
+            factor = rs["factor"]
+            low = rs["low_freq_factor"]
+            high = rs["high_freq_factor"]
+            orig = rs["original_max_position_embeddings"]
+            wavelen = 2 * np.pi / inv_freq
+            # three bands: scale long wavelengths, keep short, smooth between
+            smooth = (orig / wavelen - low) / (high - low)
+            smooth = np.clip(smooth, 0.0, 1.0)
+            scaled = inv_freq / factor
+            blended = (1 - smooth) * scaled + smooth * inv_freq
+            inv_freq = np.where(wavelen > orig / low, scaled, inv_freq)
+            mid = (wavelen <= orig / low) & (wavelen >= orig / high)
+            inv_freq = np.where(mid, blended, inv_freq)
+        elif rope_type in ("linear",):
+            inv_freq = inv_freq / rs["factor"]
+        elif rope_type in ("default", "dynamic", "yarn", "mrope"):
+            # dynamic/yarn handled as default for now
+            pass
+    return inv_freq.astype(np.float32)
+
+
+def apply_rope(
+    x: jax.Array,  # [T, H, D]
+    positions: jax.Array,  # i32[T]
+    inv_freq: jax.Array,  # f32[D/2]
+) -> jax.Array:
+    """Non-interleaved (rotate_half) rope, HF Llama convention."""
+    angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [T, D/2]
+    cos = jnp.cos(angles)[:, None, :]  # [T, 1, D/2]
+    sin = jnp.sin(angles)[:, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    )
+    return out.astype(x.dtype)

@@ -1,0 +1,226 @@
+"""Llama family (Llama 2/3.x, TinyLlama) — functional JAX implementation.
+
+Replaces the reference's torch LlamaForCausalLM
+(reference: scratchpad/nn/models/llama/llama.py:275-423). Params are a pytree
+with all decoder layers stacked on a leading axis and the forward is a single
+`lax.scan` over layers, so trace/compile time is independent of depth.
+
+Tensor parallelism: head/ffn dims carry PartitionSpecs over the mesh "tp"
+axis (see param_specs); XLA's SPMD partitioner inserts the all-reduces the
+reference issues manually after o_proj/down_proj
+(reference: scratchpad/nn/layers/linear.py:1007, RowParallelLinear).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from scratchpad_tpu.config.model_config import ModelConfig
+from scratchpad_tpu.executor.forward_meta import ForwardMeta, ForwardMode
+from scratchpad_tpu.memory.kv_cache import KVCache
+from scratchpad_tpu.models.common import (
+    apply_rope,
+    compute_inv_freq,
+    rms_norm,
+    silu_mul,
+)
+from scratchpad_tpu.ops.attention import (
+    decode_attention_xla,
+    extend_attention_xla,
+    write_kv,
+)
+
+
+class LlamaForCausalLM:
+    """Functional model: __call__(params, kv, meta) -> (kv, logits)."""
+
+    def __init__(self, cfg: ModelConfig):
+        self.cfg = cfg
+        self.inv_freq = compute_inv_freq(cfg)
+        self.sm_scale = 1.0 / float(np.sqrt(cfg.head_dim))
+        # attention impls; the executor may swap in Pallas kernels
+        self.decode_attention = decode_attention_xla
+        self.extend_attention = extend_attention_xla
+
+    # ------------------------------------------------------------- parameters
+
+    def init_params(self, rng: jax.Array, dtype=jnp.bfloat16) -> dict[str, Any]:
+        """Random init (bench/tests without checkpoints)."""
+        cfg = self.cfg
+        H, L = cfg.hidden_size, cfg.num_hidden_layers
+        D, Hq, Hkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_kv_heads
+        I, V = cfg.intermediate_size, cfg.vocab_size
+        keys = iter(jax.random.split(rng, 16))
+
+        def init(key, shape, scale_dim):
+            return (
+                jax.random.normal(key, shape, jnp.float32) / np.sqrt(scale_dim)
+            ).astype(dtype)
+
+        params = {
+            "embed": init(next(keys), (V, H), H),
+            "layers": {
+                "input_norm": jnp.ones((L, H), dtype),
+                "post_norm": jnp.ones((L, H), dtype),
+                "wq": init(next(keys), (L, H, Hq * D), H),
+                "wk": init(next(keys), (L, H, Hkv * D), H),
+                "wv": init(next(keys), (L, H, Hkv * D), H),
+                "wo": init(next(keys), (L, Hq * D, H), Hq * D),
+                "gate": init(next(keys), (L, H, I), H),
+                "up": init(next(keys), (L, H, I), H),
+                "down": init(next(keys), (L, I, H), I),
+            },
+            "final_norm": jnp.ones((H,), dtype),
+        }
+        if not cfg.tie_word_embeddings:
+            params["lm_head"] = init(next(keys), (V, H), H)
+        return params
+
+    def param_specs(self, tp_axis: str = "tp") -> dict[str, Any]:
+        """PartitionSpec tree matching init_params / load_hf_params layout."""
+        t = tp_axis
+        specs = {
+            "embed": P(t, None),  # vocab-sharded (reference: vocab_parallel_embedding.py)
+            "layers": {
+                "input_norm": P(None, None),
+                "post_norm": P(None, None),
+                "wq": P(None, None, t),
+                "wk": P(None, None, t),
+                "wv": P(None, None, t),
+                "wo": P(None, t, None),
+                "gate": P(None, None, t),
+                "up": P(None, None, t),
+                "down": P(None, t, None),
+            },
+            "final_norm": P(None),
+        }
+        if not self.cfg.tie_word_embeddings:
+            specs["lm_head"] = P(t, None)
+        return specs
+
+    # ------------------------------------------------------------ hf weights
+
+    HF_LAYER_MAP = {
+        "self_attn.q_proj.weight": ("wq", True),
+        "self_attn.k_proj.weight": ("wk", True),
+        "self_attn.v_proj.weight": ("wv", True),
+        "self_attn.o_proj.weight": ("wo", True),
+        "mlp.gate_proj.weight": ("gate", True),
+        "mlp.up_proj.weight": ("up", True),
+        "mlp.down_proj.weight": ("down", True),
+        "input_layernorm.weight": ("input_norm", False),
+        "post_attention_layernorm.weight": ("post_norm", False),
+    }
+
+    def convert_hf_state(self, state: dict[str, np.ndarray], dtype=jnp.bfloat16):
+        """Map a flat HF state dict to our stacked-layer pytree (host-side).
+
+        Equivalent of the reference's per-model ``load_weights``
+        (reference: scratchpad/nn/models/llama/llama.py:336-418). HF linear
+        weights are [out, in]; we store [in, out] so forward is x @ W.
+        """
+        cfg = self.cfg
+        L = cfg.num_hidden_layers
+        layers: dict[str, list] = {k: [None] * L for k, _ in self.HF_LAYER_MAP.values()}
+        out: dict[str, Any] = {"layers": {}}
+        for name, w in state.items():
+            if name.startswith("model.layers."):
+                rest = name[len("model.layers.") :]
+                idx_s, sub = rest.split(".", 1)
+                tgt, transpose = self.HF_LAYER_MAP[sub]
+                layers[tgt][int(idx_s)] = w.T if transpose else w
+            elif name == "model.embed_tokens.weight":
+                out["embed"] = w
+            elif name == "model.norm.weight":
+                out["final_norm"] = w
+            elif name == "lm_head.weight":
+                if not cfg.tie_word_embeddings:
+                    out["lm_head"] = w
+            elif name.endswith("rotary_emb.inv_freq"):
+                pass
+            else:
+                raise KeyError(f"unmapped HF weight {name}")
+        for k, ws in layers.items():
+            assert all(x is not None for x in ws), f"missing layer weights for {k}"
+            out["layers"][k] = np.stack(ws)
+        if cfg.tie_word_embeddings and "lm_head" in out:
+            del out["lm_head"]
+        return jax.tree.map(lambda x: jnp.asarray(x, dtype), out)
+
+    # ---------------------------------------------------------------- forward
+
+    def __call__(
+        self, params: dict, kv: KVCache, meta: ForwardMeta
+    ) -> tuple[KVCache, jax.Array]:
+        cfg = self.cfg
+        L = cfg.num_hidden_layers
+        Hq, Hkv, D = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
+        S = kv.k.shape[1]
+        T = meta.num_tokens
+        inv_freq = jnp.asarray(self.inv_freq)
+
+        x = jnp.take(params["embed"], meta.tokens, axis=0)  # [T, H]
+        k_flat = kv.k.reshape(L * S, Hkv, D)
+        v_flat = kv.v.reshape(L * S, Hkv, D)
+
+        if meta.mode == ForwardMode.DECODE:
+            attend = self.decode_attention
+        else:
+            attend = self.extend_attention
+
+        def body(carry, layer):
+            x, k_flat, v_flat = carry
+            lp, lidx = layer
+            h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
+            q = (h @ lp["wq"]).reshape(T, Hq, D)
+            kn = (h @ lp["wk"]).reshape(T, Hkv, D)
+            vn = (h @ lp["wv"]).reshape(T, Hkv, D)
+            q = apply_rope(q, meta.positions, inv_freq)
+            kn = apply_rope(kn, meta.positions, inv_freq)
+            k_flat, v_flat = write_kv(
+                k_flat, v_flat, kn, vn, lidx, meta.out_cache_loc, S
+            )
+            attn = attend(
+                q,
+                k_flat,
+                v_flat,
+                lidx,
+                meta,
+                num_slots=S,
+                page_size=self.page_size,
+                sm_scale=self.sm_scale,
+                logit_cap=cfg.attn_logit_softcap,
+                sliding_window=None,
+            )
+            x = x + attn.reshape(T, Hq * D) @ lp["wo"]
+            h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
+            x = x + silu_mul(h2 @ lp["gate"], h2 @ lp["up"]) @ lp["down"]
+            return (x, k_flat, v_flat), None
+
+        (x, k_flat, v_flat), _ = jax.lax.scan(
+            body,
+            (x, k_flat, v_flat),
+            (params["layers"], jnp.arange(L, dtype=jnp.int32)),
+        )
+
+        h = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        last = jnp.take(h, meta.last_token_idx, axis=0)  # [B, H]
+        head = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
+        logits = (last @ head.T).astype(jnp.float32)  # [B, V]
+        if cfg.logit_softcap:
+            logits = cfg.logit_softcap * jnp.tanh(logits / cfg.logit_softcap)
+        kv_out = KVCache(
+            k=k_flat.reshape(L, S, Hkv, D),
+            v=v_flat.reshape(L, S, Hkv, D),
+            k_scale=kv.k_scale,
+            v_scale=kv.v_scale,
+        )
+        return kv_out, logits
+
+    # set by the executor before jit (page size is static per engine)
+    page_size: int = 16

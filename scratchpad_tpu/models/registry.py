@@ -1,0 +1,55 @@
+"""Model registry mapping HF architecture names to implementations.
+
+Analogue of the reference's EntryClass auto-registry
+(reference: scratchpad/nn/models/__init__.py:12-78).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+_REGISTRY: dict[str, Callable] = {}
+
+
+def register(*arch_names: str):
+    def deco(cls):
+        for n in arch_names:
+            _REGISTRY[n] = cls
+        return cls
+
+    return deco
+
+
+def get_model_class(architecture: str):
+    _ensure_builtin()
+    if architecture not in _REGISTRY:
+        raise KeyError(
+            f"unsupported architecture {architecture!r}; have {sorted(_REGISTRY)}"
+        )
+    return _REGISTRY[architecture]
+
+
+class ModelRegistry:
+    @staticmethod
+    def resolve_model_cls(architecture: str):
+        return get_model_class(architecture)
+
+    @staticmethod
+    def supported_architectures() -> list[str]:
+        _ensure_builtin()
+        return sorted(_REGISTRY)
+
+
+def _ensure_builtin():
+    if _REGISTRY:
+        return
+    from scratchpad_tpu.models.llama import LlamaForCausalLM
+
+    _REGISTRY["LlamaForCausalLM"] = LlamaForCausalLM
+    try:
+        from scratchpad_tpu.models.qwen import Qwen2ForCausalLM, Qwen3ForCausalLM
+
+        _REGISTRY["Qwen2ForCausalLM"] = Qwen2ForCausalLM
+        _REGISTRY["Qwen3ForCausalLM"] = Qwen3ForCausalLM
+    except ImportError:
+        pass

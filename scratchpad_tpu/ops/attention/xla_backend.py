@@ -1,0 +1,152 @@
+"""Reference paged attention in plain XLA ops.
+
+Correctness backend: gathers KV pages into dense [B, S] form and runs masked
+attention. Materialises score matrices, so it is only meant for tests, CPU
+runs and small shapes; the Pallas kernels (ops/attention/pallas_*.py) are the
+performance path on TPU. Mirrors what FlashInfer provides the reference
+(reference: scratchpad/nn/attention/flashinfer_backend.py) and the in-repo
+Triton kernels (reference: scratchpad/nn/attention/triton_attn/).
+
+All functions operate on the *flat* slot view of one layer-stacked cache:
+k_flat/v_flat: [L*S, Hkv, D] where S = num_slots per layer.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from scratchpad_tpu.executor.forward_meta import ForwardMeta
+
+_NEG = -1e30
+
+
+def write_kv(
+    k_flat: jax.Array,
+    v_flat: jax.Array,
+    k_new: jax.Array,  # [T, Hkv, D]
+    v_new: jax.Array,
+    layer_idx: jax.Array,  # scalar i32
+    out_cache_loc: jax.Array,  # i32[T] slots within the layer
+    num_slots: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Scatter new KV rows into the flat cache (set_kv_buffer analogue,
+    reference: scratchpad/memory/pool.py:392-424)."""
+    loc = layer_idx * num_slots + out_cache_loc
+    k_flat = k_flat.at[loc].set(k_new.astype(k_flat.dtype))
+    v_flat = v_flat.at[loc].set(v_new.astype(v_flat.dtype))
+    return k_flat, v_flat
+
+
+def _gather_kv(
+    k_flat: jax.Array,
+    v_flat: jax.Array,
+    layer_idx: jax.Array,
+    meta: ForwardMeta,
+    num_slots: int,
+    page_size: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Dense per-request KV: [B, S_max, Hkv, D], S_max = MAXP * page_size."""
+    B, maxp = meta.page_table.shape
+    offsets = jnp.arange(page_size, dtype=jnp.int32)
+    slots = (
+        meta.page_table[:, :, None] * page_size + offsets[None, None, :]
+    ).reshape(B, maxp * page_size)
+    slots = layer_idx * num_slots + slots
+    return k_flat[slots], v_flat[slots]
+
+
+def _softcap(scores: jax.Array, cap: Optional[float]) -> jax.Array:
+    if cap is None:
+        return scores
+    return cap * jnp.tanh(scores / cap)
+
+
+def decode_attention_xla(
+    q: jax.Array,  # [B, Hq, D]
+    k_flat: jax.Array,
+    v_flat: jax.Array,
+    layer_idx: jax.Array,
+    meta: ForwardMeta,
+    *,
+    num_slots: int,
+    page_size: int,
+    sm_scale: float,
+    logit_cap: Optional[float] = None,
+    sliding_window: Optional[int] = None,
+) -> jax.Array:
+    B, Hq, D = q.shape
+    k, v = _gather_kv(k_flat, v_flat, layer_idx, meta, num_slots, page_size)
+    S = k.shape[1]
+    Hkv = k.shape[2]
+    G = Hq // Hkv
+    qg = q.reshape(B, Hkv, G, D)
+    scores = jnp.einsum(
+        "bhgd,bshd->bhgs", qg.astype(jnp.float32), k.astype(jnp.float32)
+    )
+    scores = _softcap(scores * sm_scale, logit_cap)
+    kv_idx = jnp.arange(S, dtype=jnp.int32)
+    valid = kv_idx[None, :] < meta.seq_lens[:, None]  # [B, S]
+    if sliding_window is not None:
+        valid &= kv_idx[None, :] >= meta.seq_lens[:, None] - sliding_window
+    scores = jnp.where(valid[:, None, None, :], scores, _NEG)
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhgs,bshd->bhgd", p, v.astype(jnp.float32))
+    return out.reshape(B, Hq, D).astype(q.dtype)
+
+
+def extend_attention_xla(
+    q: jax.Array,  # [T, Hq, D] flat new-token queries
+    k_flat: jax.Array,
+    v_flat: jax.Array,
+    layer_idx: jax.Array,
+    meta: ForwardMeta,
+    *,
+    num_slots: int,
+    page_size: int,
+    sm_scale: float,
+    logit_cap: Optional[float] = None,
+    sliding_window: Optional[int] = None,
+) -> jax.Array:
+    """Ragged extend attention: new tokens attend to (prefix + in-chunk causal).
+
+    The new tokens' KV must already be in the cache (write before attend), so
+    a single position-based causal mask covers both the cached prefix and the
+    in-chunk part — the reference needs a two-kernel merge_state cascade for
+    this (flashinfer_backend.py:419-440); here the paged cache unifies it.
+    """
+    T, Hq, D = q.shape
+    B = meta.batch_size
+    k, v = _gather_kv(k_flat, v_flat, layer_idx, meta, num_slots, page_size)
+    S = k.shape[1]
+    Hkv = k.shape[2]
+    G = Hq // Hkv
+
+    # scatter flat queries to padded [B, T, Hq, D] (E_max = T upper bound)
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(meta.extend_lens)[:-1]]
+    )
+    intra = jnp.arange(T, dtype=jnp.int32) - starts[meta.req_indices]
+    qp = jnp.zeros((B, T, Hq, D), q.dtype)
+    qp = qp.at[meta.req_indices, intra].set(q)
+    pos_p = jnp.zeros((B, T), jnp.int32)
+    pos_p = pos_p.at[meta.req_indices, intra].set(meta.positions)
+
+    qg = qp.reshape(B, T, Hkv, G, D)
+    scores = jnp.einsum(
+        "bthgd,bshd->bhgts", qg.astype(jnp.float32), k.astype(jnp.float32)
+    )
+    scores = _softcap(scores * sm_scale, logit_cap)
+    kv_idx = jnp.arange(S, dtype=jnp.int32)
+    valid = kv_idx[None, None, :] <= pos_p[:, :, None]  # [B, T, S] causal+prefix
+    valid &= kv_idx[None, None, :] < meta.seq_lens[:, None, None]
+    if sliding_window is not None:
+        valid &= kv_idx[None, None, :] > pos_p[:, :, None] - sliding_window
+    scores = jnp.where(valid[:, None, None, :, :], scores, _NEG)
+    p = jax.nn.softmax(scores, axis=-1)
+    outp = jnp.einsum("bhgts,bshd->bthgd", p, v.astype(jnp.float32))
+    outp = outp.reshape(B, T, Hq, D)
+    out = outp[meta.req_indices, intra]
+    return out.astype(q.dtype)

@@ -1,0 +1,97 @@
+"""Batched sampling state shipped to the device each step.
+
+Analogue of SamplingBatchInfo (reference: scratchpad/sampling/sampling_batch_info.py:15).
+Fixed [B]-shaped arrays padded to the decode bucket; padding rows are greedy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax
+
+
+@dataclasses.dataclass
+class SamplingBatchInfo:
+    temperature: jax.Array  # f32[B] (0 = greedy)
+    top_p: jax.Array  # f32[B]
+    top_k: jax.Array  # i32[B] (V for disabled)
+    min_p: jax.Array  # f32[B]
+    # penalties (None when no request in the batch uses them)
+    presence_penalty: Optional[jax.Array] = None  # f32[B]
+    frequency_penalty: Optional[jax.Array] = None  # f32[B]
+    repetition_penalty: Optional[jax.Array] = None  # f32[B]
+    output_token_counts: Optional[jax.Array] = None  # i32[B, V]
+    input_token_mask: Optional[jax.Array] = None  # bool[B, V]
+    # grammar vocab bitmask (int32-packed, None when no grammar active)
+    vocab_bitmask: Optional[jax.Array] = None  # u32[B, ceil(V/32)]
+
+    @property
+    def needs_penalties(self) -> bool:
+        return self.output_token_counts is not None
+
+    @staticmethod
+    def from_reqs(reqs, bucket_size: int, vocab_size: int) -> "SamplingBatchInfo":
+        """Build padded host arrays from scheduler Req objects."""
+        B = bucket_size
+        temperature = np.zeros(B, np.float32)
+        top_p = np.ones(B, np.float32)
+        top_k = np.full(B, vocab_size, np.int32)
+        min_p = np.zeros(B, np.float32)
+        any_pen = any(r.sampling_params.needs_penalties() for r in reqs)
+        pres = np.zeros(B, np.float32) if any_pen else None
+        freq = np.zeros(B, np.float32) if any_pen else None
+        rep = np.ones(B, np.float32) if any_pen else None
+        for i, r in enumerate(reqs):
+            sp = r.sampling_params
+            temperature[i] = sp.temperature
+            top_p[i] = sp.top_p
+            top_k[i] = sp.top_k if sp.top_k > 0 else vocab_size
+            min_p[i] = sp.min_p
+            if any_pen:
+                pres[i] = sp.presence_penalty
+                freq[i] = sp.frequency_penalty
+                rep[i] = sp.repetition_penalty
+        out_counts = None
+        in_mask = None
+        if any_pen:
+            out_counts = np.zeros((B, vocab_size), np.int32)
+            in_mask = np.zeros((B, vocab_size), np.bool_)
+            for i, r in enumerate(reqs):
+                if r.output_ids:
+                    ids, counts = np.unique(
+                        np.asarray(r.output_ids, np.int64), return_counts=True
+                    )
+                    out_counts[i, ids] = counts
+                in_mask[i, np.asarray(r.origin_input_ids, np.int64)] = True
+        return SamplingBatchInfo(
+            temperature=temperature,
+            top_p=top_p,
+            top_k=top_k,
+            min_p=min_p,
+            presence_penalty=pres,
+            frequency_penalty=freq,
+            repetition_penalty=rep,
+            output_token_counts=out_counts,
+            input_token_mask=in_mask,
+        )
+
+
+jax.tree_util.register_dataclass(
+    SamplingBatchInfo,
+    data_fields=[
+        "temperature",
+        "top_p",
+        "top_k",
+        "min_p",
+        "presence_penalty",
+        "frequency_penalty",
+        "repetition_penalty",
+        "output_token_counts",
+        "input_token_mask",
+        "vocab_bitmask",
+    ],
+    meta_fields=[],
+)

@@ -1,0 +1,98 @@
+"""Device-side sampler: penalties + top-k/top-p/min-p + categorical draw.
+
+Replaces the reference Sampler + flashinfer fused sampling kernels
+(reference: scratchpad/nn/layers/sampler.py:23-160,
+scratchpad/nn/kernels/sampling.py). Pure jnp; runs inside the jitted
+forward+sample step so XLA fuses it with the logits epilogue. A Pallas
+fused top-k/p kernel can later replace the sort.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from scratchpad_tpu.sampling.batch_info import SamplingBatchInfo
+
+_NEG = -1e30
+
+
+def apply_penalties(logits: jax.Array, info: SamplingBatchInfo) -> jax.Array:
+    """Presence/frequency/repetition penalties
+    (reference: scratchpad/sampling/penaltylib/)."""
+    if info.output_token_counts is None:
+        return logits
+    counts = info.output_token_counts.astype(jnp.float32)  # [B, V]
+    logits = logits - info.frequency_penalty[:, None] * counts
+    logits = logits - info.presence_penalty[:, None] * (counts > 0)
+    # repetition penalty applies to prompt + generated tokens
+    seen = (counts > 0) | info.input_token_mask
+    rep = info.repetition_penalty[:, None]
+    penalized = jnp.where(logits > 0, logits / rep, logits * rep)
+    logits = jnp.where(seen, penalized, logits)
+    return logits
+
+
+def apply_vocab_bitmask(logits: jax.Array, bitmask: jax.Array) -> jax.Array:
+    """Mask logits with a packed uint32 allow-bitmask (grammar decoding).
+
+    Analogue of xgrammar's apply_token_bitmask triton op
+    (reference: scratchpad/constrained/triton_ops/bitmask_ops.py)."""
+    B, V = logits.shape
+    word = jnp.arange(V, dtype=jnp.uint32) // 32
+    bit = jnp.arange(V, dtype=jnp.uint32) % 32
+    allowed = (bitmask[:, word] >> bit) & 1  # [B, V]
+    return jnp.where(allowed.astype(bool), logits, _NEG)
+
+
+def sample(
+    logits: jax.Array,  # f32[B, V]
+    info: SamplingBatchInfo,
+    rng: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (token_ids i32[B], logprobs f32[B, V] post-penalty pre-filter).
+
+    Filtering order matches the reference: penalties -> temperature ->
+    top-k -> top-p -> min-p -> categorical
+    (reference: scratchpad/nn/layers/sampler.py:63-125).
+    """
+    B, V = logits.shape
+    logits = apply_penalties(logits, info)
+    if info.vocab_bitmask is not None:
+        logits = apply_vocab_bitmask(logits, info.vocab_bitmask)
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+
+    greedy_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    # temperature scaling (guard temp=0 rows; they take the greedy branch)
+    temp = jnp.maximum(info.temperature, 1e-6)[:, None]
+    scaled = logits / temp
+    probs = jax.nn.softmax(scaled, axis=-1)
+
+    sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]  # desc
+    # top-k: threshold at the k-th largest probability
+    k_idx = jnp.clip(info.top_k - 1, 0, V - 1)
+    kth = jnp.take_along_axis(sorted_probs, k_idx[:, None], axis=-1)
+    keep = probs >= kth
+    # top-p: smallest set with cumulative prob >= top_p (always keep argmax)
+    cumsum = jnp.cumsum(sorted_probs, axis=-1)
+    # a sorted slot is kept if the cumulative mass *before* it is < top_p
+    cum_before = cumsum - sorted_probs
+    sorted_cut = cum_before < info.top_p[:, None]
+    # map back: prob p is kept iff mass of probs strictly greater than p < top_p.
+    # mass_greater(p) for each vocab entry via searchsorted on sorted probs.
+    num_kept_sorted = jnp.sum(sorted_cut, axis=-1)  # per row count kept
+    pth = jnp.take_along_axis(
+        sorted_probs, jnp.clip(num_kept_sorted - 1, 0, V - 1)[:, None], axis=-1
+    )
+    keep &= probs >= pth
+    # min-p: keep probs >= max_prob * min_p
+    keep &= probs >= sorted_probs[:, :1] * info.min_p[:, None]
+
+    filtered = jnp.where(keep, scaled, _NEG)
+    sampled = jax.random.categorical(rng, filtered, axis=-1).astype(jnp.int32)
+
+    ids = jnp.where(info.temperature > 0, sampled, greedy_ids)
+    return ids, logprobs
