@@ -86,11 +86,15 @@ class ServerArgs:
                 b for b in ladder if b <= max(self.max_running_requests, 1)
             ] or [1]
         if self.prefill_token_buckets is None:
+            # ladder must cover a whole prefill *batch* (sum over requests),
+            # bounded by max_prefill_tokens; chunked_prefill_size only caps
+            # one request's chunk
+            cap = max(self.max_prefill_tokens, self.chunked_prefill_size)
             buckets, b = [], 128
-            while b < self.chunked_prefill_size:
+            while b < cap:
                 buckets.append(b)
                 b *= 2
-            buckets.append(self.chunked_prefill_size)
+            buckets.append(cap)
             self.prefill_token_buckets = buckets
         return self
 

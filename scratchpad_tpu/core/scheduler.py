@@ -1,0 +1,503 @@
+"""Continuous-batching scheduler.
+
+TPU-native rework of the reference Scheduler + ScheduleBatch
+(reference: scratchpad/scheduler/scheduler.py:103-1884,
+scratchpad/scheduler/schedule_batch.py:596-1480). Differences by design:
+
+- single-controller: one Scheduler per host drives all local chips through
+  the jitted ModelRunner step; there is no ZMQ process mesh and no
+  broadcast_pyobj — multi-host replicas run this same loop in lockstep.
+- page-granular KV: admission, retraction and radix insertion all move whole
+  pages (the TPU DMA unit) instead of single token slots.
+- batches are rebuilt host-side each step as numpy (cheap at B<=256) and
+  padded to the compile-bucket ladder by the ModelRunner; there is no
+  in-place device batch mutation like prepare_for_decode.
+
+Event-loop results are returned to the caller (Engine) as StepEvents rather
+than pushed over ZMQ to a detokenizer process.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from scratchpad_tpu.config import ModelConfig, ServerArgs
+from scratchpad_tpu.core.policy import AddReqResult, PrefillAdder, SchedulePolicy
+from scratchpad_tpu.core.req import FinishReason, Req
+from scratchpad_tpu.executor.forward_meta import ForwardMode
+from scratchpad_tpu.executor.model_runner import ModelRunner, WorkerBatch
+from scratchpad_tpu.memory.chunk_cache import ChunkCache
+from scratchpad_tpu.memory.radix_cache import RadixCache
+from scratchpad_tpu.sampling.batch_info import SamplingBatchInfo
+from scratchpad_tpu.utils import get_logger
+
+logger = get_logger("scheduler")
+
+
+@dataclasses.dataclass
+class StepEvent:
+    """One request's progress this step."""
+
+    req: Req
+    new_token: Optional[int]  # None while still chunk-prefilling
+    finished: bool
+
+
+class Scheduler:
+    def __init__(
+        self,
+        model_config: ModelConfig,
+        server_args: ServerArgs,
+        mesh=None,
+        params=None,
+        runner: Optional[ModelRunner] = None,
+    ):
+        self.args = server_args.resolve()
+        self.model_config = model_config
+        self.runner = runner or ModelRunner(model_config, self.args, mesh, params)
+        self.page_size = self.runner.page_size
+        self.allocator = self.runner.page_allocator
+        self.req_slots = self.runner.req_slots
+
+        if self.args.disable_radix_cache:
+            self.tree_cache = ChunkCache(self.page_size)
+        else:
+            self.tree_cache = RadixCache(self.page_size)
+        self.policy = SchedulePolicy(self.args.schedule_policy, self.tree_cache)
+
+        self.waiting: list[Req] = []
+        self.running: list[Req] = []
+        self.chunked_req: Optional[Req] = None
+
+        # retraction heuristic (reference: scheduler.py:92-101, 966-1001)
+        self.init_new_token_ratio = min(0.7 * self.args.schedule_conservativeness, 1.0)
+        self.min_new_token_ratio = min(0.1 * self.args.schedule_conservativeness, 1.0)
+        self.new_token_ratio = self.init_new_token_ratio
+        self.ratio_decay = (
+            self.init_new_token_ratio - self.min_new_token_ratio
+        ) / 600.0
+
+        # stats
+        self.num_generated_tokens = 0
+        self.num_prefill_tokens = 0
+        self.num_retractions = 0
+        self.step_count = 0
+
+    # ------------------------------------------------------------ public API
+
+    def add_request(self, req: Req) -> None:
+        if req.sampling_params.max_new_tokens is None:
+            req.sampling_params.max_new_tokens = 1 << 30
+        # clamp to context length
+        room = self.runner.max_context_len - len(req.origin_input_ids) - 1
+        req.sampling_params.max_new_tokens = max(
+            min(req.sampling_params.max_new_tokens, room), 0
+        )
+        self.waiting.append(req)
+
+    def abort_request(self, rid: str) -> None:
+        for r in self.waiting:
+            if r.rid == rid:
+                r.finished_reason = FinishReason.ABORT
+                self.waiting.remove(r)
+                return
+        for r in self.running + ([self.chunked_req] if self.chunked_req else []):
+            if r.rid == rid and not r.finished():
+                r.finished_reason = FinishReason.ABORT
+                return
+
+    def has_work(self) -> bool:
+        return bool(self.waiting or self.running or self.chunked_req)
+
+    def num_queued(self) -> int:
+        return len(self.waiting)
+
+    def num_running(self) -> int:
+        return len(self.running) + (1 if self.chunked_req else 0)
+
+    # ------------------------------------------------------------- main loop
+
+    def step(self) -> list[StepEvent]:
+        """One scheduling iteration: build a batch, run it, process results."""
+        self.step_count += 1
+        self._sweep_external_finishes()
+
+        batch, mode, chunk_lens = self._get_next_batch()
+        if batch is None:
+            return []
+
+        wb = self._build_worker_batch(batch, mode, chunk_lens)
+        out = self.runner.forward_and_sample(wb)
+        token_ids = np.asarray(out.next_token_ids)[: len(batch)]
+        logprobs = np.asarray(out.chosen_logprobs)[: len(batch)]
+
+        if mode == ForwardMode.EXTEND:
+            return self._process_extend_result(batch, chunk_lens, token_ids, logprobs)
+        return self._process_decode_result(batch, token_ids, logprobs)
+
+    # ------------------------------------------------------------ batch build
+
+    def _get_next_batch(self):
+        prefill = self._get_prefill_batch()
+        if prefill is not None:
+            reqs, chunk_lens = prefill
+            return reqs, ForwardMode.EXTEND, chunk_lens
+        if self.running:
+            self._prepare_decode()
+            if self.running:
+                return self.running, ForwardMode.DECODE, None
+        return None, None, None
+
+    def _get_prefill_batch(self):
+        # in-flight chunked prefill continues before anything else
+        # (reference: scheduler.py:800-807)
+        if self.chunked_req is not None:
+            req = self.chunked_req
+            chunk = min(req.extend_input_len, self.args.chunked_prefill_size)
+            if not self._alloc_for_extend(req, chunk):
+                logger.warning("chunked req cannot allocate; retracting others")
+                if not self._retract_for(req, chunk):
+                    return None
+                if not self._alloc_for_extend(req, chunk):
+                    return None
+            done = chunk == req.extend_input_len
+            if done:
+                self.chunked_req = None
+            return [req], [chunk]
+
+        if not self.waiting:
+            return None
+        if len(self.running) >= self.runner.max_running_requests:
+            return None
+
+        self.policy.calc_priority(self.waiting)
+        adder = PrefillAdder(
+            self.tree_cache,
+            self.allocator,
+            self.running,
+            self.new_token_ratio,
+            self.args.max_prefill_tokens,
+            self.args.chunked_prefill_size,
+            self.runner.max_running_requests - len(self.running),
+        )
+        admitted: list[Req] = []
+        for req in list(self.waiting):
+            if self.req_slots.available_slots <= len(admitted):
+                break
+            res = adder.add_one_req(req)
+            if adder.can_run_list and adder.can_run_list[-1] is req:
+                admitted.append(req)
+                self.waiting.remove(req)
+            if res != AddReqResult.CONTINUE:
+                break
+            if adder.new_chunked_req is not None:
+                break
+
+        if not admitted:
+            return None
+
+        batch: list[Req] = []
+        chunk_lens: list[int] = []
+        for req in admitted:
+            # (radix path already locked inside PrefillAdder.add_one_req)
+            req.computed_len = req.cached_prefix_len
+            chunk = req.extend_input_len
+            if req is adder.new_chunked_req:
+                chunk = min(chunk, self.args.chunked_prefill_size)
+                chunk = max((chunk // self.page_size) * self.page_size, 1)
+            if not self._alloc_for_extend(req, chunk):
+                # roll back admission for this req
+                if req.last_node is not None:
+                    self.tree_cache.dec_lock_ref(req.last_node)
+                req.reset_for_retract()
+                self.waiting.insert(0, req)
+                continue
+            if req is adder.new_chunked_req and chunk < req.extend_input_len:
+                self.chunked_req = req
+            batch.append(req)
+            chunk_lens.append(chunk)
+            self.num_prefill_tokens += chunk
+        if not batch:
+            return None
+        return batch, chunk_lens
+
+    def _alloc_for_extend(self, req: Req, chunk: int) -> bool:
+        """Ensure req slot + pages to hold KV for the next ``chunk`` tokens."""
+        if req.req_slot is None:
+            slot = self.req_slots.alloc()
+            if slot is None:
+                return False
+            req.req_slot = slot
+        end = req.computed_len + chunk
+        need = -(-end // self.page_size) - len(req.pages)
+        if need > 0:
+            pages = self._alloc_pages(need)
+            if pages is None:
+                return False
+            req.pages = np.concatenate([req.pages, pages])
+        self.req_slots.write_pages(req.req_slot, 0, req.pages)
+        return True
+
+    def _alloc_pages(self, n: int) -> Optional[np.ndarray]:
+        if self.allocator.available_pages < n:
+            self.tree_cache.evict(
+                n - self.allocator.available_pages, self.allocator.free
+            )
+        return self.allocator.alloc(n)
+
+    # --------------------------------------------------------------- decode
+
+    def _prepare_decode(self) -> None:
+        """Allocate decode pages; retract on memory pressure
+        (reference: scheduler.py:966-1001 update_running_batch)."""
+        self.new_token_ratio = max(
+            self.new_token_ratio - self.ratio_decay, self.min_new_token_ratio
+        )
+        while True:
+            need = sum(
+                1 for r in self.running if r.computed_len % self.page_size == 0
+            )
+            if need == 0:
+                return
+            if self.allocator.available_pages + self.tree_cache.evictable_pages >= need:
+                for r in self.running:
+                    if r.computed_len % self.page_size == 0:
+                        pages = self._alloc_pages(1)
+                        assert pages is not None
+                        r.pages = np.concatenate([r.pages, pages])
+                        self.req_slots.write_pages(r.req_slot, 0, r.pages)
+                return
+            if not self._retract_one():
+                return
+
+    def _retract_one(self) -> bool:
+        """Retract the request with the most generated tokens back to waiting
+        (reference: schedule_batch.py:1123-1170)."""
+        if len(self.running) <= 1:
+            return False
+        victim = max(self.running, key=lambda r: len(r.output_ids))
+        self.running.remove(victim)
+        self._release_req(victim, keep_outputs=False)
+        victim.reset_for_retract()
+        self.waiting.insert(0, victim)
+        self.num_retractions += 1
+        self.new_token_ratio = self.init_new_token_ratio
+        logger.info("retracted %s (out=%d)", victim.rid, len(victim.output_ids))
+        return True
+
+    def _retract_for(self, req: Req, chunk: int) -> bool:
+        need = -(-(req.computed_len + chunk) // self.page_size) - len(req.pages)
+        while (
+            self.allocator.available_pages + self.tree_cache.evictable_pages < need
+        ):
+            if not self._retract_one():
+                return False
+        return True
+
+    # ------------------------------------------------------------ worker batch
+
+    def _build_worker_batch(
+        self, batch: list[Req], mode: ForwardMode, chunk_lens: Optional[list[int]]
+    ) -> WorkerBatch:
+        ps = self.page_size
+        if mode == ForwardMode.DECODE:
+            B = len(batch)
+            tokens = np.array([r.output_ids[-1] for r in batch], np.int32)
+            positions = np.array([r.computed_len for r in batch], np.int32)
+            out_loc = np.array(
+                [
+                    r.pages[r.computed_len // ps] * ps + r.computed_len % ps
+                    for r in batch
+                ],
+                np.int32,
+            )
+            req_idx = np.arange(B, dtype=np.int32)
+            seq_lens = positions + 1
+            extend_lens = np.ones(B, np.int32)
+        else:
+            tokens_l, pos_l, loc_l, idx_l = [], [], [], []
+            seq_lens = np.zeros(len(batch), np.int32)
+            extend_lens = np.asarray(chunk_lens, np.int32)
+            for i, (r, chunk) in enumerate(zip(batch, chunk_lens)):
+                start, end = r.computed_len, r.computed_len + chunk
+                tokens_l.append(np.asarray(r.fill_ids[start:end], np.int32))
+                pos_l.append(np.arange(start, end, dtype=np.int32))
+                p = np.arange(start, end)
+                loc_l.append((r.pages[p // ps] * ps + p % ps).astype(np.int32))
+                idx_l.append(np.full(chunk, i, np.int32))
+                seq_lens[i] = end
+            tokens = np.concatenate(tokens_l)
+            positions = np.concatenate(pos_l)
+            out_loc = np.concatenate(loc_l)
+            req_idx = np.concatenate(idx_l)
+
+        maxp = max(len(r.pages) for r in batch)
+        page_table = np.zeros((len(batch), maxp), np.int32)
+        for i, r in enumerate(batch):
+            page_table[i, : len(r.pages)] = r.pages
+
+        sinfo = SamplingBatchInfo.from_reqs(
+            batch, len(batch), self.model_config.vocab_size
+        )
+        bitmask = self._build_vocab_bitmask(batch, mode)
+        return WorkerBatch(
+            mode=mode,
+            tokens=tokens,
+            positions=positions,
+            out_cache_loc=out_loc,
+            req_indices=req_idx,
+            page_table=page_table,
+            seq_lens=seq_lens,
+            extend_lens=extend_lens,
+            sampling_info=sinfo,
+            vocab_bitmask=bitmask,
+        )
+
+    def _build_vocab_bitmask(self, batch: list[Req], mode) -> Optional[np.ndarray]:
+        if not any(r.grammar is not None for r in batch):
+            return None
+        V = self.model_config.vocab_size
+        words = -(-V // 32)
+        mask = np.full((len(batch), words), 0xFFFFFFFF, np.uint32)
+        for i, r in enumerate(batch):
+            if r.grammar is not None:
+                r.grammar.fill_vocab_bitmask(mask[i], V)
+        return mask
+
+    # --------------------------------------------------------------- results
+
+    def _process_extend_result(self, batch, chunk_lens, token_ids, logprobs):
+        events: list[StepEvent] = []
+        for i, (req, chunk) in enumerate(zip(batch, chunk_lens)):
+            req.computed_len += chunk
+            if req.computed_len < len(req.origin_input_ids):
+                # chunk-prefill continues; sampled token is meaningless
+                self._cache_unfinished(req)
+                events.append(StepEvent(req, None, False))
+                continue
+            tok = int(token_ids[i])
+            if req.sampling_params.max_new_tokens > 0:
+                req.output_ids.append(tok)
+                if req.return_logprob:
+                    req.output_token_logprobs.append(float(logprobs[i]))
+                if req.grammar is not None:
+                    req.grammar.accept_token(tok)
+                req.check_finished()
+            else:
+                req.finished_reason = FinishReason.LENGTH
+            self.num_generated_tokens += 1
+            if req.finished():
+                self._finish_req(req)
+                events.append(StepEvent(req, tok, True))
+            else:
+                self._cache_unfinished(req)
+                self.running.append(req)
+                events.append(StepEvent(req, tok, False))
+        return events
+
+    def _process_decode_result(self, batch, token_ids, logprobs):
+        events: list[StepEvent] = []
+        finished: list[Req] = []
+        for i, req in enumerate(batch):
+            tok = int(token_ids[i])
+            req.output_ids.append(tok)
+            req.computed_len += 1
+            if req.return_logprob:
+                req.output_token_logprobs.append(float(logprobs[i]))
+            if req.grammar is not None:
+                req.grammar.accept_token(tok)
+            self.num_generated_tokens += 1
+            req.check_finished()
+            if req.finished():
+                finished.append(req)
+            events.append(StepEvent(req, tok, req.finished()))
+        for req in finished:
+            self.running.remove(req)
+            self._finish_req(req)
+        return events
+
+    # ----------------------------------------------------- cache bookkeeping
+
+    def _cache_unfinished(self, req: Req) -> None:
+        """Publish computed full pages into the radix tree and dedupe
+        (reference: radix_cache.py:180-221 cache_unfinished_req)."""
+        if self.tree_cache.disable:
+            return
+        ps = self.page_size
+        aligned = (req.computed_len // ps) * ps
+        accepted = aligned // ps
+        if accepted == 0:
+            return
+        toks = req.fill_ids[:aligned]
+        dup = self.tree_cache.insert(toks, req.pages[:accepted])
+        if dup > req.num_tree_pages:
+            self.allocator.free(req.pages[req.num_tree_pages : dup])
+        m = self.tree_cache.match_prefix(toks)
+        assert m.num_pages >= accepted, "re-match lost inserted prefix"
+        if req.last_node is not None:
+            self.tree_cache.dec_lock_ref(req.last_node)
+        self.tree_cache.inc_lock_ref(m.last_node)
+        req.last_node = m.last_node
+        req.pages = np.concatenate([m.page_ids[:accepted], req.pages[accepted:]])
+        req.num_tree_pages = accepted
+        self.req_slots.write_pages(req.req_slot, 0, req.pages)
+
+    def _finish_req(self, req: Req) -> None:
+        req.finished_at = __import__("time").monotonic()
+        self._release_req(req, keep_outputs=True)
+
+    def _release_req(self, req: Req, keep_outputs: bool) -> None:
+        """Return KV pages + slot; insert finished KV into the radix tree
+        (reference: radix_cache.py:145-178 cache_finished_req)."""
+        ps = self.page_size
+        if self.tree_cache.disable:
+            if len(req.pages):
+                self.allocator.free(req.pages)
+        else:
+            kv_len = req.computed_len  # tokens with materialised KV
+            aligned = (kv_len // ps) * ps
+            accepted = aligned // ps
+            if keep_outputs and accepted > 0:
+                dup = self.tree_cache.insert(
+                    req.fill_ids[:aligned], req.pages[:accepted]
+                )
+                dup = max(dup, req.num_tree_pages)
+                if dup > req.num_tree_pages:
+                    self.allocator.free(req.pages[req.num_tree_pages : dup])
+                if len(req.pages) > accepted:
+                    self.allocator.free(req.pages[accepted:])
+            else:
+                # retraction/abort: free everything we privately own
+                if len(req.pages) > req.num_tree_pages:
+                    self.allocator.free(req.pages[req.num_tree_pages :])
+            if req.last_node is not None:
+                self.tree_cache.dec_lock_ref(req.last_node)
+                req.last_node = None
+        if req.req_slot is not None:
+            self.req_slots.free(req.req_slot)
+            req.req_slot = None
+
+    def _sweep_external_finishes(self) -> None:
+        """Clean up requests finished outside the step loop (abort, stop str)."""
+        for req in list(self.running):
+            if req.finished():
+                self.running.remove(req)
+                self._finish_req(req)
+        if self.chunked_req is not None and self.chunked_req.finished():
+            self._release_req(self.chunked_req, keep_outputs=False)
+            self.chunked_req = None
+
+    # ---------------------------------------------------------------- debug
+
+    def check_memory_leak(self) -> None:
+        """Idle-time invariant: all pages back in free list or tree
+        (reference: scheduler.py:775-795 check_memory)."""
+        assert not self.has_work()
+        tree_pages = self.tree_cache.evictable_pages + self.tree_cache.protected_pages
+        total = self.allocator.available_pages + tree_pages
+        expect = self.allocator.num_pages - 1  # minus reserved dump page
+        assert total == expect, f"KV page leak: {total} != {expect}"
+        assert self.req_slots.available_slots == self.req_slots.max_reqs

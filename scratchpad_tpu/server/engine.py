@@ -1,0 +1,258 @@
+"""Synchronous/offline engine facade.
+
+Single-controller analogue of AsyncLLMEngine
+(reference: scratchpad/server/engine.py:10-152): instead of spawning
+scheduler + detokenizer processes over ZMQ, the engine owns the Scheduler
+in-process and pumps its step loop. The HTTP server wraps this engine with an
+asyncio pump (scratchpad_tpu/server/http_server.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+import uuid
+from typing import Any, Iterator, Optional, Union
+
+from scratchpad_tpu.config import ModelConfig, ServerArgs
+from scratchpad_tpu.config.model_config import get_preset
+from scratchpad_tpu.core.req import FinishReason, Req
+from scratchpad_tpu.core.scheduler import Scheduler, StepEvent
+from scratchpad_tpu.sampling.sampling_params import SamplingParams
+from scratchpad_tpu.tokenizer.detokenizer import IncrementalDetokenizer
+from scratchpad_tpu.utils import get_logger
+
+logger = get_logger("engine")
+
+
+@dataclasses.dataclass
+class GenerationOutput:
+    rid: str
+    text: str
+    output_ids: list[int]
+    finish_reason: str
+    prompt_tokens: int
+    completion_tokens: int
+    cached_tokens: int
+    output_token_logprobs: Optional[list[float]] = None
+    ttft: Optional[float] = None
+    e2e_latency: Optional[float] = None
+
+
+class Engine:
+    def __init__(
+        self,
+        server_args: ServerArgs,
+        mesh=None,
+        model_config: Optional[ModelConfig] = None,
+        tokenizer: Any = None,
+    ):
+        self.args = server_args.resolve()
+        if model_config is None:
+            if self.args.preset:
+                model_config = get_preset(
+                    self.args.preset,
+                    dtype=self.args.dtype,
+                    quantization=self.args.quantization,
+                )
+            else:
+                model_config = ModelConfig.from_pretrained(
+                    self.args.model_path,
+                    dtype=self.args.dtype,
+                    quantization=self.args.quantization,
+                )
+        if self.args.context_length:
+            model_config.max_position_embeddings = self.args.context_length
+        self.model_config = model_config
+
+        self.tokenizer = tokenizer
+        if self.tokenizer is None and self.args.tokenizer_path:
+            from transformers import AutoTokenizer
+
+            self.tokenizer = AutoTokenizer.from_pretrained(self.args.tokenizer_path)
+        self.detokenizer = IncrementalDetokenizer(self.tokenizer)
+
+        self.eos_token_ids: frozenset[int] = frozenset(self._find_eos_ids())
+        self.scheduler = Scheduler(model_config, self.args, mesh=mesh)
+        self.grammar_backend = None
+        if self.tokenizer is not None and self.args.grammar_backend == "native":
+            try:
+                from scratchpad_tpu.constrained import GrammarBackend
+
+                self.grammar_backend = GrammarBackend(
+                    self.tokenizer, model_config.vocab_size
+                )
+            except ImportError:
+                pass
+
+    def _find_eos_ids(self) -> set[int]:
+        ids: set[int] = set()
+        tok = self.tokenizer
+        if tok is not None:
+            if getattr(tok, "eos_token_id", None) is not None:
+                ids.add(tok.eos_token_id)
+        cfg_path = self.args.model_path
+        if cfg_path:
+            import json, os
+
+            gc = os.path.join(cfg_path, "generation_config.json")
+            if os.path.exists(gc):
+                with open(gc) as f:
+                    eos = json.load(f).get("eos_token_id")
+                if isinstance(eos, int):
+                    ids.add(eos)
+                elif isinstance(eos, list):
+                    ids.update(eos)
+        return ids
+
+    # -------------------------------------------------------------- requests
+
+    def _make_req(
+        self,
+        prompt: Optional[str],
+        input_ids: Optional[list[int]],
+        sampling_params: Optional[SamplingParams],
+        return_logprob: bool = False,
+        rid: Optional[str] = None,
+    ) -> Req:
+        sp = sampling_params or SamplingParams()
+        if input_ids is None:
+            assert prompt is not None and self.tokenizer is not None
+            input_ids = self.tokenizer.encode(prompt)
+        req = Req(
+            rid=rid or uuid.uuid4().hex,
+            origin_input_ids=list(input_ids),
+            sampling_params=sp,
+            eos_token_ids=self.eos_token_ids,
+            return_logprob=return_logprob,
+        )
+        gk = sp.grammar_key()
+        if gk is not None and self.grammar_backend is not None:
+            req.grammar = self.grammar_backend.get_grammar(*gk)
+        return req
+
+    # ------------------------------------------------------------ sync API
+
+    def generate(
+        self,
+        prompt: Optional[Union[str, list[str]]] = None,
+        input_ids: Optional[Union[list[int], list[list[int]]]] = None,
+        sampling_params: Optional[
+            Union[SamplingParams, list[SamplingParams]]
+        ] = None,
+        return_logprob: bool = False,
+    ) -> Union[GenerationOutput, list[GenerationOutput]]:
+        """Blocking generation for one prompt or a batch
+        (reference: server/engine.py:68 generate)."""
+        batched = isinstance(prompt, list) or (
+            input_ids is not None
+            and len(input_ids) > 0
+            and isinstance(input_ids[0], (list, tuple))
+        )
+        prompts = prompt if isinstance(prompt, list) else [prompt]
+        if input_ids is not None and not batched:
+            idss = [input_ids]
+        else:
+            idss = input_ids if input_ids is not None else [None] * len(prompts)
+        if prompt is None:
+            prompts = [None] * len(idss)
+        sps = (
+            sampling_params
+            if isinstance(sampling_params, list)
+            else [sampling_params] * len(prompts)
+        )
+        reqs = [
+            self._make_req(p, i, s, return_logprob)
+            for p, i, s in zip(prompts, idss, sps)
+        ]
+        for r in reqs:
+            self.scheduler.add_request(r)
+        pending = {r.rid for r in reqs}
+        while pending:
+            events = self.scheduler.step()
+            if not events and not self.scheduler.has_work():
+                break
+            for ev in events:
+                self._postprocess_event(ev)
+                if ev.req.finished() and ev.req.rid in pending:
+                    pending.discard(ev.req.rid)
+        outs = [self._to_output(r) for r in reqs]
+        return outs if batched else outs[0]
+
+    def generate_stream(
+        self,
+        prompt: Optional[str] = None,
+        input_ids: Optional[list[int]] = None,
+        sampling_params: Optional[SamplingParams] = None,
+    ) -> Iterator[dict]:
+        """Streaming generation for a single request; yields text deltas."""
+        req = self._make_req(prompt, input_ids, sampling_params)
+        self.scheduler.add_request(req)
+        while not req.finished():
+            events = self.scheduler.step()
+            if not events and not self.scheduler.has_work():
+                break
+            for ev in events:
+                self._postprocess_event(ev)
+            safe = IncrementalDetokenizer.stream_safe_len(req)
+            if safe > req.stream_sent_len:
+                delta = req.decoded_text[req.stream_sent_len : safe]
+                req.stream_sent_len = safe
+                yield {"delta": delta, "finished": False}
+        if len(req.decoded_text) > req.stream_sent_len:
+            yield {
+                "delta": req.decoded_text[req.stream_sent_len :],
+                "finished": False,
+            }
+            req.stream_sent_len = len(req.decoded_text)
+        yield {
+            "delta": "",
+            "finished": True,
+            "output": self._to_output(req),
+        }
+
+    # --------------------------------------------------------------- helpers
+
+    def _postprocess_event(self, ev: StepEvent) -> None:
+        req = ev.req
+        if ev.new_token is None:
+            return
+        if req.first_token_at is None:
+            req.first_token_at = time.monotonic()
+        self.detokenizer.step(req)
+        if not req.finished() and self.detokenizer.check_stop_strings(req):
+            # scheduler cleans this req at the start of its next step
+            pass
+
+    def _to_output(self, req: Req) -> GenerationOutput:
+        if req.finished() and req.read_offset < len(req.output_ids):
+            self.detokenizer.step(req)
+            self.detokenizer.check_stop_strings(req)
+        reason = req.finished_reason or FinishReason.ABORT
+        return GenerationOutput(
+            rid=req.rid,
+            text=req.decoded_text,
+            output_ids=list(req.output_ids),
+            finish_reason=reason.to_openai(),
+            prompt_tokens=len(req.origin_input_ids),
+            completion_tokens=len(req.output_ids),
+            cached_tokens=req.cached_prefix_len,
+            output_token_logprobs=(
+                list(req.output_token_logprobs) if req.return_logprob else None
+            ),
+            ttft=(
+                req.first_token_at - req.created_at if req.first_token_at else None
+            ),
+            e2e_latency=(
+                req.finished_at - req.created_at if req.finished_at else None
+            ),
+        )
+
+    def flush_cache(self) -> None:
+        assert not self.scheduler.has_work()
+        self.scheduler.tree_cache.reset()
+        self.scheduler.allocator.clear()
+        self.scheduler.allocator.alloc(1)  # re-reserve dump page
+
+    def shutdown(self) -> None:
+        pass

@@ -1,0 +1,164 @@
+"""End-to-end engine tests on a tiny random-weight model (CPU).
+
+Mirrors the reference's e2e strategy (tests/e2e/test_engine.py) but runs the
+full stack — scheduler, radix cache, chunked prefill, retraction — on CPU
+with token-id prompts (no tokenizer required).
+"""
+
+import numpy as np
+import pytest
+
+from scratchpad_tpu.config import ServerArgs
+from scratchpad_tpu.config.model_config import get_preset
+from scratchpad_tpu.sampling.sampling_params import SamplingParams
+from scratchpad_tpu.server.engine import Engine
+
+
+def make_engine(**kw) -> Engine:
+    args = ServerArgs(
+        preset="tiny-debug",
+        random_weights=True,
+        dtype="float32",
+        page_size=4,
+        max_total_tokens=kw.pop("max_total_tokens", 2048),
+        chunked_prefill_size=kw.pop("chunked_prefill_size", 256),
+        **kw,
+    )
+    return Engine(args)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return make_engine()
+
+
+def prompt(n, seed=0):
+    return np.random.default_rng(seed).integers(1, 500, n).tolist()
+
+
+class TestEngineBasics:
+    def test_single_greedy(self, engine):
+        out = engine.generate(
+            input_ids=prompt(10),
+            sampling_params=SamplingParams(temperature=0.0, max_new_tokens=8),
+        )
+        assert len(out.output_ids) == 8
+        assert out.finish_reason == "length"
+        assert out.prompt_tokens == 10
+        engine.scheduler.check_memory_leak()
+
+    def test_batch_mixed_lengths(self, engine):
+        prompts = [prompt(n, seed=n) for n in (5, 23, 64, 17)]
+        sps = [SamplingParams(temperature=0.0, max_new_tokens=m) for m in (3, 9, 5, 12)]
+        outs = engine.generate(input_ids=prompts, sampling_params=sps)
+        for o, m in zip(outs, (3, 9, 5, 12)):
+            assert len(o.output_ids) == m
+        engine.scheduler.check_memory_leak()
+
+    def test_batch_matches_individual(self, engine):
+        """Continuous batching must not change greedy results."""
+        prompts = [prompt(n, seed=100 + n) for n in (8, 31, 12)]
+        sp = SamplingParams(temperature=0.0, max_new_tokens=6)
+        individual = [
+            engine.generate(input_ids=p, sampling_params=sp).output_ids
+            for p in prompts
+        ]
+        engine.flush_cache()
+        batched = [
+            o.output_ids
+            for o in engine.generate(
+                input_ids=prompts, sampling_params=[sp] * 3
+            )
+        ]
+        assert individual == batched
+        engine.flush_cache()
+
+    def test_radix_cache_reuse(self, engine):
+        engine.flush_cache()
+        p = prompt(40, seed=7)
+        sp = SamplingParams(temperature=0.0, max_new_tokens=5)
+        a = engine.generate(input_ids=p, sampling_params=sp)
+        assert a.cached_tokens == 0
+        b = engine.generate(input_ids=p, sampling_params=sp)
+        assert b.cached_tokens > 0
+        assert a.output_ids == b.output_ids
+        # shared prefix, different tail
+        c = engine.generate(input_ids=p[:32] + prompt(8, seed=8), sampling_params=sp)
+        assert c.cached_tokens >= 28  # at least 7 pages of 4
+        engine.scheduler.check_memory_leak()
+
+    def test_stop_token_ids(self, engine):
+        p = prompt(10, seed=3)
+        sp0 = SamplingParams(temperature=0.0, max_new_tokens=20)
+        ref = engine.generate(input_ids=p, sampling_params=sp0)
+        stop_at = ref.output_ids[4]
+        sp1 = SamplingParams(
+            temperature=0.0, max_new_tokens=20, stop_token_ids=[stop_at]
+        )
+        out = engine.generate(input_ids=p, sampling_params=sp1)
+        assert out.output_ids[-1] == stop_at
+        assert len(out.output_ids) <= len(ref.output_ids)
+        assert out.finish_reason == "stop"
+
+    def test_sampling_nongreedy_runs(self, engine):
+        sp = SamplingParams(temperature=0.8, top_p=0.9, top_k=40, max_new_tokens=6)
+        out = engine.generate(input_ids=prompt(12, seed=5), sampling_params=sp)
+        assert len(out.output_ids) == 6
+        engine.scheduler.check_memory_leak()
+
+    def test_logprobs_returned(self, engine):
+        sp = SamplingParams(temperature=0.0, max_new_tokens=4)
+        out = engine.generate(
+            input_ids=prompt(9, seed=11), sampling_params=sp, return_logprob=True
+        )
+        assert len(out.output_token_logprobs) == 4
+        assert all(lp <= 0.0 for lp in out.output_token_logprobs)
+
+
+class TestChunkedPrefill:
+    def test_long_prompt_chunks(self):
+        eng = make_engine(chunked_prefill_size=16)
+        p = prompt(100, seed=42)
+        sp = SamplingParams(temperature=0.0, max_new_tokens=5)
+        out = eng.generate(input_ids=p, sampling_params=sp)
+        assert len(out.output_ids) == 5
+        eng.scheduler.check_memory_leak()
+        # equality vs unchunked engine
+        eng2 = make_engine(chunked_prefill_size=256)
+        out2 = eng2.generate(input_ids=p, sampling_params=sp)
+        assert out.output_ids == out2.output_ids
+
+    def test_chunked_with_concurrent(self):
+        eng = make_engine(chunked_prefill_size=16)
+        prompts = [prompt(n, seed=n) for n in (50, 7, 33)]
+        sp = SamplingParams(temperature=0.0, max_new_tokens=4)
+        outs = eng.generate(input_ids=prompts, sampling_params=[sp] * 3)
+        assert all(len(o.output_ids) == 4 for o in outs)
+        eng.scheduler.check_memory_leak()
+
+
+class TestRetraction:
+    def test_memory_pressure_retracts_and_completes(self):
+        # 64 tokens of KV: 2 reqs x (16 prompt + 16 out) fills it exactly;
+        # 4 concurrent reqs must force retraction yet all finish correctly
+        eng = make_engine(max_total_tokens=64, disable_radix_cache=True)
+        prompts = [prompt(10, seed=50 + i) for i in range(4)]
+        sp = SamplingParams(temperature=0.0, max_new_tokens=6, ignore_eos=True)
+        ref = [
+            eng.generate(input_ids=p, sampling_params=sp).output_ids
+            for p in prompts
+        ]
+        outs = eng.generate(input_ids=prompts, sampling_params=[sp] * 4)
+        assert [o.output_ids for o in outs] == ref
+        eng.scheduler.check_memory_leak()
+
+
+class TestSchedulePolicies:
+    @pytest.mark.parametrize("policy", ["fcfs", "lpm", "lof", "random", "dfs-weight"])
+    def test_policies_complete(self, policy):
+        eng = make_engine(schedule_policy=policy)
+        prompts = [prompt(n, seed=n) for n in (5, 40, 12, 40)]
+        sp = SamplingParams(temperature=0.0, max_new_tokens=3)
+        outs = eng.generate(input_ids=prompts, sampling_params=[sp] * 4)
+        assert all(len(o.output_ids) == 3 for o in outs)
+        eng.scheduler.check_memory_leak()
