@@ -1,0 +1,114 @@
+"""Serving benchmark: Llama-3.2-1B decode throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is the fraction of the HBM-bandwidth speed-of-light for the
+decode step (params + live KV read once per step) — the roofline the
+reference's simulator uses for GPUs
+(reference: tools/simulator/internal/configs/hardware_params.py).
+
+Run on the real chip (default backend); falls back to CPU with a tiny model
+when no accelerator is available.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if on_tpu:
+        preset, dtype = "llama-3.2-1b", "bfloat16"
+        batch_size, prompt_len, decode_len = 64, 128, 128
+        hbm_gbps = 819.0  # v5e
+        max_total_tokens = 65536
+    else:
+        preset, dtype = "tiny-debug", "float32"
+        batch_size, prompt_len, decode_len = 8, 32, 16
+        hbm_gbps = 50.0
+        max_total_tokens = 8192
+
+    from scratchpad_tpu.config import ServerArgs
+    from scratchpad_tpu.config.model_config import get_preset
+    from scratchpad_tpu.core.req import Req
+    from scratchpad_tpu.core.scheduler import Scheduler
+    from scratchpad_tpu.sampling.sampling_params import SamplingParams
+
+    cfg = get_preset(preset, dtype=dtype)
+    args = ServerArgs(
+        preset=preset,
+        random_weights=True,
+        dtype=dtype,
+        max_total_tokens=max_total_tokens,
+        max_running_requests=batch_size,
+        # one request per prefill batch keeps the XLA extend-attention
+        # footprint bounded until the Pallas prefill kernel lands
+        max_prefill_tokens=prompt_len,
+        chunked_prefill_size=prompt_len,
+    )
+    sched = Scheduler(cfg, args)
+    rng = np.random.default_rng(0)
+
+    def submit():
+        for i in range(batch_size):
+            sched.add_request(
+                Req(
+                    rid=f"r{i}",
+                    origin_input_ids=rng.integers(1, 32000, prompt_len).tolist(),
+                    sampling_params=SamplingParams(
+                        temperature=0.0, max_new_tokens=decode_len, ignore_eos=True
+                    ),
+                )
+            )
+
+    # warmup: compiles prefill + decode buckets
+    submit()
+    while sched.has_work():
+        sched.step()
+
+    # measured run
+    submit()
+    # drive all prefills first
+    while sched.num_queued() > 0 or sched.chunked_req is not None:
+        sched.step()
+    decode_tokens = 0
+    t0 = time.perf_counter()
+    while sched.has_work():
+        events = sched.step()
+        decode_tokens += len(events)
+    dt = time.perf_counter() - t0
+
+    tok_s = decode_tokens / dt
+
+    # speed-of-light decode step: read all params + each request's live KV
+    param_bytes = sched.runner.param_bytes
+    avg_ctx = prompt_len + decode_len / 2
+    kv_bytes = (
+        batch_size
+        * avg_ctx
+        * sched.runner.kv_bytes_per_token()
+    )
+    sol_step = (param_bytes + kv_bytes) / (hbm_gbps * 1e9)
+    sol_tok_s = batch_size / sol_step
+
+    print(
+        json.dumps(
+            {
+                "metric": f"decode_tok_s_{preset}_bs{batch_size}",
+                "value": round(tok_s, 1),
+                "unit": "tok/s",
+                "vs_baseline": round(tok_s / sol_tok_s, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

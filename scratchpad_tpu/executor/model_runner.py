@@ -167,6 +167,14 @@ class ModelRunner:
             static_argnames=("return_logprobs",),
             donate_argnames=("kv",),
         )
+        # data-parallel batch sharding: when the mesh has a dp axis, batch
+        # rows (and flat tokens) are sharded across it; XLA partitions the
+        # whole step accordingly
+        self._dp_shard = (
+            mesh is not None
+            and "dp" in mesh.axis_names
+            and mesh.shape["dp"] > 1
+        )
 
     def _dtype(self):
         return {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}[
@@ -208,8 +216,28 @@ class ModelRunner:
             return kv, ids, chosen, logprobs
         return kv, ids, chosen
 
+    def _shard_batch(self, meta: ForwardMeta, sinfo: SamplingBatchInfo):
+        """device_put batch arrays with their leading dim over the dp axis."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def put(x):
+            if x is None:
+                return None
+            x = np.asarray(x)
+            dp = self.mesh.shape["dp"]
+            if x.shape[0] % dp != 0:
+                return x  # unshardable remainder; leave replicated
+            spec = P("dp", *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+        meta = jax.tree.map(put, meta)
+        sinfo = jax.tree.map(put, sinfo)
+        return meta, sinfo
+
     def forward_and_sample(self, wb: WorkerBatch) -> StepOutput:
         meta, sinfo = self._pad_to_buckets(wb)
+        if self._dp_shard:
+            meta, sinfo = self._shard_batch(meta, sinfo)
         self._rng, step_rng = jax.random.split(self._rng)
         self.kv_cache, ids, chosen = self._jit_step(
             self.params, self.kv_cache, meta, sinfo, step_rng

@@ -5,7 +5,7 @@ Must set XLA flags before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,6 +14,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 import pytest  # noqa: E402
+
+# The axon TPU plugin (sitecustomize) pre-registers itself and sets
+# jax_platforms to "axon,cpu"; env vars alone don't undo that, the config
+# update does. Tests must run on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 
 # CPU XLA lowers f32 matmuls to a fast ~bf16 path by default; tests compare
 # against float64/torch references, so force exact f32.
