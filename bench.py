@@ -52,6 +52,7 @@ def main() -> None:
         # footprint bounded until the Pallas prefill kernel lands
         max_prefill_tokens=prompt_len,
         chunked_prefill_size=prompt_len,
+        decode_window_size=64,
     )
     sched = Scheduler(cfg, args)
     rng = np.random.default_rng(0)
@@ -82,7 +83,7 @@ def main() -> None:
     t0 = time.perf_counter()
     while sched.has_work():
         events = sched.step()
-        decode_tokens += len(events)
+        decode_tokens += sum(len(ev.new_tokens) for ev in events)
     dt = time.perf_counter() - t0
 
     tok_s = decode_tokens / dt

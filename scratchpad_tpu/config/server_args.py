@@ -49,6 +49,10 @@ class ServerArgs:
     decode_bs_buckets: Optional[list[int]] = None
     prefill_token_buckets: Optional[list[int]] = None
 
+    # decode windowing: K decode steps fused into one device dispatch with
+    # on-device sampling feeding forward (amortises host round trips)
+    decode_window_size: int = 16
+
     # attention / kernels
     attention_backend: str = "auto"  # auto | pallas | xla
     disable_jit: bool = False

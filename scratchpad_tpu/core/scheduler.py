@@ -39,10 +39,10 @@ logger = get_logger("scheduler")
 
 @dataclasses.dataclass
 class StepEvent:
-    """One request's progress this step."""
+    """One request's progress this step (may cover a multi-token window)."""
 
     req: Req
-    new_token: Optional[int]  # None while still chunk-prefilling
+    new_tokens: list[int]  # empty while still chunk-prefilling
     finished: bool
 
 
@@ -129,13 +129,13 @@ class Scheduler:
         if batch is None:
             return []
 
-        wb = self._build_worker_batch(batch, mode, chunk_lens)
-        out = self.runner.forward_and_sample(wb)
-        token_ids = np.asarray(out.next_token_ids)[: len(batch)]
-        logprobs = np.asarray(out.chosen_logprobs)[: len(batch)]
-
         if mode == ForwardMode.EXTEND:
+            wb = self._build_worker_batch(batch, mode, chunk_lens)
+            token_ids, logprobs = self.runner.run_extend(wb)
             return self._process_extend_result(batch, chunk_lens, token_ids, logprobs)
+
+        wb = self._build_worker_batch(batch, mode, None)
+        token_ids, logprobs = self.runner.run_decode_window(wb, self._decode_window)
         return self._process_decode_result(batch, token_ids, logprobs)
 
     # ------------------------------------------------------------ batch build
@@ -146,10 +146,26 @@ class Scheduler:
             reqs, chunk_lens = prefill
             return reqs, ForwardMode.EXTEND, chunk_lens
         if self.running:
-            self._prepare_decode()
+            self._decode_window = self._pick_decode_window()
+            self._prepare_decode(self._decode_window)
             if self.running:
                 return self.running, ForwardMode.DECODE, None
         return None, None, None
+
+    def _pick_decode_window(self) -> int:
+        """Decode steps fused per dispatch. Long windows amortise host-device
+        round trips (the CUDA-graph/overlap analogue); short windows keep
+        admission latency low when work is waiting."""
+        w = self.args.decode_window_size
+        if self.waiting or self.chunked_req is not None:
+            w = min(w, 4)
+        if any(r.grammar is not None for r in self.running):
+            return 1  # grammar FSM advances on host per token (for now)
+        # round down to a power of two for compile-cache reuse
+        k = 1
+        while k * 2 <= w:
+            k *= 2
+        return k
 
     def _get_prefill_batch(self):
         # in-flight chunked prefill continues before anything else
@@ -250,28 +266,37 @@ class Scheduler:
 
     # --------------------------------------------------------------- decode
 
-    def _prepare_decode(self) -> None:
-        """Allocate decode pages; retract on memory pressure
+    def _prepare_decode(self, window: int) -> None:
+        """Allocate pages covering ``window`` more tokens per request;
+        shrink the window, then retract, under memory pressure
         (reference: scheduler.py:966-1001 update_running_batch)."""
         self.new_token_ratio = max(
             self.new_token_ratio - self.ratio_decay, self.min_new_token_ratio
         )
-        while True:
-            need = sum(
-                1 for r in self.running if r.computed_len % self.page_size == 0
+        ps = self.page_size
+
+        def pages_needed(w: int) -> int:
+            return sum(
+                -(-(r.computed_len + w) // ps) - len(r.pages) for r in self.running
             )
-            if need == 0:
-                return
-            if self.allocator.available_pages + self.tree_cache.evictable_pages >= need:
-                for r in self.running:
-                    if r.computed_len % self.page_size == 0:
-                        pages = self._alloc_pages(1)
-                        assert pages is not None
-                        r.pages = np.concatenate([r.pages, pages])
-                        self.req_slots.write_pages(r.req_slot, 0, r.pages)
-                return
+
+        while True:
+            avail = self.allocator.available_pages + self.tree_cache.evictable_pages
+            if pages_needed(window) <= avail:
+                break
+            if window > 1:
+                window //= 2
+                continue
             if not self._retract_one():
-                return
+                break
+        self._decode_window = window
+        for r in self.running:
+            need = -(-(r.computed_len + window) // ps) - len(r.pages)
+            if need > 0:
+                pages = self._alloc_pages(need)
+                assert pages is not None
+                r.pages = np.concatenate([r.pages, pages])
+                self.req_slots.write_pages(r.req_slot, 0, r.pages)
 
     def _retract_one(self) -> bool:
         """Retract the request with the most generated tokens back to waiting
@@ -376,7 +401,7 @@ class Scheduler:
             if req.computed_len < len(req.origin_input_ids):
                 # chunk-prefill continues; sampled token is meaningless
                 self._cache_unfinished(req)
-                events.append(StepEvent(req, None, False))
+                events.append(StepEvent(req, [], False))
                 continue
             tok = int(token_ids[i])
             if req.sampling_params.max_new_tokens > 0:
@@ -391,29 +416,43 @@ class Scheduler:
             self.num_generated_tokens += 1
             if req.finished():
                 self._finish_req(req)
-                events.append(StepEvent(req, tok, True))
+                events.append(StepEvent(req, [tok], True))
             else:
                 self._cache_unfinished(req)
                 self.running.append(req)
-                events.append(StepEvent(req, tok, False))
+                events.append(StepEvent(req, [tok], False))
         return events
 
     def _process_decode_result(self, batch, token_ids, logprobs):
+        """Accept a [K, B] window of sampled tokens. A request that finishes
+        at window step j still consumed valid inputs through step j+1, so its
+        computed_len advances by min(j+2, K); later window slots are
+        discarded (their KV lands in already-owned private pages)."""
+        K = token_ids.shape[0]
         events: list[StepEvent] = []
         finished: list[Req] = []
         for i, req in enumerate(batch):
-            tok = int(token_ids[i])
-            req.output_ids.append(tok)
-            req.computed_len += 1
-            if req.return_logprob:
-                req.output_token_logprobs.append(float(logprobs[i]))
-            if req.grammar is not None:
-                req.grammar.accept_token(tok)
-            self.num_generated_tokens += 1
-            req.check_finished()
-            if req.finished():
+            accepted: list[int] = []
+            finish_step = None
+            for k in range(K):
+                tok = int(token_ids[k, i])
+                accepted.append(tok)
+                req.output_ids.append(tok)
+                if req.return_logprob:
+                    req.output_token_logprobs.append(float(logprobs[k, i]))
+                if req.grammar is not None:
+                    req.grammar.accept_token(tok)
+                req.check_finished()
+                if req.finished():
+                    finish_step = k
+                    break
+            if finish_step is None:
+                req.computed_len += K
+            else:
+                req.computed_len += min(finish_step + 2, K)
                 finished.append(req)
-            events.append(StepEvent(req, tok, req.finished()))
+            self.num_generated_tokens += len(accepted)
+            events.append(StepEvent(req, accepted, req.finished()))
         for req in finished:
             self.running.remove(req)
             self._finish_req(req)

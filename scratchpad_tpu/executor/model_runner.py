@@ -167,6 +167,23 @@ class ModelRunner:
             static_argnames=("return_logprobs",),
             donate_argnames=("kv",),
         )
+        self._jit_decode_multi = jax.jit(
+            self._decode_multi_impl,
+            static_argnames=("num_steps",),
+            donate_argnames=("kv",),
+        )
+        self._jit_packed_extend = jax.jit(
+            self._packed_extend_impl,
+            static_argnames=("T", "B", "P"),
+            donate_argnames=("kv",),
+        )
+        self._jit_packed_decode = jax.jit(
+            self._packed_decode_impl,
+            static_argnames=("B", "P", "num_steps"),
+            donate_argnames=("kv",),
+        )
+        self._base_key = jax.random.PRNGKey(self.args.random_seed + 1)
+        self._step_counter = 0
         # data-parallel batch sharding: when the mesh has a dp axis, batch
         # rows (and flat tokens) are sharded across it; XLA partitions the
         # whole step accordingly
@@ -204,6 +221,247 @@ class ModelRunner:
         cfg = self.model_config
         itemsize = 1 if self.args.kv_cache_dtype == "int8" else jnp.dtype(self._dtype()).itemsize
         return 2 * cfg.num_hidden_layers * cfg.num_kv_heads * cfg.head_dim * itemsize
+
+    # ------------------------------------------------- packed single-RPC path
+    #
+    # Through a high-latency host<->device link every buffer transfer costs a
+    # round trip, so the hot path packs ALL step inputs into one int32 and one
+    # f32 buffer and returns one f32 buffer (token ids bitcast into float
+    # lanes). The reference has no analogue — CUDA launches are ~micros —
+    # but this is what makes serving viable over remote TPU links and it
+    # also minimises dispatch overhead on local hosts.
+
+    def _bucket_dims(self, wb: WorkerBatch) -> tuple[int, int, int]:
+        B_real = len(wb.seq_lens)
+        if wb.mode == ForwardMode.DECODE:
+            B = _next_bucket(self.args.decode_bs_buckets, B_real)
+            T = B
+        else:
+            B = _pow2_bucket(B_real, 1, max(self.args.max_running_requests, 1))
+            T = _next_bucket(self.args.prefill_token_buckets, len(wb.tokens))
+        P_real = wb.page_table.shape[1] if wb.page_table.size else 1
+        P = _pow2_bucket(max(P_real, 1), 4, self.max_pages_per_req)
+        return T, B, P
+
+    def _pack_host(self, wb: WorkerBatch, T: int, B: int, P: int):
+        ints = np.zeros(4 * T + 4 * B + B * P + 1, np.int32)
+        o = 0
+
+        def put(x, n, fill=0):
+            nonlocal o
+            seg = ints[o : o + n]
+            if fill:
+                seg[:] = fill
+            seg[: len(x)] = x
+            o += n
+
+        put(wb.tokens, T)
+        put(wb.positions, T)
+        put(wb.out_cache_loc, T)
+        put(wb.req_indices, T, fill=B - 1)
+        put(wb.seq_lens, B)
+        put(wb.extend_lens, B)
+        csum = np.cumsum(wb.extend_lens)
+        put(np.maximum(csum - 1, 0), B)  # last_token_idx
+        si = wb.sampling_info
+        put(
+            np.where(si.top_k > 0, si.top_k, self.model_config.vocab_size),
+            B,
+            fill=self.model_config.vocab_size,
+        )
+        pt = np.zeros((B, P), np.int32)
+        br, pr = wb.page_table.shape if wb.page_table.size else (0, 0)
+        pt[:br, : min(pr, P)] = wb.page_table[:, :P]
+        ints[o : o + B * P] = pt.reshape(-1)
+        self._step_counter += 1
+        ints[-1] = self._step_counter  # rng step id, folded on device
+
+        floats = np.zeros(3 * B, np.float32)
+        floats[0:B][: len(si.temperature)] = si.temperature
+        floats[B : 2 * B] = 1.0
+        floats[B : 2 * B][: len(si.top_p)] = si.top_p
+        floats[2 * B : 3 * B][: len(si.min_p)] = si.min_p
+        return ints, floats
+
+    def _unpack(self, ints, floats, T: int, B: int, P: int, mode: ForwardMode):
+        o = 0
+
+        def take(n):
+            nonlocal o
+            seg = ints[o : o + n]
+            o += n
+            return seg
+
+        tokens = take(T)
+        positions = take(T)
+        out_loc = take(T)
+        req_idx = take(T)
+        seq_lens = take(B)
+        extend_lens = take(B)
+        last_idx = take(B)
+        top_k = take(B)
+        page_table = take(B * P).reshape(B, P)
+        meta = ForwardMeta(
+            mode=mode,
+            tokens=tokens,
+            positions=positions,
+            out_cache_loc=out_loc,
+            req_indices=req_idx,
+            page_table=page_table,
+            seq_lens=seq_lens,
+            extend_lens=extend_lens,
+            last_token_idx=last_idx,
+        )
+        sinfo = SamplingBatchInfo(
+            temperature=floats[0:B],
+            top_p=floats[B : 2 * B],
+            top_k=top_k,
+            min_p=floats[2 * B : 3 * B],
+        )
+        return meta, sinfo
+
+    @staticmethod
+    def _pack_out(ids: jax.Array, chosen: jax.Array) -> jax.Array:
+        """Stack ids (bitcast to f32) with logprobs into one output buffer."""
+        return jnp.stack(
+            [jax.lax.bitcast_convert_type(ids, jnp.float32), chosen]
+        )
+
+    def _packed_extend_impl(self, params, kv, ints, floats, key, T, B, P):
+        meta, sinfo = self._unpack(ints, floats, T, B, P, ForwardMode.EXTEND)
+        step_key = jax.random.fold_in(key, ints[-1])
+        kv, logits = self.model(params, kv, meta)
+        ids, logprobs = sample(logits, sinfo, step_key)
+        chosen = jnp.take_along_axis(logprobs, ids[:, None], axis=-1)[:, 0]
+        return kv, self._pack_out(ids, chosen)[:, None, :]
+
+    def _packed_decode_impl(self, params, kv, ints, floats, key, B, P, num_steps):
+        meta, sinfo = self._unpack(ints, floats, B, B, P, ForwardMode.DECODE)
+        step_key = jax.random.fold_in(key, ints[-1])
+        kv, all_ids, all_chosen = self._decode_multi_impl(
+            params, kv, meta, sinfo, step_key, num_steps
+        )
+        return kv, jnp.stack(
+            [
+                jax.lax.bitcast_convert_type(all_ids, jnp.float32),
+                all_chosen,
+            ]
+        )
+
+    def _packed_supported(self, wb: WorkerBatch) -> bool:
+        si = wb.sampling_info
+        return (
+            wb.vocab_bitmask is None
+            and si.output_token_counts is None
+            and not self._dp_shard
+        )
+
+    def run_extend(self, wb: WorkerBatch) -> tuple[np.ndarray, np.ndarray]:
+        """One extend step; returns (ids[B_real], logprobs[B_real])."""
+        B_real = len(wb.seq_lens)
+        if not self._packed_supported(wb):
+            out = self.forward_and_sample(wb)
+            return (
+                np.asarray(out.next_token_ids)[:B_real],
+                np.asarray(out.chosen_logprobs)[:B_real],
+            )
+        T, B, P = self._bucket_dims(wb)
+        ints, floats = self._pack_host(wb, T, B, P)
+        self.kv_cache, out = self._jit_packed_extend(
+            self.params, self.kv_cache, ints, floats, self._base_key, T, B, P
+        )
+        host = np.asarray(out)  # ONE fetch
+        ids = host[0, 0].view(np.int32)[:B_real]
+        return ids, host[1, 0, :B_real]
+
+    def run_decode_window(self, wb: WorkerBatch, num_steps: int):
+        """K fused decode steps; returns (ids[K, B_real], logprobs[K, B_real])."""
+        B_real = len(wb.seq_lens)
+        if not self._packed_supported(wb):
+            if num_steps == 1:
+                out = self.forward_and_sample(wb)
+                return (
+                    np.asarray(out.next_token_ids)[None, :B_real],
+                    np.asarray(out.chosen_logprobs)[None, :B_real],
+                )
+            out = self.decode_multi(wb, num_steps)
+            return (
+                np.asarray(out.next_token_ids)[:, :B_real],
+                np.asarray(out.chosen_logprobs)[:, :B_real],
+            )
+        _, B, P = self._bucket_dims(wb)
+        ints, floats = self._pack_host(wb, B, B, P)
+        self.kv_cache, out = self._jit_packed_decode(
+            self.params, self.kv_cache, ints, floats, self._base_key, B, P, num_steps
+        )
+        host = np.asarray(out)  # ONE fetch
+        ids = host[0].view(np.int32)[:, :B_real]
+        return ids, host[1, :, :B_real]
+
+    # ------------------------------------------------------------ multi-step
+
+    def _decode_multi_impl(self, params, kv, meta, sinfo, rng, num_steps):
+        """K decode steps fused in one dispatch: on-device sampling feeds the
+        next step's input, so the host is only consulted once per window.
+
+        This replaces BOTH the reference's CUDA-graph replay loop and its
+        overlap scheduler's future-token-ids machinery
+        (reference: managers/tp_worker_client.py:34-40): the "future token"
+        is simply the scan carry that never leaves the device.
+        """
+        ps = self.page_size
+        B = meta.batch_size
+
+        def body(carry, k):
+            kv, tokens, positions, out_counts = carry
+            loc = (
+                meta.page_table[jnp.arange(B), positions // ps] * ps
+                + positions % ps
+            )
+            step_meta = ForwardMeta(
+                mode=ForwardMode.DECODE,
+                tokens=tokens,
+                positions=positions,
+                out_cache_loc=loc,
+                req_indices=jnp.arange(B, dtype=jnp.int32),
+                page_table=meta.page_table,
+                seq_lens=positions + 1,
+                extend_lens=jnp.ones(B, jnp.int32),
+                last_token_idx=jnp.arange(B, dtype=jnp.int32),
+            )
+            kv, logits = self.model(params, kv, step_meta)
+            sinfo_k = sinfo
+            if sinfo.output_token_counts is not None:
+                sinfo_k = dataclasses.replace(
+                    sinfo, output_token_counts=out_counts
+                )
+            ids, logprobs = sample(logits, sinfo_k, jax.random.fold_in(rng, k))
+            chosen = jnp.take_along_axis(logprobs, ids[:, None], axis=-1)[:, 0]
+            if out_counts is not None:
+                out_counts = out_counts.at[jnp.arange(B), ids].add(1)
+            return (kv, ids, positions + 1, out_counts), (ids, chosen)
+
+        carry0 = (kv, meta.tokens, meta.positions, sinfo.output_token_counts)
+        (kv, _, _, _), (all_ids, all_chosen) = jax.lax.scan(
+            body, carry0, jnp.arange(num_steps, dtype=jnp.int32)
+        )
+        return kv, all_ids, all_chosen  # [K, B]
+
+    def decode_multi(self, wb: WorkerBatch, num_steps: int) -> StepOutput:
+        """Run a K-step decode window. wb describes the FIRST step; the page
+        table must already cover num_steps more tokens per request."""
+        meta, sinfo = self._pad_to_buckets(wb)
+        if self._dp_shard:
+            meta, sinfo = self._shard_batch(meta, sinfo)
+        self._rng, step_rng = jax.random.split(self._rng)
+        self.kv_cache, ids, chosen = self._jit_decode_multi(
+            self.params, self.kv_cache, meta, sinfo, step_rng, num_steps
+        )
+        return StepOutput(
+            next_token_ids=ids,
+            chosen_logprobs=chosen,
+            batch_size=len(wb.seq_lens),
+        )
 
     # ------------------------------------------------------------------- step
 

@@ -66,33 +66,44 @@ def sample(
 
     greedy_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    # temperature scaling (guard temp=0 rows; they take the greedy branch)
-    temp = jnp.maximum(info.temperature, 1e-6)[:, None]
-    scaled = logits / temp
-    probs = jax.nn.softmax(scaled, axis=-1)
-
-    sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]  # desc
-    # top-k: threshold at the k-th largest probability
-    k_idx = jnp.clip(info.top_k - 1, 0, V - 1)
-    kth = jnp.take_along_axis(sorted_probs, k_idx[:, None], axis=-1)
-    keep = probs >= kth
-    # top-p: smallest set with cumulative prob >= top_p (always keep argmax)
-    cumsum = jnp.cumsum(sorted_probs, axis=-1)
-    # a sorted slot is kept if the cumulative mass *before* it is < top_p
-    cum_before = cumsum - sorted_probs
-    sorted_cut = cum_before < info.top_p[:, None]
-    # map back: prob p is kept iff mass of probs strictly greater than p < top_p.
-    # mass_greater(p) for each vocab entry via searchsorted on sorted probs.
-    num_kept_sorted = jnp.sum(sorted_cut, axis=-1)  # per row count kept
-    pth = jnp.take_along_axis(
-        sorted_probs, jnp.clip(num_kept_sorted - 1, 0, V - 1)[:, None], axis=-1
+    # the sort-based filter and the RNG draw are expensive at 128k vocab;
+    # run them only when some row actually needs them (lax.cond executes a
+    # single branch at runtime — the greedy hot path stays sort-free)
+    any_sampling = jnp.any(info.temperature > 0.0)
+    need_filter = jnp.any(
+        (info.top_k < V) | (info.top_p < 1.0) | (info.min_p > 0.0)
     )
-    keep &= probs >= pth
-    # min-p: keep probs >= max_prob * min_p
-    keep &= probs >= sorted_probs[:, :1] * info.min_p[:, None]
 
-    filtered = jnp.where(keep, scaled, _NEG)
-    sampled = jax.random.categorical(rng, filtered, axis=-1).astype(jnp.int32)
+    def _filter(scaled):
+        probs = jax.nn.softmax(scaled, axis=-1)
+        sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]  # desc
+        # top-k: threshold at the k-th largest probability
+        k_idx = jnp.clip(info.top_k - 1, 0, V - 1)
+        kth = jnp.take_along_axis(sorted_probs, k_idx[:, None], axis=-1)
+        keep = probs >= kth
+        # top-p: smallest set with cumulative prob >= top_p
+        cumsum = jnp.cumsum(sorted_probs, axis=-1)
+        cum_before = cumsum - sorted_probs
+        sorted_cut = cum_before < info.top_p[:, None]
+        num_kept_sorted = jnp.sum(sorted_cut, axis=-1)
+        pth = jnp.take_along_axis(
+            sorted_probs,
+            jnp.clip(num_kept_sorted - 1, 0, V - 1)[:, None],
+            axis=-1,
+        )
+        keep &= probs >= pth
+        # min-p: keep probs >= max_prob * min_p
+        keep &= probs >= sorted_probs[:, :1] * info.min_p[:, None]
+        return jnp.where(keep, scaled, _NEG)
 
+    def _sampled_branch(_):
+        temp = jnp.maximum(info.temperature, 1e-6)[:, None]
+        scaled = logits / temp
+        filtered = jax.lax.cond(need_filter, _filter, lambda s: s, scaled)
+        return jax.random.categorical(rng, filtered, axis=-1).astype(jnp.int32)
+
+    sampled = jax.lax.cond(
+        any_sampling, _sampled_branch, lambda _: greedy_ids, None
+    )
     ids = jnp.where(info.temperature > 0, sampled, greedy_ids)
     return ids, logprobs

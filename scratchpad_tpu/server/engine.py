@@ -215,7 +215,7 @@ class Engine:
 
     def _postprocess_event(self, ev: StepEvent) -> None:
         req = ev.req
-        if ev.new_token is None:
+        if not ev.new_tokens:
             return
         if req.first_token_at is None:
             req.first_token_at = time.monotonic()
