@@ -160,13 +160,10 @@ class LlamaForCausalLM:
         cfg = self.cfg
         L = cfg.num_hidden_layers
         Hq, Hkv, D = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
-        S = kv.k.shape[1]
         T = meta.num_tokens
         inv_freq = jnp.asarray(self.inv_freq)
 
         x = jnp.take(params["embed"], meta.tokens, axis=0)  # [T, H]
-        k_flat = kv.k.reshape(L * S, Hkv, D)
-        v_flat = kv.v.reshape(L * S, Hkv, D)
 
         if meta.mode == ForwardMode.DECODE:
             attend = self.decode_attention
@@ -174,7 +171,7 @@ class LlamaForCausalLM:
             attend = self.extend_attention
 
         def body(carry, layer):
-            x, k_flat, v_flat = carry
+            x, k_cache, v_cache = carry
             lp, lidx = layer
             h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
             q = (h @ lp["wq"]).reshape(T, Hq, D)
@@ -182,16 +179,15 @@ class LlamaForCausalLM:
             vn = (h @ lp["wv"]).reshape(T, Hkv, D)
             q = apply_rope(q, meta.positions, inv_freq)
             kn = apply_rope(kn, meta.positions, inv_freq)
-            k_flat, v_flat = write_kv(
-                k_flat, v_flat, kn, vn, lidx, meta.out_cache_loc, S
+            k_cache, v_cache = write_kv(
+                k_cache, v_cache, kn, vn, lidx, meta.out_cache_loc
             )
             attn = attend(
                 q,
-                k_flat,
-                v_flat,
+                k_cache,
+                v_cache,
                 lidx,
                 meta,
-                num_slots=S,
                 page_size=self.page_size,
                 sm_scale=self.sm_scale,
                 logit_cap=cfg.attn_logit_softcap,
@@ -200,11 +196,11 @@ class LlamaForCausalLM:
             x = x + attn.reshape(T, Hq * D) @ lp["wo"]
             h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
             x = x + silu_mul(h2 @ lp["gate"], h2 @ lp["up"]) @ lp["down"]
-            return (x, k_flat, v_flat), None
+            return (x, k_cache, v_cache), None
 
-        (x, k_flat, v_flat), _ = jax.lax.scan(
+        (x, k_cache, v_cache), _ = jax.lax.scan(
             body,
-            (x, k_flat, v_flat),
+            (x, kv.k, kv.v),
             (params["layers"], jnp.arange(L, dtype=jnp.int32)),
         )
 
@@ -215,10 +211,7 @@ class LlamaForCausalLM:
         if cfg.logit_softcap:
             logits = cfg.logit_softcap * jnp.tanh(logits / cfg.logit_softcap)
         kv_out = KVCache(
-            k=k_flat.reshape(L, S, Hkv, D),
-            v=v_flat.reshape(L, S, Hkv, D),
-            k_scale=kv.k_scale,
-            v_scale=kv.v_scale,
+            k=k_cache, v=v_cache, k_scale=kv.k_scale, v_scale=kv.v_scale
         )
         return kv_out, logits
 

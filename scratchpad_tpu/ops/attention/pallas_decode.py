@@ -1,0 +1,228 @@
+"""Pallas paged flash-decode attention for TPU.
+
+Replaces the reference's FlashInfer paged decode and its 2-stage Triton
+flash-decode (reference: scratchpad/nn/attention/triton_attn/decode_attention.py:12-608)
+with a single-pass online-softmax kernel over the paged cache:
+
+- grid (batch, kv_head): each program owns one request's KV for one kv head
+  and the G = Hq/Hkv query heads in that group
+- the head-major cache layout [L, Hkv, S, D] makes each page's KV for one
+  head a contiguous [page_size, D] slab; pages are DMA'd HBM->VMEM in chunks
+  of CHUNK_PAGES with double buffering, overlapped with the dot products
+- online softmax (m, l, acc) runs in f32; masked slots use -1e30 so padded
+  rows stay finite
+
+Decode is HBM-bound: the kernel reads exactly the live KV (seq_len slots)
+instead of the padded dense gather the XLA backend does.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from scratchpad_tpu.executor.forward_meta import ForwardMeta
+
+_NEG = -1e30
+CHUNK_PAGES = 8  # pages per DMA chunk (slab = CHUNK_PAGES * page_size rows)
+
+
+def _decode_kernel(
+    # scalar prefetch
+    layer_ref,  # i32[1]
+    pt_ref,  # i32[B, P] page table
+    len_ref,  # i32[B] seq lens
+    # inputs
+    q_ref,  # VMEM [B, Hq, D] (full array; sliced per program)
+    k_hbm,  # ANY  [L, Hkv, S, D]
+    v_hbm,
+    # output
+    o_ref,  # VMEM [B, Hq, D]
+    # scratch
+    k_buf,  # VMEM [2, CHUNK, D]
+    v_buf,
+    sems,  # DMA sems [2, 2, CHUNK_PAGES]
+    *,
+    page_size: int,
+    sm_scale: float,
+    num_chunks: int,
+    logit_cap: Optional[float],
+    sliding_window: Optional[int],
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    layer = layer_ref[0]
+    seq_len = len_ref[b]
+    CHUNK = CHUNK_PAGES * page_size
+    Hq, D = q_ref.shape[1], q_ref.shape[2]
+    Hkv = pl.num_programs(1)
+    G = Hq // Hkv
+
+    def start_chunk(c, slot):
+        for j in range(CHUNK_PAGES):
+            page = pt_ref[b, c * CHUNK_PAGES + j]
+            src_k = k_hbm.at[layer, h, pl.ds(page * page_size, page_size), :]
+            src_v = v_hbm.at[layer, h, pl.ds(page * page_size, page_size), :]
+            pltpu.make_async_copy(
+                src_k,
+                k_buf.at[slot, pl.ds(j * page_size, page_size), :],
+                sems.at[slot, 0, j],
+            ).start()
+            pltpu.make_async_copy(
+                src_v,
+                v_buf.at[slot, pl.ds(j * page_size, page_size), :],
+                sems.at[slot, 1, j],
+            ).start()
+
+    def wait_chunk(c, slot):
+        for j in range(CHUNK_PAGES):
+            page = pt_ref[b, c * CHUNK_PAGES + j]
+            pltpu.make_async_copy(
+                k_hbm.at[layer, h, pl.ds(page * page_size, page_size), :],
+                k_buf.at[slot, pl.ds(j * page_size, page_size), :],
+                sems.at[slot, 0, j],
+            ).wait()
+            pltpu.make_async_copy(
+                v_hbm.at[layer, h, pl.ds(page * page_size, page_size), :],
+                v_buf.at[slot, pl.ds(j * page_size, page_size), :],
+                sems.at[slot, 1, j],
+            ).wait()
+
+    q = q_ref[b, pl.ds(h * G, G), :].astype(jnp.float32) * sm_scale  # [G, D]
+
+    @pl.when(seq_len > 0)
+    def _():
+        start_chunk(0, 0)
+
+    def body(c, carry):
+        m, l, acc = carry
+        slot = c % 2
+        chunk_start = c * CHUNK
+
+        @pl.when((c + 1) * CHUNK < seq_len)
+        def _():
+            start_chunk(c + 1, (c + 1) % 2)
+
+        wait_chunk(c, slot)
+
+        k = k_buf[slot].astype(jnp.float32)  # [CHUNK, D]
+        v = v_buf[slot].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [G, CHUNK]
+        if logit_cap is not None:
+            s = logit_cap * jnp.tanh(s / logit_cap)
+        idx = chunk_start + jax.lax.broadcasted_iota(jnp.int32, (G, CHUNK), 1)
+        mask = idx < seq_len
+        if sliding_window is not None:
+            mask &= idx >= seq_len - sliding_window
+        s = jnp.where(mask, s, _NEG)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((G, 1), _NEG, jnp.float32)
+    l0 = jnp.zeros((G, 1), jnp.float32)
+    acc0 = jnp.zeros((G, D), jnp.float32)
+    live_chunks = jnp.minimum(
+        pl.cdiv(seq_len, CHUNK), num_chunks
+    )
+    m, l, acc = jax.lax.fori_loop(0, live_chunks, body, (m0, l0, acc0))
+    out = jnp.where(l > 0, acc / jnp.where(l > 0, l, 1.0), 0.0)
+    o_ref[b, pl.ds(h * G, G), :] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("page_size", "sm_scale", "logit_cap", "sliding_window"),
+)
+def _paged_decode_call(
+    q, k_cache, v_cache, layer_idx, page_table, seq_lens,
+    *, page_size, sm_scale, logit_cap, sliding_window,
+):
+    B, Hq, D = q.shape
+    Hkv = k_cache.shape[1]
+    G = Hq // Hkv
+    P = page_table.shape[1]
+    # pad page table width to a CHUNK_PAGES multiple (dump page 0)
+    P_pad = -(-P // CHUNK_PAGES) * CHUNK_PAGES
+    if P_pad != P:
+        page_table = jnp.pad(page_table, ((0, 0), (0, P_pad - P)))
+    num_chunks = P_pad // CHUNK_PAGES
+    CHUNK = CHUNK_PAGES * page_size
+
+    kernel = functools.partial(
+        _decode_kernel,
+        page_size=page_size,
+        sm_scale=sm_scale,
+        num_chunks=num_chunks,
+        logit_cap=logit_cap,
+        sliding_window=sliding_window,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, Hkv),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # q: full array
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, CHUNK, D), k_cache.dtype),
+            pltpu.VMEM((2, CHUNK, D), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, CHUNK_PAGES)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(
+        jnp.atleast_1d(layer_idx).astype(jnp.int32),
+        page_table.astype(jnp.int32),
+        seq_lens.astype(jnp.int32),
+        q,
+        k_cache,
+        v_cache,
+    )
+    return out
+
+
+def decode_attention_pallas(
+    q: jax.Array,  # [B, Hq, D]
+    k_cache: jax.Array,  # [L, Hkv, S, D]
+    v_cache: jax.Array,
+    layer_idx: jax.Array,
+    meta: ForwardMeta,
+    *,
+    page_size: int,
+    sm_scale: float,
+    logit_cap: Optional[float] = None,
+    sliding_window: Optional[int] = None,
+) -> jax.Array:
+    """Drop-in replacement for decode_attention_xla (same signature)."""
+    return _paged_decode_call(
+        q,
+        k_cache,
+        v_cache,
+        layer_idx,
+        meta.page_table,
+        meta.seq_lens,
+        page_size=page_size,
+        sm_scale=sm_scale,
+        logit_cap=logit_cap,
+        sliding_window=sliding_window,
+    )

@@ -1,14 +1,13 @@
 """Reference paged attention in plain XLA ops.
 
-Correctness backend: gathers KV pages into dense [B, S] form and runs masked
-attention. Materialises score matrices, so it is only meant for tests, CPU
-runs and small shapes; the Pallas kernels (ops/attention/pallas_*.py) are the
-performance path on TPU. Mirrors what FlashInfer provides the reference
+Correctness backend: gathers KV pages into dense per-request form and runs
+masked attention. Materialises score matrices, so it is only meant for tests,
+CPU runs and small shapes; the Pallas kernels (ops/attention/pallas_*.py) are
+the performance path on TPU. Mirrors what FlashInfer provides the reference
 (reference: scratchpad/nn/attention/flashinfer_backend.py) and the in-repo
 Triton kernels (reference: scratchpad/nn/attention/triton_attn/).
 
-All functions operate on the *flat* slot view of one layer-stacked cache:
-k_flat/v_flat: [L*S, Hkv, D] where S = num_slots per layer.
+Cache layout: k_cache/v_cache are [L, Hkv, S, D] (see memory/kv_cache.py).
 """
 
 from __future__ import annotations
@@ -24,38 +23,39 @@ _NEG = -1e30
 
 
 def write_kv(
-    k_flat: jax.Array,
-    v_flat: jax.Array,
+    k_cache: jax.Array,  # [L, Hkv, S, D]
+    v_cache: jax.Array,
     k_new: jax.Array,  # [T, Hkv, D]
     v_new: jax.Array,
     layer_idx: jax.Array,  # scalar i32
-    out_cache_loc: jax.Array,  # i32[T] slots within the layer
-    num_slots: int,
+    out_cache_loc: jax.Array,  # i32[T] slot indices
 ) -> tuple[jax.Array, jax.Array]:
-    """Scatter new KV rows into the flat cache (set_kv_buffer analogue,
+    """Scatter new KV rows into the cache (set_kv_buffer analogue,
     reference: scratchpad/memory/pool.py:392-424)."""
-    loc = layer_idx * num_slots + out_cache_loc
-    k_flat = k_flat.at[loc].set(k_new.astype(k_flat.dtype))
-    v_flat = v_flat.at[loc].set(v_new.astype(v_flat.dtype))
-    return k_flat, v_flat
+    # advanced indices (layer_idx, out_cache_loc) are separated by the head
+    # slice, so numpy indexing rules put the broadcast [T] dim first: the
+    # update shape is [T, Hkv, D] — exactly k_new's layout
+    k_cache = k_cache.at[layer_idx, :, out_cache_loc, :].set(
+        k_new.astype(k_cache.dtype)
+    )
+    v_cache = v_cache.at[layer_idx, :, out_cache_loc, :].set(
+        v_new.astype(v_cache.dtype)
+    )
+    return k_cache, v_cache
 
 
-def _gather_kv(
-    k_flat: jax.Array,
-    v_flat: jax.Array,
-    layer_idx: jax.Array,
-    meta: ForwardMeta,
-    num_slots: int,
-    page_size: int,
-) -> tuple[jax.Array, jax.Array]:
+def _gather_kv(k_cache, v_cache, layer_idx, meta: ForwardMeta, page_size: int):
     """Dense per-request KV: [B, S_max, Hkv, D], S_max = MAXP * page_size."""
     B, maxp = meta.page_table.shape
     offsets = jnp.arange(page_size, dtype=jnp.int32)
     slots = (
         meta.page_table[:, :, None] * page_size + offsets[None, None, :]
     ).reshape(B, maxp * page_size)
-    slots = layer_idx * num_slots + slots
-    return k_flat[slots], v_flat[slots]
+    k_l = k_cache[layer_idx]  # [Hkv, S, D]
+    v_l = v_cache[layer_idx]
+    k = k_l[:, slots].transpose(1, 2, 0, 3)  # [B, S_max, Hkv, D]
+    v = v_l[:, slots].transpose(1, 2, 0, 3)
+    return k, v
 
 
 def _softcap(scores: jax.Array, cap: Optional[float]) -> jax.Array:
@@ -66,19 +66,18 @@ def _softcap(scores: jax.Array, cap: Optional[float]) -> jax.Array:
 
 def decode_attention_xla(
     q: jax.Array,  # [B, Hq, D]
-    k_flat: jax.Array,
-    v_flat: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
     layer_idx: jax.Array,
     meta: ForwardMeta,
     *,
-    num_slots: int,
     page_size: int,
     sm_scale: float,
     logit_cap: Optional[float] = None,
     sliding_window: Optional[int] = None,
 ) -> jax.Array:
     B, Hq, D = q.shape
-    k, v = _gather_kv(k_flat, v_flat, layer_idx, meta, num_slots, page_size)
+    k, v = _gather_kv(k_cache, v_cache, layer_idx, meta, page_size)
     S = k.shape[1]
     Hkv = k.shape[2]
     G = Hq // Hkv
@@ -99,12 +98,11 @@ def decode_attention_xla(
 
 def extend_attention_xla(
     q: jax.Array,  # [T, Hq, D] flat new-token queries
-    k_flat: jax.Array,
-    v_flat: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
     layer_idx: jax.Array,
     meta: ForwardMeta,
     *,
-    num_slots: int,
     page_size: int,
     sm_scale: float,
     logit_cap: Optional[float] = None,
@@ -119,7 +117,7 @@ def extend_attention_xla(
     """
     T, Hq, D = q.shape
     B = meta.batch_size
-    k, v = _gather_kv(k_flat, v_flat, layer_idx, meta, num_slots, page_size)
+    k, v = _gather_kv(k_cache, v_cache, layer_idx, meta, page_size)
     S = k.shape[1]
     Hkv = k.shape[2]
     G = Hq // Hkv

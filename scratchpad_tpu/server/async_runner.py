@@ -1,0 +1,142 @@
+"""Async pump around the synchronous Engine/Scheduler.
+
+Replaces the reference's TokenizerManager <-ZMQ-> Scheduler <-ZMQ->
+DetokenizerManager process mesh (reference: scratchpad/managers/tokenizer.py,
+scheduler.py, detokenizer.py) with one background thread driving the
+scheduler step loop; asyncio consumers receive per-request deltas through
+thread-safe handoff. Single-controller JAX owns the devices, so there is
+nothing to gain from extra OS processes.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import queue
+import threading
+import time
+from typing import Any, Optional
+
+from scratchpad_tpu.core.req import Req
+from scratchpad_tpu.server.engine import Engine, GenerationOutput
+from scratchpad_tpu.tokenizer.detokenizer import IncrementalDetokenizer
+from scratchpad_tpu.utils import get_logger
+
+logger = get_logger("async_runner")
+
+
+class _ReqState:
+    def __init__(self, loop: asyncio.AbstractEventLoop):
+        self.loop = loop
+        self.q: asyncio.Queue = asyncio.Queue()
+        self.last_progress = time.monotonic()
+
+    def push(self, item) -> None:
+        self.loop.call_soon_threadsafe(self.q.put_nowait, item)
+
+
+class AsyncEngineRunner:
+    """Owns the scheduler thread; exposes async generate streams."""
+
+    def __init__(self, engine: Engine):
+        self.engine = engine
+        self.submit_q: "queue.Queue[tuple[Req, _ReqState]]" = queue.Queue()
+        self.states: dict[str, _ReqState] = {}
+        self._stop = threading.Event()
+        self._wake = threading.Event()
+        self.last_step_at = time.monotonic()
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.thread.start()
+
+    # ------------------------------------------------------------- scheduler
+
+    def _loop(self) -> None:
+        sched = self.engine.scheduler
+        while not self._stop.is_set():
+            self._drain_submits()
+            if not sched.has_work():
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+                continue
+            try:
+                events = sched.step()
+            except Exception:
+                logger.exception("scheduler step failed")
+                self._fail_all()
+                continue
+            self.last_step_at = time.monotonic()
+            for ev in events:
+                self.engine._postprocess_event(ev)
+                st = self.states.get(ev.req.rid)
+                if st is None:
+                    continue
+                req = ev.req
+                safe = IncrementalDetokenizer.stream_safe_len(req)
+                if safe > req.stream_sent_len:
+                    st.push(
+                        ("delta", req.decoded_text[req.stream_sent_len : safe])
+                    )
+                    req.stream_sent_len = safe
+                if req.finished():
+                    out = self.engine._to_output(req)
+                    if len(req.decoded_text) > req.stream_sent_len:
+                        st.push(
+                            ("delta", req.decoded_text[req.stream_sent_len :])
+                        )
+                        req.stream_sent_len = len(req.decoded_text)
+                    st.push(("done", out))
+                    del self.states[req.rid]
+
+    def _drain_submits(self) -> None:
+        while True:
+            try:
+                req, st = self.submit_q.get_nowait()
+            except queue.Empty:
+                return
+            self.states[req.rid] = st
+            self.engine.scheduler.add_request(req)
+
+    def _fail_all(self) -> None:
+        for rid, st in list(self.states.items()):
+            st.push(("error", "internal scheduler error"))
+            del self.states[rid]
+
+    # ---------------------------------------------------------------- public
+
+    async def generate(
+        self,
+        prompt: Optional[str] = None,
+        input_ids: Optional[list[int]] = None,
+        sampling_params=None,
+        rid: Optional[str] = None,
+        return_logprob: bool = False,
+    ):
+        """Async generator yielding ("delta", str) then ("done", output)."""
+        req = self.engine._make_req(
+            prompt, input_ids, sampling_params, return_logprob, rid=rid
+        )
+        st = _ReqState(asyncio.get_running_loop())
+        self.submit_q.put((req, st))
+        self._wake.set()
+        try:
+            while True:
+                kind, payload = await st.q.get()
+                yield kind, payload
+                if kind in ("done", "error"):
+                    return
+        finally:
+            if not req.finished():
+                self.engine.scheduler.abort_request(req.rid)
+                self.states.pop(req.rid, None)
+
+    async def generate_full(self, **kw) -> GenerationOutput:
+        async for kind, payload in self.generate(**kw):
+            if kind == "error":
+                raise RuntimeError(payload)
+            if kind == "done":
+                return payload
+        raise RuntimeError("generation ended without result")
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        self._wake.set()
+        self.thread.join(timeout=5)

@@ -1,0 +1,386 @@
+"""OpenAI-compatible HTTP server (aiohttp).
+
+Re-creates the reference's FastAPI surface
+(reference: scratchpad/server/server.py:63-297,
+scratchpad/server/openai_api/handler.py) on aiohttp (FastAPI/uvicorn are not
+in the image): /v1/completions, /v1/chat/completions, /v1/models, /health,
+/system_info, /metrics, /flush_cache, with SSE streaming.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import json
+from typing import Optional
+
+from aiohttp import web
+
+from scratchpad_tpu.config import ServerArgs
+from scratchpad_tpu.sampling.sampling_params import SamplingParams
+from scratchpad_tpu.server.async_runner import AsyncEngineRunner
+from scratchpad_tpu.server.engine import Engine, GenerationOutput
+from scratchpad_tpu.server.openai_api.protocol import (
+    ChatCompletionChoice,
+    ChatCompletionRequest,
+    ChatCompletionResponse,
+    ChatCompletionStreamChoice,
+    ChatCompletionStreamResponse,
+    ChatMessage,
+    CompletionChoice,
+    CompletionRequest,
+    CompletionResponse,
+    DeltaMessage,
+    ErrorResponse,
+    ModelCard,
+    ModelList,
+    UsageInfo,
+)
+from scratchpad_tpu.utils import get_logger
+
+logger = get_logger("http_server")
+
+
+def _sampling_from(req, max_tokens: int) -> SamplingParams:
+    return SamplingParams(
+        max_new_tokens=max_tokens,
+        temperature=req.temperature,
+        top_p=req.top_p,
+        top_k=req.top_k,
+        min_p=req.min_p,
+        frequency_penalty=req.frequency_penalty,
+        presence_penalty=req.presence_penalty,
+        repetition_penalty=req.repetition_penalty,
+        stop=req.stop,
+        ignore_eos=req.ignore_eos,
+        skip_special_tokens=req.skip_special_tokens,
+        regex=req.regex,
+        ebnf=req.ebnf,
+        json_schema=req.json_schema,
+    )
+
+
+def _usage(out: GenerationOutput) -> UsageInfo:
+    return UsageInfo(
+        prompt_tokens=out.prompt_tokens,
+        completion_tokens=out.completion_tokens,
+        total_tokens=out.prompt_tokens + out.completion_tokens,
+        prompt_tokens_details={"cached_tokens": out.cached_tokens},
+    )
+
+
+class ServerApp:
+    def __init__(self, engine: Engine, args: ServerArgs):
+        self.engine = engine
+        self.args = args
+        self.runner = AsyncEngineRunner(engine)
+        self.app = web.Application(middlewares=[self._auth_middleware])
+        self._metrics = None
+        if args.enable_metrics:
+            from scratchpad_tpu.server.metrics import ServerMetrics
+
+            self._metrics = ServerMetrics(engine)
+        self._add_routes()
+
+    # ---------------------------------------------------------------- routes
+
+    def _add_routes(self) -> None:
+        r = self.app.router
+        r.add_get("/health", self.health)
+        r.add_get("/health_generate", self.health_generate)
+        r.add_get("/v1/models", self.list_models)
+        r.add_get("/system_info", self.system_info)
+        r.add_post("/v1/completions", self.completions)
+        r.add_post("/v1/chat/completions", self.chat_completions)
+        r.add_post("/flush_cache", self.flush_cache)
+        r.add_post("/abort_request", self.abort_request)
+        if self._metrics is not None:
+            r.add_get("/metrics", self._metrics.handle)
+
+    @web.middleware
+    async def _auth_middleware(self, request, handler):
+        if self.args.api_key and request.path.startswith("/v1"):
+            auth = request.headers.get("Authorization", "")
+            if auth != f"Bearer {self.args.api_key}":
+                return web.json_response(
+                    ErrorResponse(message="invalid api key", code=401).model_dump(),
+                    status=401,
+                )
+        return await handler(request)
+
+    async def health(self, request) -> web.Response:
+        return web.json_response({"status": "ok"})
+
+    async def health_generate(self, request) -> web.Response:
+        out = await self.runner.generate_full(
+            input_ids=[1, 2, 3],
+            sampling_params=SamplingParams(max_new_tokens=1, temperature=0.0),
+        )
+        return web.json_response({"status": "ok", "tokens": out.completion_tokens})
+
+    async def list_models(self, request) -> web.Response:
+        return web.json_response(
+            ModelList(
+                data=[ModelCard(id=self.args.served_model_name)]
+            ).model_dump()
+        )
+
+    async def system_info(self, request) -> web.Response:
+        sched = self.engine.scheduler
+        return web.json_response(
+            {
+                "model": self.args.served_model_name,
+                "version": __import__("scratchpad_tpu").__version__,
+                "num_running": sched.num_running(),
+                "num_waiting": sched.num_queued(),
+                "kv_pages_free": sched.allocator.available_pages,
+                "kv_pages_total": sched.allocator.num_pages,
+                "radix_evictable_pages": sched.tree_cache.evictable_pages,
+                "generated_tokens": sched.num_generated_tokens,
+                "retractions": sched.num_retractions,
+                "args": {
+                    k: v
+                    for k, v in dataclasses.asdict(self.args).items()
+                    if isinstance(v, (int, float, str, bool, type(None)))
+                },
+            }
+        )
+
+    async def flush_cache(self, request) -> web.Response:
+        if self.engine.scheduler.has_work():
+            return web.json_response(
+                {"status": "busy"}, status=409
+            )
+        self.engine.flush_cache()
+        return web.json_response({"status": "ok"})
+
+    async def abort_request(self, request) -> web.Response:
+        body = await request.json()
+        self.engine.scheduler.abort_request(body.get("rid", ""))
+        return web.json_response({"status": "ok"})
+
+    # ----------------------------------------------------------- completions
+
+    async def completions(self, request) -> web.Response:
+        try:
+            creq = CompletionRequest(**await request.json())
+        except Exception as e:
+            return self._bad_request(str(e))
+        prompts, idss = self._normalize_prompt(creq.prompt)
+        if self.engine.tokenizer is None and any(p is not None for p in prompts):
+            return self._bad_request(
+                "no tokenizer loaded; send token-id prompts"
+            )
+        sp = _sampling_from(creq, creq.max_tokens)
+        if creq.stream:
+            return await self._stream_completion(request, creq, prompts, idss, sp)
+        choices = []
+        usage = UsageInfo()
+        outs = await asyncio.gather(
+            *[
+                self.runner.generate_full(
+                    prompt=p,
+                    input_ids=i,
+                    sampling_params=sp,
+                    return_logprob=creq.logprobs is not None,
+                )
+                for p, i in zip(prompts, idss)
+                for _ in range(creq.n)
+            ]
+        )
+        for idx, out in enumerate(outs):
+            text = out.text
+            if creq.echo and prompts[idx // creq.n] is not None:
+                text = prompts[idx // creq.n] + text
+            choices.append(
+                CompletionChoice(
+                    index=idx,
+                    text=text,
+                    finish_reason=out.finish_reason,
+                    logprobs=self._logprobs_block(out, creq.logprobs),
+                )
+            )
+            usage.prompt_tokens += out.prompt_tokens
+            usage.completion_tokens += out.completion_tokens
+        usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
+        resp = CompletionResponse(model=creq.model, choices=choices, usage=usage)
+        return web.json_response(resp.model_dump())
+
+    async def _stream_completion(self, request, creq, prompts, idss, sp):
+        resp = web.StreamResponse(
+            headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache",
+            }
+        )
+        await resp.prepare(request)
+        cid = None
+        async for kind, payload in self.runner.generate(
+            prompt=prompts[0], input_ids=idss[0], sampling_params=sp
+        ):
+            if kind == "delta":
+                chunk = CompletionResponse(
+                    model=creq.model,
+                    choices=[CompletionChoice(index=0, text=payload)],
+                )
+                cid = cid or chunk.id
+                chunk.id = cid
+                await resp.write(
+                    f"data: {chunk.model_dump_json()}\n\n".encode()
+                )
+            elif kind == "done":
+                out: GenerationOutput = payload
+                chunk = CompletionResponse(
+                    id=cid or "cmpl-x",
+                    model=creq.model,
+                    choices=[
+                        CompletionChoice(
+                            index=0, text="", finish_reason=out.finish_reason
+                        )
+                    ],
+                    usage=_usage(out),
+                )
+                await resp.write(f"data: {chunk.model_dump_json()}\n\n".encode())
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+    def _normalize_prompt(self, prompt):
+        if isinstance(prompt, str):
+            return [prompt], [None]
+        if isinstance(prompt, list) and prompt and isinstance(prompt[0], int):
+            return [None], [prompt]
+        if isinstance(prompt, list) and prompt and isinstance(prompt[0], str):
+            return list(prompt), [None] * len(prompt)
+        if isinstance(prompt, list) and prompt and isinstance(prompt[0], list):
+            return [None] * len(prompt), list(prompt)
+        return [prompt or ""], [None]
+
+    def _logprobs_block(self, out: GenerationOutput, want: Optional[int]):
+        if want is None or out.output_token_logprobs is None:
+            return None
+        return {
+            "token_logprobs": out.output_token_logprobs,
+            "top_logprobs": None,
+            "tokens": [str(t) for t in out.output_ids],
+            "text_offset": [],
+        }
+
+    # ------------------------------------------------------ chat completions
+
+    def _apply_chat_template(self, messages: list[ChatMessage]) -> str:
+        tok = self.engine.tokenizer
+        dicts = []
+        for m in messages:
+            d = {"role": m.role, "content": m.content}
+            if m.tool_calls:
+                d["tool_calls"] = m.tool_calls
+            dicts.append(d)
+        if tok is not None and getattr(tok, "chat_template", None):
+            return tok.apply_chat_template(
+                dicts, tokenize=False, add_generation_prompt=True
+            )
+        # fallback template
+        parts = [f"<|{d['role']}|>\n{d['content']}" for d in dicts]
+        parts.append("<|assistant|>\n")
+        return "\n".join(parts)
+
+    async def chat_completions(self, request) -> web.Response:
+        try:
+            creq = ChatCompletionRequest(**await request.json())
+        except Exception as e:
+            return self._bad_request(str(e))
+        if self.engine.tokenizer is None:
+            return self._bad_request("no tokenizer loaded; chat API unavailable")
+        prompt = self._apply_chat_template(creq.messages)
+        max_tokens = creq.max_completion_tokens or creq.max_tokens or 512
+        sp = _sampling_from(creq, max_tokens)
+        if creq.response_format and creq.response_format.type == "json_object":
+            sp.json_schema = "true"  # generic JSON grammar
+        elif creq.response_format and creq.response_format.type == "json_schema":
+            sp.json_schema = json.dumps(
+                (creq.response_format.json_schema or {}).get("schema", {})
+            )
+        if creq.stream:
+            return await self._stream_chat(request, creq, prompt, sp)
+        outs = await asyncio.gather(
+            *[
+                self.runner.generate_full(prompt=prompt, sampling_params=sp)
+                for _ in range(creq.n)
+            ]
+        )
+        choices = []
+        usage = UsageInfo()
+        for idx, out in enumerate(outs):
+            choices.append(
+                ChatCompletionChoice(
+                    index=idx,
+                    message=ChatMessage(role="assistant", content=out.text),
+                    finish_reason=out.finish_reason,
+                )
+            )
+            usage.prompt_tokens += out.prompt_tokens
+            usage.completion_tokens += out.completion_tokens
+        usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
+        resp = ChatCompletionResponse(
+            model=creq.model, choices=choices, usage=usage
+        )
+        return web.json_response(resp.model_dump())
+
+    async def _stream_chat(self, request, creq, prompt, sp):
+        resp = web.StreamResponse(
+            headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache",
+            }
+        )
+        await resp.prepare(request)
+        first = True
+        cid = None
+        async for kind, payload in self.runner.generate(
+            prompt=prompt, sampling_params=sp
+        ):
+            if kind == "delta":
+                delta = DeltaMessage(content=payload)
+                if first:
+                    delta.role = "assistant"
+                    first = False
+                chunk = ChatCompletionStreamResponse(
+                    model=creq.model,
+                    choices=[ChatCompletionStreamChoice(index=0, delta=delta)],
+                )
+                cid = cid or chunk.id
+                chunk.id = cid
+                await resp.write(f"data: {chunk.model_dump_json()}\n\n".encode())
+            elif kind == "done":
+                out: GenerationOutput = payload
+                chunk = ChatCompletionStreamResponse(
+                    id=cid or "chatcmpl-x",
+                    model=creq.model,
+                    choices=[
+                        ChatCompletionStreamChoice(
+                            index=0,
+                            delta=DeltaMessage(),
+                            finish_reason=out.finish_reason,
+                        )
+                    ],
+                    usage=_usage(out),
+                )
+                await resp.write(f"data: {chunk.model_dump_json()}\n\n".encode())
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+    def _bad_request(self, msg: str) -> web.Response:
+        return web.json_response(
+            ErrorResponse(message=msg).model_dump(), status=400
+        )
+
+
+def launch_server(args: ServerArgs, engine: Optional[Engine] = None) -> None:
+    """Blocking server entry (reference: server/server.py:223 launch_server)."""
+    args = args.resolve()
+    engine = engine or Engine(args)
+    app = ServerApp(engine, args)
+    logger.info("serving %s on %s:%d", args.served_model_name, args.host, args.port)
+    web.run_app(app.app, host=args.host, port=args.port, print=None)

@@ -1,0 +1,163 @@
+"""Black-box HTTP server tests (reference pattern: tests/e2e/test_server.py).
+
+Boots the aiohttp server on a tiny random-weight model in a thread and
+drives it with httpx. Token-id mode (no tokenizer): /v1/completions with
+token-id prompts.
+"""
+
+import asyncio
+import json
+import socket
+import threading
+import time
+
+import httpx
+import pytest
+
+from scratchpad_tpu.config import ServerArgs
+from scratchpad_tpu.server.engine import Engine
+from scratchpad_tpu.server.http_server import ServerApp
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+class _ServerThread:
+    def __init__(self, args: ServerArgs):
+        self.args = args
+        self.loop = None
+        self.started = threading.Event()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+        assert self.started.wait(120), "server failed to start"
+
+    def _run(self):
+        from aiohttp import web
+
+        self.loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(self.loop)
+        engine = Engine(self.args)
+        self.app = ServerApp(engine, self.args)
+        runner = web.AppRunner(self.app.app)
+        self.loop.run_until_complete(runner.setup())
+        site = web.TCPSite(runner, self.args.host, self.args.port)
+        self.loop.run_until_complete(site.start())
+        self.started.set()
+        self.loop.run_forever()
+
+    def stop(self):
+        self.app.runner.shutdown()
+        self.loop.call_soon_threadsafe(self.loop.stop)
+
+
+@pytest.fixture(scope="module")
+def server():
+    args = ServerArgs(
+        preset="tiny-debug",
+        random_weights=True,
+        dtype="float32",
+        page_size=4,
+        max_total_tokens=2048,
+        host="127.0.0.1",
+        port=_free_port(),
+        served_model_name="tiny",
+    )
+    srv = _ServerThread(args.resolve())
+    yield f"http://127.0.0.1:{args.port}"
+    srv.stop()
+
+
+class TestServer:
+    def test_health(self, server):
+        r = httpx.get(f"{server}/health")
+        assert r.status_code == 200
+
+    def test_models(self, server):
+        r = httpx.get(f"{server}/v1/models")
+        assert r.json()["data"][0]["id"] == "tiny"
+
+    def test_completions_token_ids(self, server):
+        r = httpx.post(
+            f"{server}/v1/completions",
+            json={
+                "model": "tiny",
+                "prompt": [list(range(1, 12))],
+                "max_tokens": 5,
+                "temperature": 0.0,
+            },
+            timeout=120,
+        )
+        assert r.status_code == 200, r.text
+        body = r.json()
+        assert body["choices"][0]["finish_reason"] == "length"
+        assert body["usage"]["prompt_tokens"] == 11
+        assert body["usage"]["completion_tokens"] == 5
+
+    def test_parallel_requests(self, server):
+        with httpx.Client(timeout=120) as c:
+            reqs = [
+                c.post(
+                    f"{server}/v1/completions",
+                    json={
+                        "model": "tiny",
+                        "prompt": [list(range(1, 8 + i))],
+                        "max_tokens": 4,
+                        "temperature": 0.0,
+                    },
+                )
+                for i in range(4)
+            ]
+        assert all(r.status_code == 200 for r in reqs)
+
+    def test_streaming(self, server):
+        with httpx.stream(
+            "POST",
+            f"{server}/v1/completions",
+            json={
+                "model": "tiny",
+                "prompt": [list(range(1, 10))],
+                "max_tokens": 4,
+                "temperature": 0.0,
+                "stream": True,
+            },
+            timeout=120,
+        ) as r:
+            assert r.status_code == 200
+            events = []
+            for line in r.iter_lines():
+                if line.startswith("data: "):
+                    events.append(line[6:])
+        assert events[-1] == "[DONE]"
+        final = json.loads(events[-2])
+        assert final["choices"][0]["finish_reason"] == "length"
+        assert final["usage"]["completion_tokens"] == 4
+
+    def test_system_info_and_metrics(self, server):
+        r = httpx.get(f"{server}/system_info")
+        assert r.status_code == 200
+        assert r.json()["kv_pages_total"] > 0
+        r = httpx.get(f"{server}/metrics")
+        assert r.status_code == 200
+        assert b"scratchpad_tpu:token_usage" in r.content
+
+    def test_bad_request(self, server):
+        r = httpx.post(
+            f"{server}/v1/completions", json={"model": "tiny"}, timeout=30
+        )
+        assert r.status_code == 400
+
+    def test_chat_completions_fallback_template(self, server):
+        # no tokenizer -> chat requires one; expect a clean 400, not a crash
+        r = httpx.post(
+            f"{server}/v1/chat/completions",
+            json={
+                "model": "tiny",
+                "messages": [{"role": "user", "content": "hi"}],
+                "max_tokens": 4,
+            },
+            timeout=60,
+        )
+        assert r.status_code in (200, 400)
