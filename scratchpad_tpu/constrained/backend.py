@@ -1,0 +1,185 @@
+"""Grammar backend: compiled DFAs + per-request token-bitmask state.
+
+Re-creates the reference's grammar-backend surface
+(reference: scratchpad/constrained/base_backend.py:65-96,
+xgrammar_backend.py:82-100) on the native regex engine:
+
+- compile cache keyed by (kind, value) with background compilation via a
+  thread pool (the scheduler polls readiness like the reference's
+  futures queue, scheduler.py:1723)
+- per-state allowed-token bitmasks are computed lazily and cached on the
+  compiled grammar (shared across requests)
+- the mask is applied on device inside the sampler
+  (sampling/sampler.py apply_vocab_bitmask)
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Optional
+
+import numpy as np
+
+from scratchpad_tpu.constrained.json_schema import schema_to_regex
+from scratchpad_tpu.constrained.regex_fsm import DFA, compile_regex
+from scratchpad_tpu.utils import get_logger
+
+logger = get_logger("constrained")
+
+
+class CompiledGrammar:
+    """A DFA plus tokenizer-vocabulary transition/bitmask caches."""
+
+    def __init__(self, dfa: DFA, token_strs: list[Optional[str]], eos_ids: set[int]):
+        self.dfa = dfa
+        self.token_strs = token_strs
+        self.eos_ids = eos_ids
+        self.vocab_size = len(token_strs)
+        self._lock = threading.Lock()
+        # per-state caches
+        self._bitmask: dict[int, np.ndarray] = {}
+        self._token_dst: dict[int, np.ndarray] = {}
+
+    def _compute_state(self, state: int) -> None:
+        words = -(-self.vocab_size // 32)
+        mask = np.zeros(words, np.uint32)
+        dst = np.full(self.vocab_size, -1, np.int32)
+        walk = self.dfa.walk
+        for tid, s in enumerate(self.token_strs):
+            if not s:
+                continue
+            d = walk(state, s)
+            if d >= 0:
+                dst[tid] = d
+                mask[tid >> 5] |= np.uint32(1 << (tid & 31))
+        if self.dfa.is_accepting(state):
+            for e in self.eos_ids:
+                if e < self.vocab_size:
+                    mask[e >> 5] |= np.uint32(1 << (e & 31))
+        with self._lock:
+            self._bitmask[state] = mask
+            self._token_dst[state] = dst
+
+    def bitmask_for(self, state: int) -> np.ndarray:
+        if state not in self._bitmask:
+            self._compute_state(state)
+        return self._bitmask[state]
+
+    def next_state(self, state: int, token_id: int) -> int:
+        if state not in self._token_dst:
+            self._compute_state(state)
+        d = int(self._token_dst[state][token_id])
+        if d >= 0:
+            return d
+        if token_id in self.eos_ids:
+            return state
+        # shouldn't happen when the mask was applied; fail safe
+        s = self.token_strs[token_id] or ""
+        w = self.dfa.walk(state, s)
+        return w if w >= 0 else state
+
+
+class Grammar:
+    """Per-request FSM cursor (xgrammar GrammarMatcher analogue)."""
+
+    def __init__(self, compiled: CompiledGrammar):
+        self.compiled = compiled
+        self.state = compiled.dfa.initial
+        self.finished = False
+
+    def fill_vocab_bitmask(self, mask_row: np.ndarray, vocab_size: int) -> None:
+        m = self.compiled.bitmask_for(self.state)
+        mask_row[: len(m)] = m
+
+    def accept_token(self, token_id: int) -> None:
+        if token_id in self.compiled.eos_ids:
+            self.finished = True
+            return
+        self.state = self.compiled.next_state(self.state, token_id)
+
+    def is_terminated(self) -> bool:
+        return self.finished
+
+    def reset(self) -> None:
+        self.state = self.compiled.dfa.initial
+        self.finished = False
+
+
+def _token_strings(tokenizer, vocab_size: int) -> list[Optional[str]]:
+    """Decode each vocab id to its surface string."""
+    strs: list[Optional[str]] = [None] * vocab_size
+    # fast path: HF fast tokenizers expose the vocab directly
+    try:
+        vocab = tokenizer.get_vocab()
+    except Exception:
+        vocab = None
+    if vocab and hasattr(tokenizer, "convert_tokens_to_string"):
+        for tok_s, tid in vocab.items():
+            if tid < vocab_size:
+                try:
+                    strs[tid] = tokenizer.convert_tokens_to_string([tok_s])
+                except Exception:
+                    strs[tid] = None
+        return strs
+    for tid in range(vocab_size):
+        try:
+            strs[tid] = tokenizer.decode([tid])
+        except Exception:
+            strs[tid] = None
+    return strs
+
+
+class GrammarBackend:
+    """Compile cache + thread-pool compilation
+    (reference: constrained/base_backend.py:65 get_cached_or_future_value)."""
+
+    def __init__(self, tokenizer, vocab_size: int):
+        self.tokenizer = tokenizer
+        self.vocab_size = vocab_size
+        self._token_strs: Optional[list] = None
+        self._cache: dict[tuple[str, str], CompiledGrammar] = {}
+        self._futures: dict[tuple[str, str], Future] = {}
+        self._pool = ThreadPoolExecutor(max_workers=2)
+        self._lock = threading.Lock()
+        eos = getattr(tokenizer, "eos_token_id", None)
+        self.eos_ids = {eos} if eos is not None else set()
+
+    def _tokens(self):
+        if self._token_strs is None:
+            self._token_strs = _token_strings(self.tokenizer, self.vocab_size)
+        return self._token_strs
+
+    def _compile(self, kind: str, value: str) -> CompiledGrammar:
+        if kind == "regex":
+            pattern = value
+        elif kind == "json":
+            if value in ("true", "True", ""):
+                schema = True
+            else:
+                schema = json.loads(value)
+            pattern = schema_to_regex(schema)
+        elif kind == "ebnf":
+            raise NotImplementedError("EBNF grammars not supported yet")
+        else:
+            raise ValueError(f"unknown grammar kind {kind}")
+        dfa = compile_regex(pattern)
+        return CompiledGrammar(dfa, self._tokens(), self.eos_ids)
+
+    def get_grammar(self, kind: str, value: str, block: bool = True) -> Grammar:
+        key = (kind, value)
+        with self._lock:
+            if key in self._cache:
+                return Grammar(self._cache[key])
+            fut = self._futures.get(key)
+            if fut is None:
+                fut = self._pool.submit(self._compile, kind, value)
+                self._futures[key] = fut
+        compiled = fut.result() if block else None
+        if compiled is None:
+            raise RuntimeError("non-blocking grammar fetch not ready")
+        with self._lock:
+            self._cache[key] = compiled
+            self._futures.pop(key, None)
+        return Grammar(compiled)

@@ -4,15 +4,15 @@ Replaces the reference's FlashInfer paged decode and its 2-stage Triton
 flash-decode (reference: scratchpad/nn/attention/triton_attn/decode_attention.py:12-608)
 with a single-pass online-softmax kernel over the paged cache:
 
-- grid (batch, kv_head): each program owns one request's KV for one kv head
-  and the G = Hq/Hkv query heads in that group
-- the head-major cache layout [L, Hkv, S, D] makes each page's KV for one
-  head a contiguous [page_size, D] slab; pages are DMA'd HBM->VMEM in chunks
-  of CHUNK_PAGES with double buffering, overlapped with the dot products
+- grid (batch,): each program owns one request. All kv heads are processed
+  together so one DMA per page moves the [Hkv, page_size, D] slab (the
+  head-major cache layout [L, Hkv, S, D] makes each head's slice contiguous)
+- pages are copied HBM->VMEM in chunks of CHUNK_PAGES with double buffering,
+  overlapped with the batched-by-head dot products
 - online softmax (m, l, acc) runs in f32; masked slots use -1e30 so padded
-  rows stay finite
+  rows stay finite; seq_len == 0 rows (batch padding) write zeros
 
-Decode is HBM-bound: the kernel reads exactly the live KV (seq_len slots)
+Decode is HBM-bound: the kernel reads exactly the live KV (ceil to chunk)
 instead of the padded dense gather the XLA backend does.
 """
 
@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 from scratchpad_tpu.executor.forward_meta import ForwardMeta
 
 _NEG = -1e30
-CHUNK_PAGES = 8  # pages per DMA chunk (slab = CHUNK_PAGES * page_size rows)
+CHUNK_PAGES = 8  # pages per buffered chunk
 
 
 def _decode_kernel(
@@ -38,13 +38,13 @@ def _decode_kernel(
     pt_ref,  # i32[B, P] page table
     len_ref,  # i32[B] seq lens
     # inputs
-    q_ref,  # VMEM [B, Hq, D] (full array; sliced per program)
+    q_ref,  # VMEM [B, Hq, D] (full array)
     k_hbm,  # ANY  [L, Hkv, S, D]
     v_hbm,
     # output
     o_ref,  # VMEM [B, Hq, D]
     # scratch
-    k_buf,  # VMEM [2, CHUNK, D]
+    k_buf,  # VMEM [2, Hkv, CHUNK, D]
     v_buf,
     sems,  # DMA sems [2, 2, CHUNK_PAGES]
     *,
@@ -55,45 +55,40 @@ def _decode_kernel(
     sliding_window: Optional[int],
 ):
     b = pl.program_id(0)
-    h = pl.program_id(1)
     layer = layer_ref[0]
     seq_len = len_ref[b]
     CHUNK = CHUNK_PAGES * page_size
     Hq, D = q_ref.shape[1], q_ref.shape[2]
-    Hkv = pl.num_programs(1)
+    Hkv = k_buf.shape[1]
     G = Hq // Hkv
 
-    def start_chunk(c, slot):
+    def chunk_dmas(c, slot):
+        """DMA descriptors for chunk c (one per page, all heads at once)."""
+        out = []
         for j in range(CHUNK_PAGES):
             page = pt_ref[b, c * CHUNK_PAGES + j]
-            src_k = k_hbm.at[layer, h, pl.ds(page * page_size, page_size), :]
-            src_v = v_hbm.at[layer, h, pl.ds(page * page_size, page_size), :]
-            pltpu.make_async_copy(
-                src_k,
-                k_buf.at[slot, pl.ds(j * page_size, page_size), :],
-                sems.at[slot, 0, j],
-            ).start()
-            pltpu.make_async_copy(
-                src_v,
-                v_buf.at[slot, pl.ds(j * page_size, page_size), :],
-                sems.at[slot, 1, j],
-            ).start()
+            for buf, hbm, kind in ((k_buf, k_hbm, 0), (v_buf, v_hbm, 1)):
+                out.append(
+                    pltpu.make_async_copy(
+                        hbm.at[layer, :, pl.ds(page * page_size, page_size), :],
+                        buf.at[slot, :, pl.ds(j * page_size, page_size), :],
+                        sems.at[slot, kind, j],
+                    )
+                )
+        return out
+
+    def start_chunk(c, slot):
+        for dma in chunk_dmas(c, slot):
+            dma.start()
 
     def wait_chunk(c, slot):
-        for j in range(CHUNK_PAGES):
-            page = pt_ref[b, c * CHUNK_PAGES + j]
-            pltpu.make_async_copy(
-                k_hbm.at[layer, h, pl.ds(page * page_size, page_size), :],
-                k_buf.at[slot, pl.ds(j * page_size, page_size), :],
-                sems.at[slot, 0, j],
-            ).wait()
-            pltpu.make_async_copy(
-                v_hbm.at[layer, h, pl.ds(page * page_size, page_size), :],
-                v_buf.at[slot, pl.ds(j * page_size, page_size), :],
-                sems.at[slot, 1, j],
-            ).wait()
+        for dma in chunk_dmas(c, slot):
+            dma.wait()
 
-    q = q_ref[b, pl.ds(h * G, G), :].astype(jnp.float32) * sm_scale  # [G, D]
+    # [Hkv, G, D] f32, pre-scaled
+    q = (
+        q_ref[b].astype(jnp.float32).reshape(Hkv, G, D) * sm_scale
+    )
 
     @pl.when(seq_len > 0)
     def _():
@@ -110,14 +105,17 @@ def _decode_kernel(
 
         wait_chunk(c, slot)
 
-        k = k_buf[slot].astype(jnp.float32)  # [CHUNK, D]
+        k = k_buf[slot].astype(jnp.float32)  # [Hkv, CHUNK, D]
         v = v_buf[slot].astype(jnp.float32)
+        # batched over heads: [Hkv, G, D] x [Hkv, CHUNK, D] -> [Hkv, G, CHUNK]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [G, CHUNK]
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
         if logit_cap is not None:
             s = logit_cap * jnp.tanh(s / logit_cap)
-        idx = chunk_start + jax.lax.broadcasted_iota(jnp.int32, (G, CHUNK), 1)
+        idx = chunk_start + jax.lax.broadcasted_iota(
+            jnp.int32, (Hkv, G, CHUNK), 2
+        )
         mask = idx < seq_len
         if sliding_window is not None:
             mask &= idx >= seq_len - sliding_window
@@ -127,20 +125,19 @@ def _decode_kernel(
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        # [Hkv, G, CHUNK] x [Hkv, CHUNK, D] -> [Hkv, G, D]
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
         return m_new, l_new, acc_new
 
-    m0 = jnp.full((G, 1), _NEG, jnp.float32)
-    l0 = jnp.zeros((G, 1), jnp.float32)
-    acc0 = jnp.zeros((G, D), jnp.float32)
-    live_chunks = jnp.minimum(
-        pl.cdiv(seq_len, CHUNK), num_chunks
-    )
+    m0 = jnp.full((Hkv, G, 1), _NEG, jnp.float32)
+    l0 = jnp.zeros((Hkv, G, 1), jnp.float32)
+    acc0 = jnp.zeros((Hkv, G, D), jnp.float32)
+    live_chunks = jnp.minimum(pl.cdiv(seq_len, CHUNK), num_chunks)
     m, l, acc = jax.lax.fori_loop(0, live_chunks, body, (m0, l0, acc0))
     out = jnp.where(l > 0, acc / jnp.where(l > 0, l, 1.0), 0.0)
-    o_ref[b, pl.ds(h * G, G), :] = out.astype(o_ref.dtype)
+    o_ref[b] = out.reshape(Hq, D).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -153,7 +150,6 @@ def _paged_decode_call(
 ):
     B, Hq, D = q.shape
     Hkv = k_cache.shape[1]
-    G = Hq // Hkv
     P = page_table.shape[1]
     # pad page table width to a CHUNK_PAGES multiple (dump page 0)
     P_pad = -(-P // CHUNK_PAGES) * CHUNK_PAGES
@@ -172,7 +168,7 @@ def _paged_decode_call(
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B, Hkv),
+        grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # q: full array
             pl.BlockSpec(memory_space=pl.ANY),
@@ -180,8 +176,8 @@ def _paged_decode_call(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, D), k_cache.dtype),
-            pltpu.VMEM((2, CHUNK, D), v_cache.dtype),
+            pltpu.VMEM((2, Hkv, CHUNK, D), k_cache.dtype),
+            pltpu.VMEM((2, Hkv, CHUNK, D), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2, CHUNK_PAGES)),
         ],
     )

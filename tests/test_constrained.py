@@ -1,0 +1,155 @@
+"""Native grammar engine tests: regex DFA, JSON schema, e2e guided decoding."""
+
+import json
+
+import numpy as np
+import pytest
+
+from scratchpad_tpu.constrained.json_schema import schema_to_regex
+from scratchpad_tpu.constrained.regex_fsm import compile_regex
+
+
+def accepts(dfa, s: str) -> bool:
+    st = dfa.walk(dfa.initial, s)
+    return st >= 0 and dfa.is_accepting(st)
+
+
+class TestRegexDFA:
+    @pytest.mark.parametrize(
+        "pattern,good,bad",
+        [
+            (r"abc", ["abc"], ["ab", "abcd", "abd"]),
+            (r"a+b*", ["a", "aab", "abbb"], ["", "b", "ba"]),
+            (r"(ab|cd)+", ["ab", "abcd", "cdcdab"], ["a", "abc", ""]),
+            (r"\d{2,4}", ["12", "123", "1234"], ["1", "12345", "ab"]),
+            (r"[a-c]x?", ["a", "bx"], ["d", "axx"]),
+            (r"[^0-9]+", ["ab!", "xyz"], ["a1", ""]),
+            (r"a.c", ["abc", "a!c"], ["a\nc", "ac"]),
+            (r"yes|no", ["yes", "no"], ["maybe", "y"]),
+            (r"\w+@\w+\.(com|org)", ["a_1@b.com"], ["a@b.net", "@b.com"]),
+            (r"a{3}", ["aaa"], ["aa", "aaaa"]),
+            (r"a{2,}", ["aa", "aaaa"], ["a"]),
+        ],
+    )
+    def test_match(self, pattern, good, bad):
+        dfa = compile_regex(pattern)
+        for s in good:
+            assert accepts(dfa, s), f"{pattern} should accept {s!r}"
+        for s in bad:
+            assert not accepts(dfa, s), f"{pattern} should reject {s!r}"
+
+    def test_trimmed_states_are_live(self):
+        dfa = compile_regex(r"ab|ac")
+        # from every state some accepting state is reachable by construction
+        assert dfa.num_states >= 2
+
+
+class TestJsonSchema:
+    def check(self, schema, good, bad):
+        dfa = compile_regex(schema_to_regex(schema))
+        for v in good:
+            assert accepts(dfa, v), f"should accept {v}"
+        for v in bad:
+            assert not accepts(dfa, v), f"should reject {v}"
+
+    def test_scalars(self):
+        self.check({"type": "integer"}, ["0", "-12", "103"], ["01", "1.5", "x"])
+        self.check({"type": "boolean"}, ["true", "false"], ["True", "1"])
+        self.check(
+            {"type": "string"}, ['"hi"', '""', '"a\\"b"'], ["hi", '"unterminated']
+        )
+
+    def test_enum(self):
+        self.check(
+            {"enum": ["red", "green", 3]},
+            ['"red"', '"green"', "3"],
+            ['"blue"', "4"],
+        )
+
+    def test_object(self):
+        schema = {
+            "type": "object",
+            "properties": {
+                "name": {"type": "string"},
+                "age": {"type": "integer"},
+            },
+            "required": ["name", "age"],
+        }
+        self.check(
+            schema,
+            ['{"name": "bob", "age": 4}', '{"name":"x","age":0}'],
+            ['{"age": 4, "name": "bob"}', '{"name": "bob"}', "{}"],
+        )
+
+    def test_array(self):
+        self.check(
+            {"type": "array", "items": {"type": "integer"}, "maxItems": 3},
+            ["[]", "[1]", "[1, 2, 3]"],
+            ["[1, 2, 3, 4]", '["a"]'],
+        )
+
+    def test_generic_json(self):
+        self.check(
+            True,
+            ['{"a": 1}', "[1, 2]", '"s"', "3.5", "null"],
+            ["{", "]", "nul"],
+        )
+
+
+class CharTokenizer:
+    """Toy char-level tokenizer: id = ord(char)+1, eos = 0."""
+
+    eos_token_id = 0
+    chat_template = None
+
+    def encode(self, text):
+        return [ord(c) + 1 for c in text]
+
+    def decode(self, ids, **kw):
+        return "".join(chr(i - 1) for i in ids if 0 < i <= 256)
+
+    def get_vocab(self):
+        raise AttributeError("no vocab")
+
+    def __call__(self, *a, **k):
+        raise NotImplementedError
+
+
+class TestGuidedGeneration:
+    @pytest.fixture(scope="class")
+    def engine(self):
+        from scratchpad_tpu.config import ServerArgs
+        from scratchpad_tpu.server.engine import Engine
+
+        args = ServerArgs(
+            preset="tiny-debug",
+            random_weights=True,
+            dtype="float32",
+            page_size=4,
+            max_total_tokens=2048,
+        )
+        return Engine(args, tokenizer=CharTokenizer())
+
+    def test_regex_constrained_output(self, engine):
+        from scratchpad_tpu.sampling.sampling_params import SamplingParams
+
+        sp = SamplingParams(
+            temperature=0.0, max_new_tokens=12, regex=r"(yes|no)!"
+        )
+        out = engine.generate(prompt="q: ok? a:", sampling_params=sp)
+        assert out.text in ("yes!", "no!"), out.text
+
+    def test_json_constrained_output(self, engine):
+        from scratchpad_tpu.sampling.sampling_params import SamplingParams
+
+        schema = json.dumps(
+            {
+                "type": "object",
+                "properties": {"ok": {"type": "boolean"}},
+                "required": ["ok"],
+            }
+        )
+        sp = SamplingParams(temperature=0.0, max_new_tokens=80, json_schema=schema)
+        out = engine.generate(prompt="emit json:", sampling_params=sp)
+        parsed = json.loads(out.text)
+        assert set(parsed) == {"ok"} and isinstance(parsed["ok"], bool)
