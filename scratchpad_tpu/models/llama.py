@@ -77,6 +77,13 @@ class LlamaForCausalLM:
             },
             "final_norm": jnp.ones((H,), dtype),
         }
+        if cfg.attention_bias:
+            params["layers"]["bq"] = jnp.zeros((L, Hq * D), dtype)
+            params["layers"]["bk"] = jnp.zeros((L, Hkv * D), dtype)
+            params["layers"]["bv"] = jnp.zeros((L, Hkv * D), dtype)
+        if cfg.use_qk_norm:
+            params["layers"]["q_norm"] = jnp.ones((L, D), dtype)
+            params["layers"]["k_norm"] = jnp.ones((L, D), dtype)
         if not cfg.tie_word_embeddings:
             params["lm_head"] = init(next(keys), (V, H), H)
         return params
@@ -99,6 +106,13 @@ class LlamaForCausalLM:
             },
             "final_norm": P(None),
         }
+        if self.cfg.attention_bias:
+            specs["layers"]["bq"] = P(None, t)
+            specs["layers"]["bk"] = P(None, t)
+            specs["layers"]["bv"] = P(None, t)
+        if self.cfg.use_qk_norm:
+            specs["layers"]["q_norm"] = P(None, None)
+            specs["layers"]["k_norm"] = P(None, None)
         if not self.cfg.tie_word_embeddings:
             specs["lm_head"] = P(t, None)
         return specs
@@ -110,6 +124,11 @@ class LlamaForCausalLM:
         "self_attn.k_proj.weight": ("wk", True),
         "self_attn.v_proj.weight": ("wv", True),
         "self_attn.o_proj.weight": ("wo", True),
+        "self_attn.q_proj.bias": ("bq", False),
+        "self_attn.k_proj.bias": ("bk", False),
+        "self_attn.v_proj.bias": ("bv", False),
+        "self_attn.q_norm.weight": ("q_norm", False),
+        "self_attn.k_norm.weight": ("k_norm", False),
         "mlp.gate_proj.weight": ("gate", True),
         "mlp.up_proj.weight": ("up", True),
         "mlp.down_proj.weight": ("down", True),
@@ -126,14 +145,16 @@ class LlamaForCausalLM:
         """
         cfg = self.cfg
         L = cfg.num_hidden_layers
-        layers: dict[str, list] = {k: [None] * L for k, _ in self.HF_LAYER_MAP.values()}
+        layers: dict[str, list] = {}
         out: dict[str, Any] = {"layers": {}}
         for name, w in state.items():
             if name.startswith("model.layers."):
                 rest = name[len("model.layers.") :]
                 idx_s, sub = rest.split(".", 1)
                 tgt, transpose = self.HF_LAYER_MAP[sub]
-                layers[tgt][int(idx_s)] = w.T if transpose else w
+                layers.setdefault(tgt, [None] * L)[int(idx_s)] = (
+                    w.T if transpose else w
+                )
             elif name == "model.embed_tokens.weight":
                 out["embed"] = w
             elif name == "model.norm.weight":
@@ -174,9 +195,19 @@ class LlamaForCausalLM:
             x, k_cache, v_cache = carry
             lp, lidx = layer
             h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-            q = (h @ lp["wq"]).reshape(T, Hq, D)
-            kn = (h @ lp["wk"]).reshape(T, Hkv, D)
-            vn = (h @ lp["wv"]).reshape(T, Hkv, D)
+            q = h @ lp["wq"]
+            kn = h @ lp["wk"]
+            vn = h @ lp["wv"]
+            if cfg.attention_bias:
+                q = q + lp["bq"]
+                kn = kn + lp["bk"]
+                vn = vn + lp["bv"]
+            q = q.reshape(T, Hq, D)
+            kn = kn.reshape(T, Hkv, D)
+            vn = vn.reshape(T, Hkv, D)
+            if cfg.use_qk_norm:
+                q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+                kn = rms_norm(kn, lp["k_norm"], cfg.rms_norm_eps)
             q = apply_rope(q, meta.positions, inv_freq)
             kn = apply_rope(kn, meta.positions, inv_freq)
             k_cache, v_cache = write_kv(

@@ -39,12 +39,12 @@ def _decode_kernel(
     len_ref,  # i32[B] seq lens
     # inputs
     q_ref,  # VMEM [B, Hq, D] (full array)
-    k_hbm,  # ANY  [L, Hkv, S, D]
+    k_hbm,  # ANY  [L, Hkv, Ptot, ps, D] (paged 5-D view of the cache)
     v_hbm,
     # output
     o_ref,  # VMEM [B, Hq, D]
     # scratch
-    k_buf,  # VMEM [2, Hkv, CHUNK, D]
+    k_buf,  # VMEM [2, Hkv, CHUNK_PAGES, ps, D]
     v_buf,
     sems,  # DMA sems [2, 2, CHUNK_PAGES]
     *,
@@ -63,15 +63,18 @@ def _decode_kernel(
     G = Hq // Hkv
 
     def chunk_dmas(c, slot):
-        """DMA descriptors for chunk c (one per page, all heads at once)."""
+        """DMA descriptors for chunk c (one per page, all heads at once).
+
+        Pages are integer-indexed (never sliced) so the copied block keeps
+        full, tile-aligned trailing dims regardless of head_dim."""
         out = []
         for j in range(CHUNK_PAGES):
             page = pt_ref[b, c * CHUNK_PAGES + j]
             for buf, hbm, kind in ((k_buf, k_hbm, 0), (v_buf, v_hbm, 1)):
                 out.append(
                     pltpu.make_async_copy(
-                        hbm.at[layer, :, pl.ds(page * page_size, page_size), :],
-                        buf.at[slot, :, pl.ds(j * page_size, page_size), :],
+                        hbm.at[layer, :, page],
+                        buf.at[slot, :, j],
                         sems.at[slot, kind, j],
                     )
                 )
@@ -105,8 +108,8 @@ def _decode_kernel(
 
         wait_chunk(c, slot)
 
-        k = k_buf[slot].astype(jnp.float32)  # [Hkv, CHUNK, D]
-        v = v_buf[slot].astype(jnp.float32)
+        k = k_buf[slot].reshape(Hkv, CHUNK, D).astype(jnp.float32)
+        v = v_buf[slot].reshape(Hkv, CHUNK, D).astype(jnp.float32)
         # batched over heads: [Hkv, G, D] x [Hkv, CHUNK, D] -> [Hkv, G, CHUNK]
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
@@ -149,7 +152,11 @@ def _paged_decode_call(
     *, page_size, sm_scale, logit_cap, sliding_window,
 ):
     B, Hq, D = q.shape
-    Hkv = k_cache.shape[1]
+    L, Hkv, S, _ = k_cache.shape
+    Ptot = S // page_size
+    # paged 5-D view; contiguous reshape, no copy
+    k_cache = k_cache.reshape(L, Hkv, Ptot, page_size, D)
+    v_cache = v_cache.reshape(L, Hkv, Ptot, page_size, D)
     P = page_table.shape[1]
     # pad page table width to a CHUNK_PAGES multiple (dump page 0)
     P_pad = -(-P // CHUNK_PAGES) * CHUNK_PAGES
@@ -176,8 +183,8 @@ def _paged_decode_call(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, Hkv, CHUNK, D), k_cache.dtype),
-            pltpu.VMEM((2, Hkv, CHUNK, D), v_cache.dtype),
+            pltpu.VMEM((2, Hkv, CHUNK_PAGES, page_size, D), k_cache.dtype),
+            pltpu.VMEM((2, Hkv, CHUNK_PAGES, page_size, D), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2, CHUNK_PAGES)),
         ],
     )
