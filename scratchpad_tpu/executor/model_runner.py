@@ -102,20 +102,25 @@ class ModelRunner:
         t0 = time.monotonic()
         if params is not None:
             self.params = params
-        elif self.args.random_weights or not cfg.model_path:
-            rng = jax.random.PRNGKey(self.args.random_seed)
-            self.params = self.model.init_params(rng, self._dtype())
-            if mesh is not None:
-                self.params = place_params(
-                    self.params, self.model.param_specs(), mesh
-                )
         else:
-            state = load_hf_state(cfg.model_path)
-            host_params = self.model.convert_hf_state(state, self._dtype())
-            del state
-            self.params = place_params(
-                host_params, self.model.param_specs(), mesh
-            )
+            if self.args.random_weights or not cfg.model_path:
+                rng = jax.random.PRNGKey(self.args.random_seed)
+                self.params = self.model.init_params(rng, self._dtype())
+            else:
+                state = load_hf_state(cfg.model_path)
+                self.params = self.model.convert_hf_state(state, self._dtype())
+                del state
+            if self.args.quantization in ("w4a16", "w4"):
+                from scratchpad_tpu.ops.quant import quantize_model_params
+
+                self.params = quantize_model_params(self.params)
+            if mesh is not None:
+                specs = self.model.param_specs()
+                if "layers_q" in self.params:
+                    from scratchpad_tpu.ops.quant.w4a16 import quant_param_specs
+
+                    specs = quant_param_specs(specs, self.params)
+                self.params = place_params(self.params, specs, mesh)
         self.param_bytes = sum(
             x.size * x.dtype.itemsize for x in jax.tree.leaves(self.params)
         )

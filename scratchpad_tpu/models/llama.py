@@ -46,6 +46,17 @@ class LlamaForCausalLM:
         # attention impls; the executor may swap in Pallas kernels
         self.decode_attention = decode_attention_xla
         self.extend_attention = extend_attention_xla
+        # W4A16 matmul: Pallas on accelerators, XLA reference path on CPU
+        if jax.default_backend() == "cpu":
+            from scratchpad_tpu.ops.quant import slice_layer, w4a16_matmul_xla
+
+            self.quant_matmul = lambda x, ql, l: w4a16_matmul_xla(
+                x, slice_layer(ql, l)
+            )
+        else:
+            from scratchpad_tpu.ops.quant.pallas_w4 import w4a16_matmul_pallas
+
+            self.quant_matmul = w4a16_matmul_pallas
 
     # ------------------------------------------------------------- parameters
 
@@ -191,13 +202,23 @@ class LlamaForCausalLM:
         else:
             attend = self.extend_attention
 
+        # quantized weights are captured (not scan-sliced): the Pallas W4
+        # kernel indexes the layer via a prefetched BlockSpec so no
+        # per-layer dynamic-slice copy ever materialises
+        qlayers = params.get("layers_q")
+
+        def lin(x_, lp, name, lidx):
+            if qlayers is not None and name in qlayers:
+                return self.quant_matmul(x_, qlayers[name], lidx)
+            return x_ @ lp[name]
+
         def body(carry, layer):
             x, k_cache, v_cache = carry
             lp, lidx = layer
             h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-            q = h @ lp["wq"]
-            kn = h @ lp["wk"]
-            vn = h @ lp["wv"]
+            q = lin(h, lp, "wq", lidx)
+            kn = lin(h, lp, "wk", lidx)
+            vn = lin(h, lp, "wv", lidx)
             if cfg.attention_bias:
                 q = q + lp["bq"]
                 kn = kn + lp["bk"]
@@ -224,9 +245,14 @@ class LlamaForCausalLM:
                 logit_cap=cfg.attn_logit_softcap,
                 sliding_window=None,
             )
-            x = x + attn.reshape(T, Hq * D) @ lp["wo"]
+            x = x + lin(attn.reshape(T, Hq * D), lp, "wo", lidx)
             h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
-            x = x + silu_mul(h2 @ lp["gate"], h2 @ lp["up"]) @ lp["down"]
+            x = x + lin(
+                silu_mul(lin(h2, lp, "gate", lidx), lin(h2, lp, "up", lidx)),
+                lp,
+                "down",
+                lidx,
+            )
             return (x, k_cache, v_cache), None
 
         (x, k_cache, v_cache), _ = jax.lax.scan(

@@ -1,0 +1,85 @@
+"""Pallas fused dequant+matmul for W4A16 on TPU.
+
+The MXU-fused equivalent of triteia's quantized GEMM
+(reference: scratchpad/nn/layers/linear.py:24 sparse_low_precision_linear).
+Packed nibbles stay packed all the way into VMEM — HBM weight traffic is
+In*Out/2 bytes + tiny scales — and dequant (unpack, -zero, *scale) happens
+on the VPU right before the MXU dot.
+
+Layer-stacked weights are indexed with a scalar-prefetch layer id in the
+BlockSpec index map, so calling this inside the model's layer scan reads the
+one layer's block straight from HBM with no dynamic-slice materialisation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from scratchpad_tpu.ops.quant.w4a16 import QuantizedLinear
+
+
+def _w4_kernel(layer_ref, x_ref, q_ref, s_ref, z_ref, o_ref, *, group_size):
+    half, out_blk = q_ref.shape[1], q_ref.shape[2]
+    x = x_ref[...]
+    dtype = x.dtype
+    qw = q_ref[0]  # [half, OUT_BLK] uint8
+    lo = (qw & 0xF).astype(dtype)
+    hi = (qw >> 4).astype(dtype)
+    s = s_ref[0].astype(dtype)  # [G, OUT_BLK]
+    z = z_ref[0].astype(dtype)
+    # row-repeat each group's scale to its rows ([G, O] -> [G*group, O])
+    s_rows = jnp.repeat(s, group_size, axis=0)
+    z_rows = jnp.repeat(z, group_size, axis=0)
+    w_lo = (lo - z_rows[:half]) * s_rows[:half]
+    w_hi = (hi - z_rows[half:]) * s_rows[half:]
+    acc = jax.lax.dot(
+        x[:, :half], w_lo, preferred_element_type=jnp.float32
+    ) + jax.lax.dot(x[:, half:], w_hi, preferred_element_type=jnp.float32)
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "out_block"))
+def _w4_call(x, q, s, z, layer_idx, *, group_size, out_block):
+    B, In = x.shape
+    L, half, Out = q.shape
+    G = s.shape[1]
+    OUT_BLK = min(out_block, Out)
+    assert Out % OUT_BLK == 0
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Out // OUT_BLK,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x full
+            pl.BlockSpec((1, half, OUT_BLK), lambda o, l: (l[0], 0, o)),
+            pl.BlockSpec((1, G, OUT_BLK), lambda o, l: (l[0], 0, o)),
+            pl.BlockSpec((1, G, OUT_BLK), lambda o, l: (l[0], 0, o)),
+        ],
+        out_specs=pl.BlockSpec((B, OUT_BLK), lambda o, l: (0, o)),
+    )
+    return pl.pallas_call(
+        functools.partial(_w4_kernel, group_size=group_size),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Out), x.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(jnp.atleast_1d(layer_idx).astype(jnp.int32), x, q, s, z)
+
+
+def w4a16_matmul_pallas(
+    x: jax.Array, ql: QuantizedLinear, layer_idx, out_block: int = 512
+) -> jax.Array:
+    """x [B, In] @ stacked quantized W[L][In, Out], selecting layer_idx."""
+    return _w4_call(
+        x,
+        ql.q,
+        ql.s,
+        ql.z,
+        layer_idx,
+        group_size=ql.group_size,
+        out_block=out_block,
+    )

@@ -1,0 +1,183 @@
+"""W4A16 group-quantized weights (triteia sparse_low_precision_linear
+equivalent; reference: scratchpad/nn/layers/linear.py:1166 TritelaLinear).
+
+Packing ("nibble planes"): a weight W[In, Out] is stored as
+
+    q : uint8 [In/2, Out]   low nibble  = rows [0, In/2)
+                            high nibble = rows [In/2, In)
+    s : f32/bf16 [In/group, Out]  per-(group, out) scales
+    z : f32/bf16 [In/group, Out]  per-(group, out) zero points (in quant units)
+
+so dequant is two independent halves with NO row interleaving — the unpack
+is a pure elementwise op and the matmul splits into
+``x[:, :In/2] @ W_lo + x[:, In/2:] @ W_hi``. Group axis runs along In
+(GPTQ/AWQ convention), and In/2 must be a multiple of group_size so each
+nibble plane sees whole groups.
+
+Values are unsigned 4-bit: w = (nibble - z) * s.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class QuantizedLinear:
+    """Pytree for one (possibly layer-stacked) quantized weight."""
+
+    q: jax.Array  # uint8 [..., In/2, Out]
+    s: jax.Array  # [..., In/group, Out]
+    z: jax.Array  # [..., In/group, Out]
+    group_size: int = 128  # static
+
+    @property
+    def in_features(self) -> int:
+        return self.q.shape[-2] * 2
+
+    @property
+    def out_features(self) -> int:
+        return self.q.shape[-1]
+
+
+jax.tree_util.register_dataclass(
+    QuantizedLinear, data_fields=["q", "s", "z"], meta_fields=["group_size"]
+)
+
+
+def quantize_w4(
+    w: np.ndarray, group_size: int = 128, dtype=jnp.bfloat16
+) -> QuantizedLinear:
+    """Asymmetric per-group 4-bit quantization of W[In, Out] (host-side)."""
+    w = np.asarray(w, np.float32)
+    In, Out = w.shape
+    assert In % (2 * group_size) == 0 or (In % 2 == 0 and (In // 2) % group_size == 0), (
+        f"In={In} not compatible with group={group_size}"
+    )
+    G = In // group_size
+    wg = w.reshape(G, group_size, Out)
+    wmin = wg.min(axis=1)  # [G, Out]
+    wmax = wg.max(axis=1)
+    scale = np.maximum((wmax - wmin) / 15.0, 1e-8)
+    zero = np.round(-wmin / scale)  # in quant units, [0, 15]
+    q = np.clip(np.round(wg / scale[:, None, :]) + zero[:, None, :], 0, 15)
+    q = q.reshape(In, Out).astype(np.uint8)
+    lo, hi = q[: In // 2], q[In // 2 :]
+    packed = (lo | (hi << 4)).astype(np.uint8)
+    return QuantizedLinear(
+        q=jnp.asarray(packed),
+        s=jnp.asarray(scale, dtype),
+        z=jnp.asarray(zero, dtype),
+        group_size=group_size,
+    )
+
+
+def _expand_groups(x: jax.Array, group_size: int) -> jax.Array:
+    """[G, Out] -> [G*group, Out] by repeating each group row."""
+    G, Out = x.shape[-2], x.shape[-1]
+    return jnp.repeat(x, group_size, axis=-2)
+
+
+def dequantize_w4(ql: QuantizedLinear, dtype=jnp.bfloat16) -> jax.Array:
+    """Full dequant back to [In, Out] (reference/debug path)."""
+    lo = (ql.q & 0xF).astype(jnp.float32)
+    hi = (ql.q >> 4).astype(jnp.float32)
+    nibbles = jnp.concatenate([lo, hi], axis=-2)  # [In, Out]
+    s = _expand_groups(ql.s.astype(jnp.float32), ql.group_size)
+    z = _expand_groups(ql.z.astype(jnp.float32), ql.group_size)
+    return ((nibbles - z) * s).astype(dtype)
+
+
+def quantize_stacked(
+    w_stacked: Any, group_size: int = 128, dtype=jnp.bfloat16
+) -> QuantizedLinear:
+    """Quantize a layer-stacked weight [L, In, Out] into stacked planes."""
+    w = np.asarray(w_stacked, np.float32)
+    L, In, _ = w.shape
+    g = min(group_size, In // 2)
+    qs = [quantize_w4(w[l], g, dtype) for l in range(L)]
+    return QuantizedLinear(
+        q=jnp.stack([x.q for x in qs]),
+        s=jnp.stack([x.s for x in qs]),
+        z=jnp.stack([x.z for x in qs]),
+        group_size=g,
+    )
+
+
+QUANT_TARGETS = ("wq", "wk", "wv", "wo", "gate", "up", "down")
+
+
+def quantize_model_params(params: dict, group_size: int = 128) -> dict:
+    """Replace the large decoder weights with 4-bit planes.
+
+    params["layers"][t] -> params["layers_q"][t] for t in QUANT_TARGETS. The
+    quantized arrays are NOT scan-sliced (the model captures them and indexes
+    by layer id inside the Pallas kernel's prefetched BlockSpec).
+    """
+    layers = dict(params["layers"])
+    layers_q = {}
+    for t in QUANT_TARGETS:
+        if t in layers:
+            layers_q[t] = quantize_stacked(layers.pop(t), group_size)
+    out = dict(params)
+    out["layers"] = layers
+    out["layers_q"] = layers_q
+    return out
+
+
+def quant_param_specs(base_specs: dict, params: dict, tp_axis: str = "tp"):
+    """Mirror a quantized param tree with PartitionSpecs.
+
+    Column-parallel weights (wq/wk/wv/gate/up) shard the Out axis; the
+    row-parallel ones (wo/down) shard the In axis, which for the planes is
+    the q row axis and the s/z group axis.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    specs = dict(base_specs)
+    specs["layers"] = {
+        k: v for k, v in base_specs["layers"].items() if k in params["layers"]
+    }
+    lq = {}
+    for name, ql in params["layers_q"].items():
+        if name in ("wo", "down"):
+            spec = P(None, tp_axis, None)
+        else:
+            spec = P(None, None, tp_axis)
+        lq[name] = QuantizedLinear(
+            q=spec, s=spec, z=spec, group_size=ql.group_size
+        )
+    specs["layers_q"] = lq
+    return specs
+
+
+def slice_layer(ql: QuantizedLinear, layer_idx) -> QuantizedLinear:
+    return QuantizedLinear(
+        q=ql.q[layer_idx],
+        s=ql.s[layer_idx],
+        z=ql.z[layer_idx],
+        group_size=ql.group_size,
+    )
+
+
+def w4a16_matmul_xla(x: jax.Array, ql: QuantizedLinear) -> jax.Array:
+    """x[..., In] @ W — XLA path: fused unpack+dequant then two matmuls.
+
+    XLA fuses the elementwise dequant into the matmul read on TPU; the
+    Pallas kernel (pallas_w4.py) additionally keeps the packed bytes in
+    VMEM to halve HBM traffic.
+    """
+    half = ql.q.shape[-2]
+    dtype = x.dtype
+    lo = (ql.q & 0xF).astype(dtype)
+    hi = (ql.q >> 4).astype(dtype)
+    s = _expand_groups(ql.s, ql.group_size).astype(dtype)
+    z = _expand_groups(ql.z, ql.group_size).astype(dtype)
+    w_lo = (lo - z[..., :half, :]) * s[..., :half, :]
+    w_hi = (hi - z[..., half:, :]) * s[..., half:, :]
+    return x[..., :half] @ w_lo + x[..., half:] @ w_hi
