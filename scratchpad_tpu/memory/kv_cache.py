@@ -3,21 +3,26 @@
 TPU-native analogue of MHATokenToKVPool (reference: scratchpad/memory/pool.py:258-424).
 All layers live in two stacked device arrays
 
-    k_cache, v_cache : [num_layers, num_kv_heads, num_slots, head_dim]
+    k_cache, v_cache : [num_kv_heads, num_layers, num_slots, head_dim]
 
 where ``num_slots = num_pages * page_size`` and page ``p`` owns the contiguous
 slot range ``[p*page_size, (p+1)*page_size)``. The head-major layout makes a
 page's KV for one head a contiguous [page_size, head_dim] slab — the unit the
-Pallas decode kernel DMAs from HBM. Writes are scatters at ``out_cache_loc``
-slot indices computed by the scheduler; there is no separate per-layer buffer
-list like the reference keeps.
+Pallas decode kernel DMAs from HBM — and putting layers *inside* the head
+axis lets the (layer, page) pair fold into one global page index
+``layer * pages_per_layer + page``, so paged-attention kernels see a single
+[Hkv, total_pages, page_size, head_dim] pool with no per-layer slicing.
+
+Writes are scatters at ``out_cache_loc`` slot indices computed by the
+scheduler; there is no per-layer buffer list like the reference keeps
+(scratchpad/memory/pool.py:258-424).
 
 Quantized KV (int8) stores values as int8 plus per-slot-per-head float scales
-(k_scale/v_scale: [num_layers, num_kv_heads, num_slots]); the reference instead
-uses static per-layer scales for fp8 (pool.py:274-278) which loses accuracy.
+(k_scale/v_scale: [num_kv_heads, num_layers, num_slots]); the reference
+instead uses static per-layer scales for fp8 (pool.py:274-278).
 
-Sharding: the kv-head axis is sharded over the mesh's "tp" axis, matching the
-attention-head sharding of the model.
+Sharding: the leading kv-head axis is sharded over the mesh's "tp" axis,
+matching the attention-head sharding of the model.
 """
 
 from __future__ import annotations
@@ -56,9 +61,9 @@ class KVCacheConfig:
 class KVCache:
     """Pytree of device arrays holding the paged cache."""
 
-    k: jax.Array  # [L, Hkv, S, D]
-    v: jax.Array  # [L, Hkv, S, D]
-    k_scale: Optional[jax.Array] = None  # [L, Hkv, S] f32 when quantized
+    k: jax.Array  # [Hkv, L, S, D]
+    v: jax.Array  # [Hkv, L, S, D]
+    k_scale: Optional[jax.Array] = None  # [Hkv, L, S] f32 when quantized
     v_scale: Optional[jax.Array] = None
 
 
@@ -70,12 +75,12 @@ jax.tree_util.register_dataclass(
 def create_kv_cache(
     cfg: KVCacheConfig, mesh: Optional[Mesh] = None, tp_axis: str = "tp"
 ) -> KVCache:
-    shape = (cfg.num_layers, cfg.num_kv_heads, cfg.num_slots, cfg.head_dim)
+    shape = (cfg.num_kv_heads, cfg.num_layers, cfg.num_slots, cfg.head_dim)
     store_dtype = jnp.int8 if cfg.quantized else cfg.dtype
 
     if mesh is not None:
-        kv_sharding = NamedSharding(mesh, P(None, tp_axis, None, None))
-        scale_sharding = NamedSharding(mesh, P(None, tp_axis, None))
+        kv_sharding = NamedSharding(mesh, P(tp_axis, None, None, None))
+        scale_sharding = NamedSharding(mesh, P(tp_axis, None, None))
     else:
         kv_sharding = scale_sharding = None
 

@@ -4,13 +4,16 @@ Replaces the reference's FlashInfer paged decode and its 2-stage Triton
 flash-decode (reference: scratchpad/nn/attention/triton_attn/decode_attention.py:12-608)
 with a single-pass online-softmax kernel over the paged cache:
 
-- grid (batch,): each program owns one request. All kv heads are processed
-  together so one DMA per page moves the [Hkv, page_size, D] slab (the
-  head-major cache layout [L, Hkv, S, D] makes each head's slice contiguous)
-- pages are copied HBM->VMEM in chunks of CHUNK_PAGES with double buffering,
-  overlapped with the batched-by-head dot products
-- online softmax (m, l, acc) runs in f32; masked slots use -1e30 so padded
-  rows stay finite; seq_len == 0 rows (batch padding) write zeros
+- the [Hkv, L, S, D] cache is viewed as one global page pool
+  [Hkv, L*Ptot, page_size, D]; the layer is folded into the page index
+  host-side (global_page = layer * Ptot + page), so the kernel never slices
+  a layer out of the cache
+- grid (batch,): each program owns one request and all kv heads; pages are
+  DMA'd HBM->VMEM per (head, page) — integer indexing only, which keeps
+  every copied block's trailing dims full and tile-aligned — in chunks of
+  CHUNK_PAGES with double buffering
+- online softmax (m, l, acc) in f32; seq_len == 0 rows (batch padding)
+  write zeros
 
 Decode is HBM-bound: the kernel reads exactly the live KV (ceil to chunk)
 instead of the padded dense gather the XLA backend does.
@@ -34,19 +37,18 @@ CHUNK_PAGES = 8  # pages per buffered chunk
 
 def _decode_kernel(
     # scalar prefetch
-    layer_ref,  # i32[1]
-    pt_ref,  # i32[B, P] page table
+    pt_ref,  # i32[B, P] global page table (layer folded in)
     len_ref,  # i32[B] seq lens
     # inputs
     q_ref,  # VMEM [B, Hq, D] (full array)
-    k_hbm,  # ANY  [L, Hkv, Ptot, ps, D] (paged 5-D view of the cache)
+    k_hbm,  # ANY  [Hkv, Pglobal, ps, D]
     v_hbm,
     # output
     o_ref,  # VMEM [B, Hq, D]
     # scratch
     k_buf,  # VMEM [2, Hkv, CHUNK_PAGES, ps, D]
     v_buf,
-    sems,  # DMA sems [2, 2, CHUNK_PAGES]
+    sems,  # DMA sems [2, 2]
     *,
     page_size: int,
     sm_scale: float,
@@ -55,7 +57,6 @@ def _decode_kernel(
     sliding_window: Optional[int],
 ):
     b = pl.program_id(0)
-    layer = layer_ref[0]
     seq_len = len_ref[b]
     CHUNK = CHUNK_PAGES * page_size
     Hq, D = q_ref.shape[1], q_ref.shape[2]
@@ -63,19 +64,19 @@ def _decode_kernel(
     G = Hq // Hkv
 
     def chunk_dmas(c, slot):
-        """DMA descriptors for chunk c (one per page, all heads at once).
-
-        Pages are integer-indexed (never sliced) so the copied block keeps
-        full, tile-aligned trailing dims regardless of head_dim."""
+        """One copy per (head, page); integer indices only."""
         out = []
-        for j in range(CHUNK_PAGES):
-            page = pt_ref[b, c * CHUNK_PAGES + j]
-            for buf, hbm, kind in ((k_buf, k_hbm, 0), (v_buf, v_hbm, 1)):
+        for h in range(Hkv):
+            for j in range(CHUNK_PAGES):
+                page = pt_ref[b, c * CHUNK_PAGES + j]
                 out.append(
                     pltpu.make_async_copy(
-                        hbm.at[layer, :, page],
-                        buf.at[slot, :, j],
-                        sems.at[slot, kind, j],
+                        k_hbm.at[h, page], k_buf.at[slot, h, j], sems.at[slot, 0]
+                    )
+                )
+                out.append(
+                    pltpu.make_async_copy(
+                        v_hbm.at[h, page], v_buf.at[slot, h, j], sems.at[slot, 1]
                     )
                 )
         return out
@@ -88,10 +89,7 @@ def _decode_kernel(
         for dma in chunk_dmas(c, slot):
             dma.wait()
 
-    # [Hkv, G, D] f32, pre-scaled
-    q = (
-        q_ref[b].astype(jnp.float32).reshape(Hkv, G, D) * sm_scale
-    )
+    q = q_ref[b].astype(jnp.float32).reshape(Hkv, G, D) * sm_scale
 
     @pl.when(seq_len > 0)
     def _():
@@ -100,7 +98,6 @@ def _decode_kernel(
     def body(c, carry):
         m, l, acc = carry
         slot = c % 2
-        chunk_start = c * CHUNK
 
         @pl.when((c + 1) * CHUNK < seq_len)
         def _():
@@ -116,9 +113,7 @@ def _decode_kernel(
         )
         if logit_cap is not None:
             s = logit_cap * jnp.tanh(s / logit_cap)
-        idx = chunk_start + jax.lax.broadcasted_iota(
-            jnp.int32, (Hkv, G, CHUNK), 2
-        )
+        idx = c * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (Hkv, G, CHUNK), 2)
         mask = idx < seq_len
         if sliding_window is not None:
             mask &= idx >= seq_len - sliding_window
@@ -128,7 +123,6 @@ def _decode_kernel(
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        # [Hkv, G, CHUNK] x [Hkv, CHUNK, D] -> [Hkv, G, D]
         acc_new = acc * alpha + jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
@@ -152,18 +146,19 @@ def _paged_decode_call(
     *, page_size, sm_scale, logit_cap, sliding_window,
 ):
     B, Hq, D = q.shape
-    L, Hkv, S, _ = k_cache.shape
+    Hkv, L, S, _ = k_cache.shape
     Ptot = S // page_size
-    # paged 5-D view; contiguous reshape, no copy
-    k_cache = k_cache.reshape(L, Hkv, Ptot, page_size, D)
-    v_cache = v_cache.reshape(L, Hkv, Ptot, page_size, D)
+    # global page pool view; contiguous reshape, no copy
+    k_pages = k_cache.reshape(Hkv, L * Ptot, page_size, D)
+    v_pages = v_cache.reshape(Hkv, L * Ptot, page_size, D)
     P = page_table.shape[1]
-    # pad page table width to a CHUNK_PAGES multiple (dump page 0)
     P_pad = -(-P // CHUNK_PAGES) * CHUNK_PAGES
     if P_pad != P:
         page_table = jnp.pad(page_table, ((0, 0), (0, P_pad - P)))
+    # fold the layer into the page index (padding pages point at page 0 of
+    # this layer — harmless, they are masked)
+    page_table = page_table + layer_idx.astype(jnp.int32) * Ptot
     num_chunks = P_pad // CHUNK_PAGES
-    CHUNK = CHUNK_PAGES * page_size
 
     kernel = functools.partial(
         _decode_kernel,
@@ -174,7 +169,7 @@ def _paged_decode_call(
         sliding_window=sliding_window,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # q: full array
@@ -185,7 +180,7 @@ def _paged_decode_call(
         scratch_shapes=[
             pltpu.VMEM((2, Hkv, CHUNK_PAGES, page_size, D), k_cache.dtype),
             pltpu.VMEM((2, Hkv, CHUNK_PAGES, page_size, D), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, 2, CHUNK_PAGES)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out = pl.pallas_call(
@@ -194,19 +189,18 @@ def _paged_decode_call(
         out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
         interpret=jax.default_backend() == "cpu",
     )(
-        jnp.atleast_1d(layer_idx).astype(jnp.int32),
         page_table.astype(jnp.int32),
         seq_lens.astype(jnp.int32),
         q,
-        k_cache,
-        v_cache,
+        k_pages,
+        v_pages,
     )
     return out
 
 
 def decode_attention_pallas(
     q: jax.Array,  # [B, Hq, D]
-    k_cache: jax.Array,  # [L, Hkv, S, D]
+    k_cache: jax.Array,  # [Hkv, L, S, D]
     v_cache: jax.Array,
     layer_idx: jax.Array,
     meta: ForwardMeta,
@@ -221,7 +215,7 @@ def decode_attention_pallas(
         q,
         k_cache,
         v_cache,
-        layer_idx,
+        jnp.asarray(layer_idx),
         meta.page_table,
         meta.seq_lens,
         page_size=page_size,

@@ -23,7 +23,7 @@ _NEG = -1e30
 
 
 def write_kv(
-    k_cache: jax.Array,  # [L, Hkv, S, D]
+    k_cache: jax.Array,  # [Hkv, L, S, D]
     v_cache: jax.Array,
     k_new: jax.Array,  # [T, Hkv, D]
     v_new: jax.Array,
@@ -32,14 +32,13 @@ def write_kv(
 ) -> tuple[jax.Array, jax.Array]:
     """Scatter new KV rows into the cache (set_kv_buffer analogue,
     reference: scratchpad/memory/pool.py:392-424)."""
-    # advanced indices (layer_idx, out_cache_loc) are separated by the head
-    # slice, so numpy indexing rules put the broadcast [T] dim first: the
-    # update shape is [T, Hkv, D] — exactly k_new's layout
-    k_cache = k_cache.at[layer_idx, :, out_cache_loc, :].set(
-        k_new.astype(k_cache.dtype)
+    # adjacent advanced indices (layer_idx, out_cache_loc) broadcast to [T]
+    # in place, so the update shape is [Hkv, T, D]
+    k_cache = k_cache.at[:, layer_idx, out_cache_loc, :].set(
+        k_new.astype(k_cache.dtype).transpose(1, 0, 2)
     )
-    v_cache = v_cache.at[layer_idx, :, out_cache_loc, :].set(
-        v_new.astype(v_cache.dtype)
+    v_cache = v_cache.at[:, layer_idx, out_cache_loc, :].set(
+        v_new.astype(v_cache.dtype).transpose(1, 0, 2)
     )
     return k_cache, v_cache
 
@@ -51,10 +50,8 @@ def _gather_kv(k_cache, v_cache, layer_idx, meta: ForwardMeta, page_size: int):
     slots = (
         meta.page_table[:, :, None] * page_size + offsets[None, None, :]
     ).reshape(B, maxp * page_size)
-    k_l = k_cache[layer_idx]  # [Hkv, S, D]
-    v_l = v_cache[layer_idx]
-    k = k_l[:, slots].transpose(1, 2, 0, 3)  # [B, S_max, Hkv, D]
-    v = v_l[:, slots].transpose(1, 2, 0, 3)
+    k = k_cache[:, layer_idx, slots].transpose(1, 2, 0, 3)  # [B, S_max, Hkv, D]
+    v = v_cache[:, layer_idx, slots].transpose(1, 2, 0, 3)
     return k, v
 
 

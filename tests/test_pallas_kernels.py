@@ -14,8 +14,8 @@ def make_case(B=4, Hq=8, Hkv=2, D=64, ps=16, P=16, L=2, seed=0, dtype=jnp.float3
     rng = np.random.default_rng(seed)
     S = (P * B + 1) * ps  # enough distinct pages
     q = jnp.asarray(rng.normal(size=(B, Hq, D)), dtype)
-    k = jnp.asarray(rng.normal(size=(L, Hkv, S, D)), dtype)
-    v = jnp.asarray(rng.normal(size=(L, Hkv, S, D)), dtype)
+    k = jnp.asarray(rng.normal(size=(Hkv, L, S, D)), dtype)
+    v = jnp.asarray(rng.normal(size=(Hkv, L, S, D)), dtype)
     # distinct pages per request; page 0 reserved
     pt = np.zeros((B, P), np.int32)
     seq_lens = rng.integers(1, P * ps, B).astype(np.int32)
@@ -77,9 +77,9 @@ def test_decode_kernel_gqa_grouping():
     B, Hq, Hkv, D, ps, P, L = 1, 4, 2, 64, 16, 8, 1
     S = 64 * ps
     # k/v distinct per head: head 0 KV = 1s, head 1 KV = 2s (values v likewise)
-    k = jnp.ones((L, Hkv, S, D), jnp.float32)
+    k = jnp.ones((Hkv, L, S, D), jnp.float32)
     v = jnp.concatenate(
-        [jnp.full((L, 1, S, D), 5.0), jnp.full((L, 1, S, D), 7.0)], axis=1
+        [jnp.full((1, L, S, D), 5.0), jnp.full((1, L, S, D), 7.0)], axis=0
     )
     q = jnp.ones((B, Hq, D), jnp.float32)
     meta = ForwardMeta(
