@@ -135,12 +135,14 @@ class ModelRunner:
         self.max_context_len = server_args.context_length or cfg.context_len
         num_tokens = self._profile_kv_tokens()
         num_pages = num_tokens // self.page_size + 1  # +1 = reserved dump page
+        from scratchpad_tpu.memory.kv_cache import padded_head_dim
+
         self.kv_config = KVCacheConfig(
             num_layers=cfg.num_hidden_layers,
             num_pages=num_pages,
             page_size=self.page_size,
             num_kv_heads=cfg.num_kv_heads,
-            head_dim=cfg.head_dim,
+            head_dim=padded_head_dim(cfg.head_dim),
             dtype=self._dtype(),
             quantized=self.args.kv_cache_dtype == "int8",
         )
@@ -223,9 +225,17 @@ class ModelRunner:
         return 2**16
 
     def kv_bytes_per_token(self) -> int:
+        from scratchpad_tpu.memory.kv_cache import padded_head_dim
+
         cfg = self.model_config
         itemsize = 1 if self.args.kv_cache_dtype == "int8" else jnp.dtype(self._dtype()).itemsize
-        return 2 * cfg.num_hidden_layers * cfg.num_kv_heads * cfg.head_dim * itemsize
+        return (
+            2
+            * cfg.num_hidden_layers
+            * cfg.num_kv_heads
+            * padded_head_dim(cfg.head_dim)
+            * itemsize
+        )
 
     # ------------------------------------------------- packed single-RPC path
     #

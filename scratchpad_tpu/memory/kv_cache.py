@@ -35,6 +35,15 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def padded_head_dim(d: int) -> int:
+    """Round head_dim up to the 128-lane tile. Pallas paged kernels (ours
+    and jax's) cannot express per-page [page_size, D] VMEM slices when
+    D < 128 — mosaic packs two pages per lane row. Zero-padding the D axis
+    costs nothing for D=128 models (Llama-8B/70B, Qwen) and 2x KV for small
+    D=64 models."""
+    return max(128, -(-d // 128) * 128)
+
+
 @dataclasses.dataclass(frozen=True)
 class KVCacheConfig:
     num_layers: int

@@ -61,7 +61,11 @@ def decode_attention_jax_paged(
     sliding_window: Optional[int] = None,
 ) -> jax.Array:
     assert sliding_window is None, "sliding window unsupported by this backend"
-    return _call(
+    D = q.shape[-1]
+    Dp = k_cache.shape[-1]
+    if Dp != D:  # cache head_dim is lane-padded
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, Dp - D)])
+    out = _call(
         q,
         k_cache,
         v_cache,
@@ -72,3 +76,4 @@ def decode_attention_jax_paged(
         sm_scale=sm_scale,
         logit_cap=logit_cap,
     )
+    return out[..., :D]

@@ -211,7 +211,11 @@ def decode_attention_pallas(
     sliding_window: Optional[int] = None,
 ) -> jax.Array:
     """Drop-in replacement for decode_attention_xla (same signature)."""
-    return _paged_decode_call(
+    D = q.shape[-1]
+    Dp = k_cache.shape[-1]
+    if Dp != D:  # cache head_dim is lane-padded
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, Dp - D)])
+    out = _paged_decode_call(
         q,
         k_cache,
         v_cache,
@@ -223,3 +227,4 @@ def decode_attention_pallas(
         logit_cap=logit_cap,
         sliding_window=sliding_window,
     )
+    return out[..., :D]

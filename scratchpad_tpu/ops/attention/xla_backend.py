@@ -32,6 +32,12 @@ def write_kv(
 ) -> tuple[jax.Array, jax.Array]:
     """Scatter new KV rows into the cache (set_kv_buffer analogue,
     reference: scratchpad/memory/pool.py:392-424)."""
+    Dp = k_cache.shape[-1]
+    D = k_new.shape[-1]
+    if Dp != D:  # cache head_dim is lane-padded (see kv_cache.padded_head_dim)
+        pad = [(0, 0), (0, 0), (0, Dp - D)]
+        k_new = jnp.pad(k_new, pad)
+        v_new = jnp.pad(v_new, pad)
     # adjacent advanced indices (layer_idx, out_cache_loc) broadcast to [T]
     # in place, so the update shape is [Hkv, T, D]
     k_cache = k_cache.at[:, layer_idx, out_cache_loc, :].set(
@@ -41,6 +47,13 @@ def write_kv(
         v_new.astype(v_cache.dtype).transpose(1, 0, 2)
     )
     return k_cache, v_cache
+
+
+def _pad_q(q: jax.Array, Dp: int) -> jax.Array:
+    D = q.shape[-1]
+    if D == Dp:
+        return q
+    return jnp.pad(q, [(0, 0)] * (q.ndim - 1) + [(0, Dp - D)])
 
 
 def _gather_kv(k_cache, v_cache, layer_idx, meta: ForwardMeta, page_size: int):
@@ -74,11 +87,13 @@ def decode_attention_xla(
     sliding_window: Optional[int] = None,
 ) -> jax.Array:
     B, Hq, D = q.shape
+    q = _pad_q(q, k_cache.shape[-1])
+    Dp = q.shape[-1]
     k, v = _gather_kv(k_cache, v_cache, layer_idx, meta, page_size)
     S = k.shape[1]
     Hkv = k.shape[2]
     G = Hq // Hkv
-    qg = q.reshape(B, Hkv, G, D)
+    qg = q.reshape(B, Hkv, G, Dp)
     scores = jnp.einsum(
         "bhgd,bshd->bhgs", qg.astype(jnp.float32), k.astype(jnp.float32)
     )
@@ -90,7 +105,7 @@ def decode_attention_xla(
     scores = jnp.where(valid[:, None, None, :], scores, _NEG)
     p = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhgs,bshd->bhgd", p, v.astype(jnp.float32))
-    return out.reshape(B, Hq, D).astype(q.dtype)
+    return out.reshape(B, Hq, Dp)[..., :D].astype(q.dtype)
 
 
 def extend_attention_xla(
@@ -113,23 +128,25 @@ def extend_attention_xla(
     this (flashinfer_backend.py:419-440); here the paged cache unifies it.
     """
     T, Hq, D = q.shape
+    q = _pad_q(q, k_cache.shape[-1])
+    Dp = q.shape[-1]
     B = meta.batch_size
     k, v = _gather_kv(k_cache, v_cache, layer_idx, meta, page_size)
     S = k.shape[1]
     Hkv = k.shape[2]
     G = Hq // Hkv
 
-    # scatter flat queries to padded [B, T, Hq, D] (E_max = T upper bound)
+    # scatter flat queries to padded [B, T, Hq, Dp] (E_max = T upper bound)
     starts = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(meta.extend_lens)[:-1]]
     )
     intra = jnp.arange(T, dtype=jnp.int32) - starts[meta.req_indices]
-    qp = jnp.zeros((B, T, Hq, D), q.dtype)
+    qp = jnp.zeros((B, T, Hq, Dp), q.dtype)
     qp = qp.at[meta.req_indices, intra].set(q)
     pos_p = jnp.zeros((B, T), jnp.int32)
     pos_p = pos_p.at[meta.req_indices, intra].set(meta.positions)
 
-    qg = qp.reshape(B, T, Hkv, G, D)
+    qg = qp.reshape(B, T, Hkv, G, Dp)
     scores = jnp.einsum(
         "bthgd,bshd->bhgts", qg.astype(jnp.float32), k.astype(jnp.float32)
     )
@@ -142,6 +159,6 @@ def extend_attention_xla(
     scores = jnp.where(valid[:, None, None, :, :], scores, _NEG)
     p = jax.nn.softmax(scores, axis=-1)
     outp = jnp.einsum("bhgts,bshd->bthgd", p, v.astype(jnp.float32))
-    outp = outp.reshape(B, T, Hq, D)
-    out = outp[meta.req_indices, intra]
+    outp = outp.reshape(B, T, Hq, Dp)
+    out = outp[meta.req_indices, intra][..., :D]
     return out.astype(q.dtype)

@@ -11,11 +11,15 @@ from scratchpad_tpu.ops.attention.xla_backend import decode_attention_xla
 
 
 def make_case(B=4, Hq=8, Hkv=2, D=64, ps=16, P=16, L=2, seed=0, dtype=jnp.float32):
+    from scratchpad_tpu.memory.kv_cache import padded_head_dim
+
     rng = np.random.default_rng(seed)
     S = (P * B + 1) * ps  # enough distinct pages
+    Dp = padded_head_dim(D)
     q = jnp.asarray(rng.normal(size=(B, Hq, D)), dtype)
-    k = jnp.asarray(rng.normal(size=(Hkv, L, S, D)), dtype)
-    v = jnp.asarray(rng.normal(size=(Hkv, L, S, D)), dtype)
+    # cache head_dim is lane-padded; padded region content is irrelevant
+    k = jnp.asarray(rng.normal(size=(Hkv, L, S, Dp)), dtype)
+    v = jnp.asarray(rng.normal(size=(Hkv, L, S, Dp)), dtype)
     # distinct pages per request; page 0 reserved
     pt = np.zeros((B, P), np.int32)
     seq_lens = rng.integers(1, P * ps, B).astype(np.int32)
@@ -77,9 +81,12 @@ def test_decode_kernel_gqa_grouping():
     B, Hq, Hkv, D, ps, P, L = 1, 4, 2, 64, 16, 8, 1
     S = 64 * ps
     # k/v distinct per head: head 0 KV = 1s, head 1 KV = 2s (values v likewise)
-    k = jnp.ones((Hkv, L, S, D), jnp.float32)
+    from scratchpad_tpu.memory.kv_cache import padded_head_dim
+
+    Dp = padded_head_dim(D)
+    k = jnp.ones((Hkv, L, S, Dp), jnp.float32)
     v = jnp.concatenate(
-        [jnp.full((1, L, S, D), 5.0), jnp.full((1, L, S, D), 7.0)], axis=0
+        [jnp.full((1, L, S, Dp), 5.0), jnp.full((1, L, S, Dp), 7.0)], axis=0
     )
     q = jnp.ones((B, Hq, D), jnp.float32)
     meta = ForwardMeta(
