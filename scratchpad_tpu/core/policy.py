@@ -23,11 +23,15 @@ class SchedulePolicy:
         self.policy = policy
         self.tree_cache = tree_cache
 
+    def _tree(self, r: Req):
+        tc = self.tree_cache
+        return tc.for_req(r) if hasattr(tc, "for_req") else tc
+
     def calc_priority(self, waiting_queue: list[Req]) -> None:
         policy = self.policy
         if policy == "lpm":
             for r in waiting_queue:
-                m = self.tree_cache.match_prefix(r.origin_input_ids)
+                m = self._tree(r).match_prefix(r.origin_input_ids)
                 r.cached_prefix_len = m.num_pages * self.tree_cache.page_size
                 # note: match result nodes are re-resolved at admission time
             waiting_queue.sort(key=lambda r: -r.cached_prefix_len)
@@ -48,7 +52,7 @@ class SchedulePolicy:
         node_reqs: dict[int, list[Req]] = {}
         node_of: dict[int, object] = {}
         for r in waiting_queue:
-            m = self.tree_cache.match_prefix(r.origin_input_ids)
+            m = self._tree(r).match_prefix(r.origin_input_ids)
             nid = id(m.last_node)
             node_reqs.setdefault(nid, []).append(r)
             node_of[nid] = m.last_node
@@ -63,8 +67,14 @@ class SchedulePolicy:
                 weights[nid] = w
             return weights[nid]
 
-        root = self.tree_cache.root
-        weight(root)
+        tc = self.tree_cache
+        roots = (
+            [t.root for t in tc._trees.values()]
+            if hasattr(tc, "_trees")
+            else [tc.root]
+        )
+        for root in roots:
+            weight(root)
         order: list[Req] = []
 
         def visit(node):
@@ -75,7 +85,8 @@ class SchedulePolicy:
             for c in children:
                 visit(c)
 
-        visit(root)
+        for root in roots:
+            visit(root)
         seen = {id(r) for r in order}
         order.extend(r for r in waiting_queue if id(r) not in seen)
         waiting_queue[:] = order
@@ -135,7 +146,12 @@ class PrefillAdder:
         Locks the matched radix path immediately so evictions triggered while
         admitting later requests cannot free it (reference: policy_scheduler.py
         locks tree nodes during admission)."""
-        match = self.tree_cache.match_prefix(req.origin_input_ids)
+        tree = (
+            self.tree_cache.for_req(req)
+            if hasattr(self.tree_cache, "for_req")
+            else self.tree_cache
+        )
+        match = tree.match_prefix(req.origin_input_ids)
         num_pages = match.num_pages
         if num_pages * self.page_size >= len(req.origin_input_ids):
             # whole prompt cached: drop one page so at least one token is
@@ -166,7 +182,7 @@ class PrefillAdder:
         req.last_node = match.last_node
         req.pages = match.page_ids[:num_pages].copy()
         req.num_tree_pages = num_pages
-        self.tree_cache.inc_lock_ref(match.last_node)
+        tree.inc_lock_ref(match.last_node)
         self.can_run_list.append(req)
         self.log_input_tokens += min(input_len, self.chunked_prefill_size)
         return self.budget_state()

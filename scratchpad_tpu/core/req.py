@@ -54,6 +54,9 @@ class Req:
     # grammar-constrained decoding
     grammar: Any = None
 
+    # topping (LoRA adapter) pool slot; 0 = none
+    topping_idx: int = 0
+
     # stop/stream state
     finished_reason: Optional[FinishReason] = None
     eos_token_ids: frozenset[int] = frozenset()

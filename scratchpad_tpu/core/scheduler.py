@@ -29,8 +29,7 @@ from scratchpad_tpu.core.policy import AddReqResult, PrefillAdder, SchedulePolic
 from scratchpad_tpu.core.req import FinishReason, Req
 from scratchpad_tpu.executor.forward_meta import ForwardMode
 from scratchpad_tpu.executor.model_runner import ModelRunner, WorkerBatch
-from scratchpad_tpu.memory.chunk_cache import ChunkCache
-from scratchpad_tpu.memory.radix_cache import RadixCache
+from scratchpad_tpu.memory.tree_group import TreeCacheGroup
 from scratchpad_tpu.sampling.batch_info import SamplingBatchInfo
 from scratchpad_tpu.utils import get_logger
 
@@ -62,10 +61,9 @@ class Scheduler:
         self.allocator = self.runner.page_allocator
         self.req_slots = self.runner.req_slots
 
-        if self.args.disable_radix_cache:
-            self.tree_cache = ChunkCache(self.page_size)
-        else:
-            self.tree_cache = RadixCache(self.page_size)
+        self.tree_cache = TreeCacheGroup(
+            self.page_size, disable=self.args.disable_radix_cache
+        )
         self.policy = SchedulePolicy(self.args.schedule_policy, self.tree_cache)
 
         self.waiting: list[Req] = []
@@ -200,13 +198,26 @@ class Scheduler:
             self.runner.max_running_requests - len(self.running),
         )
         admitted: list[Req] = []
+        # cap distinct adapters across running + admitted
+        # (reference: scheduler.py:875-890)
+        from scratchpad_tpu.toppings.manager import MAX_ACTIVE_TOPPINGS
+
+        active_toppings = {r.topping_idx for r in self.running if r.topping_idx}
         for req in list(self.waiting):
             if self.req_slots.available_slots <= len(admitted):
                 break
+            if (
+                req.topping_idx
+                and req.topping_idx not in active_toppings
+                and len(active_toppings) >= MAX_ACTIVE_TOPPINGS - 1
+            ):
+                continue  # adapter budget full; retry next round
             res = adder.add_one_req(req)
             if adder.can_run_list and adder.can_run_list[-1] is req:
                 admitted.append(req)
                 self.waiting.remove(req)
+                if req.topping_idx:
+                    active_toppings.add(req.topping_idx)
             if res != AddReqResult.CONTINUE:
                 break
             if adder.new_chunked_req is not None:
@@ -227,7 +238,7 @@ class Scheduler:
             if not self._alloc_for_extend(req, chunk):
                 # roll back admission for this req
                 if req.last_node is not None:
-                    self.tree_cache.dec_lock_ref(req.last_node)
+                    self.tree_cache.for_req(req).dec_lock_ref(req.last_node)
                 req.reset_for_retract()
                 self.waiting.insert(0, req)
                 continue
@@ -368,6 +379,7 @@ class Scheduler:
             batch, len(batch), self.model_config.vocab_size
         )
         bitmask = self._build_vocab_bitmask(batch, mode)
+        active, slots = self._build_topping_batch(batch)
         return WorkerBatch(
             mode=mode,
             tokens=tokens,
@@ -379,7 +391,28 @@ class Scheduler:
             extend_lens=extend_lens,
             sampling_info=sinfo,
             vocab_bitmask=bitmask,
+            active_adapters=active,
+            adapter_slots=slots,
         )
+
+    def _build_topping_batch(self, batch: list[Req]):
+        """Distinct adapter slots in the batch + per-request positions
+        (reference: toppings_manager.py:234 prepare_topping_batch)."""
+        if not any(r.topping_idx for r in batch):
+            return None, None
+        from scratchpad_tpu.toppings.manager import MAX_ACTIVE_TOPPINGS
+
+        active = [0]
+        slots = np.zeros(len(batch), np.int32)
+        for i, r in enumerate(batch):
+            if r.topping_idx == 0:
+                continue
+            if r.topping_idx not in active:
+                assert len(active) < MAX_ACTIVE_TOPPINGS, "too many toppings in batch"
+                active.append(r.topping_idx)
+            slots[i] = active.index(r.topping_idx)
+        active += [0] * (MAX_ACTIVE_TOPPINGS - len(active))
+        return np.asarray(active, np.int32), slots
 
     def _build_vocab_bitmask(self, batch: list[Req], mode) -> Optional[np.ndarray]:
         if not any(r.grammar is not None for r in batch):
@@ -465,20 +498,21 @@ class Scheduler:
         (reference: radix_cache.py:180-221 cache_unfinished_req)."""
         if self.tree_cache.disable:
             return
+        tree = self.tree_cache.for_req(req)
         ps = self.page_size
         aligned = (req.computed_len // ps) * ps
         accepted = aligned // ps
         if accepted == 0:
             return
         toks = req.fill_ids[:aligned]
-        dup = self.tree_cache.insert(toks, req.pages[:accepted])
+        dup = tree.insert(toks, req.pages[:accepted])
         if dup > req.num_tree_pages:
             self.allocator.free(req.pages[req.num_tree_pages : dup])
-        m = self.tree_cache.match_prefix(toks)
+        m = tree.match_prefix(toks)
         assert m.num_pages >= accepted, "re-match lost inserted prefix"
         if req.last_node is not None:
-            self.tree_cache.dec_lock_ref(req.last_node)
-        self.tree_cache.inc_lock_ref(m.last_node)
+            tree.dec_lock_ref(req.last_node)
+        tree.inc_lock_ref(m.last_node)
         req.last_node = m.last_node
         req.pages = np.concatenate([m.page_ids[:accepted], req.pages[accepted:]])
         req.num_tree_pages = accepted
@@ -496,11 +530,12 @@ class Scheduler:
             if len(req.pages):
                 self.allocator.free(req.pages)
         else:
+            tree = self.tree_cache.for_req(req)
             kv_len = req.computed_len  # tokens with materialised KV
             aligned = (kv_len // ps) * ps
             accepted = aligned // ps
             if keep_outputs and accepted > 0:
-                dup = self.tree_cache.insert(
+                dup = tree.insert(
                     req.fill_ids[:aligned], req.pages[:accepted]
                 )
                 dup = max(dup, req.num_tree_pages)
@@ -513,7 +548,7 @@ class Scheduler:
                 if len(req.pages) > req.num_tree_pages:
                     self.allocator.free(req.pages[req.num_tree_pages :])
             if req.last_node is not None:
-                self.tree_cache.dec_lock_ref(req.last_node)
+                tree.dec_lock_ref(req.last_node)
                 req.last_node = None
         if req.req_slot is not None:
             self.req_slots.free(req.req_slot)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+from typing import Optional
 
 import jax
 
@@ -52,6 +53,10 @@ class ForwardMeta:
     seq_lens: jax.Array  # i32[B] tokens in cache incl. new ones
     extend_lens: jax.Array  # i32[B] new tokens this step per request
     last_token_idx: jax.Array  # i32[B] flat index of each request's last new token
+    # toppings (LoRA): pool slots of the distinct adapters in this batch and
+    # each request row's position within that list (0 = zero adapter)
+    active_adapters: Optional[jax.Array] = None  # i32[MAX_ACTIVE_TOPPINGS]
+    adapter_slots: Optional[jax.Array] = None  # i32[B]
 
     @property
     def num_tokens(self) -> int:
@@ -77,6 +82,8 @@ jax.tree_util.register_dataclass(
         "seq_lens",
         "extend_lens",
         "last_token_idx",
+        "active_adapters",
+        "adapter_slots",
     ],
     meta_fields=["mode"],
 )

@@ -55,6 +55,9 @@ class WorkerBatch:
     extend_lens: np.ndarray  # i32[B_real]
     sampling_info: SamplingBatchInfo  # arrays sized B_real (padded by runner)
     vocab_bitmask: Optional[np.ndarray] = None  # u32[B_real, ceil(V/32)]
+    # toppings: distinct adapter pool slots + per-request position in that list
+    active_adapters: Optional[np.ndarray] = None  # i32[MAX_ACTIVE_TOPPINGS]
+    adapter_slots: Optional[np.ndarray] = None  # i32[B_real]
 
 
 @dataclasses.dataclass
@@ -97,6 +100,25 @@ class ModelRunner:
         model_cls = get_model_class(cfg.architecture)
         self.model = model_cls(cfg)
         self.model.page_size = self.page_size
+
+        # attention backend (reference: model_runner.py:453 init_attention_backend)
+        backend = self.args.attention_backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() != "cpu" else "xla"
+        if backend == "pallas":
+            from scratchpad_tpu.ops.attention.pallas_decode import (
+                decode_attention_pallas,
+            )
+
+            self.model.decode_attention = decode_attention_pallas
+        elif backend == "jax_paged":
+            from scratchpad_tpu.ops.attention.jax_paged import (
+                decode_attention_jax_paged,
+            )
+
+            self.model.decode_attention = decode_attention_jax_paged
+        # else: keep the XLA reference backend
+        self.attention_backend = backend
 
         # ---- parameters
         t0 = time.monotonic()
@@ -368,8 +390,17 @@ class ModelRunner:
         return (
             wb.vocab_bitmask is None
             and si.output_token_counts is None
+            and wb.active_adapters is None
             and not self._dp_shard
         )
+
+    def attach_toppings(self, manager) -> None:
+        """Merge the adapter pools into the model params pytree."""
+        self.toppings_manager = manager
+        self.params = {
+            **{k: v for k, v in self.params.items() if k != "toppings"},
+            "toppings": manager.device_pools(),
+        }
 
     def run_extend(self, wb: WorkerBatch) -> tuple[np.ndarray, np.ndarray]:
         """One extend step; returns (ids[B_real], logprobs[B_real])."""
@@ -443,6 +474,8 @@ class ModelRunner:
                 seq_lens=positions + 1,
                 extend_lens=jnp.ones(B, jnp.int32),
                 last_token_idx=jnp.arange(B, dtype=jnp.int32),
+                active_adapters=meta.active_adapters,
+                adapter_slots=meta.adapter_slots,
             )
             kv, logits = self.model(params, kv, step_meta)
             sinfo_k = sinfo
@@ -555,6 +588,9 @@ class ModelRunner:
         csum = np.cumsum(wb.extend_lens)
         last_idx[:B_real] = np.maximum(csum - 1, 0)
 
+        adapter_slots = None
+        if wb.active_adapters is not None:
+            adapter_slots = pad1(wb.adapter_slots.astype(np.int32), B)
         meta = ForwardMeta(
             mode=wb.mode,
             tokens=tokens,
@@ -565,6 +601,8 @@ class ModelRunner:
             seq_lens=seq_lens,
             extend_lens=extend_lens,
             last_token_idx=last_idx,
+            active_adapters=wb.active_adapters,
+            adapter_slots=adapter_slots,
         )
         si = wb.sampling_info
         V = self.model_config.vocab_size

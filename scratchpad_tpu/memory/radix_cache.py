@@ -251,6 +251,9 @@ class RadixCache:
     def total_pages(self) -> int:
         return self._evictable_pages + self._protected_pages
 
+    def match_prefix_for(self, req) -> MatchResult:
+        return self.match_prefix(req.origin_input_ids)
+
     def pretty_print(self) -> str:
         lines = []
 

@@ -206,11 +206,24 @@ class LlamaForCausalLM:
         # kernel indexes the layer via a prefetched BlockSpec so no
         # per-layer dynamic-slice copy ever materialises
         qlayers = params.get("layers_q")
+        toppings = params.get("toppings")
+        use_toppings = toppings is not None and meta.active_adapters is not None
+        if use_toppings:
+            from scratchpad_tpu.toppings.manager import apply_topping
+
+            token_slot = meta.adapter_slots[meta.req_indices]  # [T]
 
         def lin(x_, lp, name, lidx):
             if qlayers is not None and name in qlayers:
-                return self.quant_matmul(x_, qlayers[name], lidx)
-            return x_ @ lp[name]
+                y = self.quant_matmul(x_, qlayers[name], lidx)
+            else:
+                y = x_ @ lp[name]
+            if use_toppings:
+                y = apply_topping(
+                    x_, y, toppings, name, lidx,
+                    meta.active_adapters, token_slot,
+                )
+            return y
 
         def body(carry, layer):
             x, k_cache, v_cache = carry

@@ -107,6 +107,24 @@ class Engine:
 
     # -------------------------------------------------------------- requests
 
+    def register_topping(self, name: str, adapter_path: str = None, state=None,
+                         scaling: float = 1.0) -> int:
+        """Register a LoRA adapter for per-request serving
+        (reference: RegisterToppingsReqInput, managers/structs.py:611)."""
+        if getattr(self, "toppings_manager", None) is None:
+            from scratchpad_tpu.toppings import ToppingsManager
+
+            import jax.numpy as jnp
+
+            dt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[self.args.dtype]
+            self.toppings_manager = ToppingsManager(self.model_config, dtype=dt)
+        if state is not None:
+            idx = self.toppings_manager.register_state(name, state, scaling)
+        else:
+            idx = self.toppings_manager.register(name, adapter_path)
+        self.scheduler.runner.attach_toppings(self.toppings_manager)
+        return idx
+
     def _make_req(
         self,
         prompt: Optional[str],
@@ -114,17 +132,22 @@ class Engine:
         sampling_params: Optional[SamplingParams],
         return_logprob: bool = False,
         rid: Optional[str] = None,
+        topping: Optional[str] = None,
     ) -> Req:
         sp = sampling_params or SamplingParams()
         if input_ids is None:
             assert prompt is not None and self.tokenizer is not None
             input_ids = self.tokenizer.encode(prompt)
+        topping_idx = 0
+        if topping:
+            topping_idx = self.toppings_manager.lookup(topping)
         req = Req(
             rid=rid or uuid.uuid4().hex,
             origin_input_ids=list(input_ids),
             sampling_params=sp,
             eos_token_ids=self.eos_token_ids,
             return_logprob=return_logprob,
+            topping_idx=topping_idx,
         )
         gk = sp.grammar_key()
         if gk is not None and self.grammar_backend is not None:
@@ -141,6 +164,7 @@ class Engine:
             Union[SamplingParams, list[SamplingParams]]
         ] = None,
         return_logprob: bool = False,
+        topping: Optional[Union[str, list]] = None,
     ) -> Union[GenerationOutput, list[GenerationOutput]]:
         """Blocking generation for one prompt or a batch
         (reference: server/engine.py:68 generate)."""
@@ -161,9 +185,10 @@ class Engine:
             if isinstance(sampling_params, list)
             else [sampling_params] * len(prompts)
         )
+        tops = topping if isinstance(topping, list) else [topping] * len(prompts)
         reqs = [
-            self._make_req(p, i, s, return_logprob)
-            for p, i, s in zip(prompts, idss, sps)
+            self._make_req(p, i, s, return_logprob, topping=t)
+            for p, i, s, t in zip(prompts, idss, sps, tops)
         ]
         for r in reqs:
             self.scheduler.add_request(r)

@@ -1,0 +1,200 @@
+"""Toppings: multi-tenant LoRA adapters served per request.
+
+TPU-native rework of the reference's toppings subsystem
+(reference: scratchpad/managers/toppings_manager.py:76-480,
+scratchpad/nn/toppings/topping_layer.py:42-377,
+scratchpad/memory/topping_pool.py:35): adapters live in layer-stacked device
+pools ``A[N, L, In, r_max]`` / ``B[N, L, r_max, Out]`` per target projection.
+
+Instead of the reference's batched gather matmul (triteia ``ldmm``), the
+forward applies each of the <= MAX_ACTIVE_TOPPINGS distinct adapters in the
+batch as a dense rank-r matmul and mask-merges rows — dense MXU work with no
+gathers, which on TPU beats scatter/gather adapter indexing at small ranks.
+Slot 0 of every pool is the zero adapter, so "no topping" rows cost nothing
+extra and shapes stay static.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from scratchpad_tpu.utils import get_logger
+
+logger = get_logger("toppings")
+
+# distinct adapters allowed in one running batch, including the zero slot
+# (reference caps toppings per batch similarly, scheduler.py:875-890)
+MAX_ACTIVE_TOPPINGS = 4
+
+TARGET_MAP = {
+    "q_proj": "wq",
+    "k_proj": "wk",
+    "v_proj": "wv",
+    "o_proj": "wo",
+    "gate_proj": "gate",
+    "up_proj": "up",
+    "down_proj": "down",
+}
+
+
+class ToppingsManager:
+    def __init__(
+        self,
+        model_config,
+        max_adapters: int = 8,
+        max_rank: int = 16,
+        dtype=jnp.bfloat16,
+    ):
+        cfg = model_config
+        self.cfg = cfg
+        self.max_adapters = max_adapters
+        self.max_rank = max_rank
+        self.dtype = dtype
+        L, H, D = cfg.num_hidden_layers, cfg.hidden_size, cfg.head_dim
+        dims = {
+            "wq": (H, cfg.num_attention_heads * D),
+            "wk": (H, cfg.num_kv_heads * D),
+            "wv": (H, cfg.num_kv_heads * D),
+            "wo": (cfg.num_attention_heads * D, H),
+            "gate": (H, cfg.intermediate_size),
+            "up": (H, cfg.intermediate_size),
+            "down": (cfg.intermediate_size, H),
+        }
+        # host pools; slot 0 stays zero (the no-op adapter)
+        self._host_a = {
+            t: np.zeros((max_adapters, L, din, max_rank), np.float32)
+            for t, (din, dout) in dims.items()
+        }
+        self._host_b = {
+            t: np.zeros((max_adapters, L, max_rank, dout), np.float32)
+            for t, (din, dout) in dims.items()
+        }
+        self._scaling = np.zeros(max_adapters, np.float32)
+        self.name_to_idx: dict[str, int] = {}
+        self._next = 1
+        self._device_pools: Optional[dict] = None
+
+    # ------------------------------------------------------------ registration
+
+    def register(self, name: str, adapter_path: str) -> int:
+        """Load a HF/peft LoRA checkpoint directory into a pool slot
+        (reference: toppings_manager.py:441 _load_lora)."""
+        state = self._load_adapter_state(adapter_path)
+        cfg_path = os.path.join(adapter_path, "adapter_config.json")
+        alpha, r = 16.0, self.max_rank
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                acfg = json.load(f)
+            alpha = float(acfg.get("lora_alpha", 16))
+            r = int(acfg.get("r", self.max_rank))
+        return self.register_state(name, state, scaling=alpha / r)
+
+    def register_state(
+        self, name: str, state: dict[str, np.ndarray], scaling: float = 1.0
+    ) -> int:
+        if name in self.name_to_idx:
+            idx = self.name_to_idx[name]
+        else:
+            assert self._next < self.max_adapters, "topping pool full"
+            idx = self._next
+            self._next += 1
+            self.name_to_idx[name] = idx
+        loaded = 0
+        for key, w in state.items():
+            parsed = self._parse_key(key)
+            if parsed is None:
+                continue
+            layer, target, which = parsed
+            if which == "A":  # peft stores A as [r, in] -> [in, r]
+                r = w.shape[0]
+                assert r <= self.max_rank, f"rank {r} > max_rank {self.max_rank}"
+                self._host_a[target][idx, layer, :, :r] = np.asarray(w, np.float32).T
+            else:  # B: [out, r] -> [r, out]
+                r = w.shape[1]
+                self._host_b[target][idx, layer, :r, :] = np.asarray(w, np.float32).T
+            loaded += 1
+        self._scaling[idx] = scaling
+        self._device_pools = None  # re-upload lazily
+        logger.info("registered topping %r -> slot %d (%d tensors)", name, idx, loaded)
+        return idx
+
+    @staticmethod
+    def _load_adapter_state(path: str) -> dict[str, np.ndarray]:
+        from safetensors import safe_open
+
+        fp = os.path.join(path, "adapter_model.safetensors")
+        out = {}
+        with safe_open(fp, framework="flax") as f:
+            for k in f.keys():
+                out[k] = np.asarray(f.get_tensor(k))
+        return out
+
+    @staticmethod
+    def _parse_key(key: str):
+        """'...model.layers.{i}.self_attn.q_proj.lora_A.weight' ->
+        (layer, target, 'A'|'B')."""
+        if ".layers." not in key or ".lora_" not in key:
+            return None
+        try:
+            rest = key.split(".layers.", 1)[1]
+            layer_s, tail = rest.split(".", 1)
+            for hf_name, target in TARGET_MAP.items():
+                if f"{hf_name}.lora_A" in tail:
+                    return int(layer_s), target, "A"
+                if f"{hf_name}.lora_B" in tail:
+                    return int(layer_s), target, "B"
+        except (ValueError, IndexError):
+            return None
+        return None
+
+    # ---------------------------------------------------------------- device
+
+    def device_pools(self) -> dict[str, Any]:
+        """{'a': {target: [N,L,In,r]}, 'b': {...}, 'scaling': [N]}"""
+        if self._device_pools is None:
+            self._device_pools = {
+                "a": {
+                    t: jnp.asarray(v, self.dtype) for t, v in self._host_a.items()
+                },
+                "b": {
+                    t: jnp.asarray(v, self.dtype) for t, v in self._host_b.items()
+                },
+                "scaling": jnp.asarray(self._scaling, jnp.float32),
+            }
+        return self._device_pools
+
+    def lookup(self, name: Optional[str]) -> int:
+        if not name:
+            return 0
+        if name not in self.name_to_idx:
+            raise KeyError(f"unknown topping {name!r}")
+        return self.name_to_idx[name]
+
+
+def apply_topping(
+    x: jax.Array,  # [T, In]
+    base_out: jax.Array,  # [T, Out]
+    pools: dict,
+    target: str,
+    layer_idx,
+    active_adapters: jax.Array,  # i32[MAX_ACTIVE] pool slots (0 = zero adapter)
+    token_slot: jax.Array,  # i32[T] position of each token's adapter
+) -> jax.Array:
+    """base_out + masked sum of rank-r contributions of the active adapters."""
+    out = base_out
+    A = pools["a"][target]
+    Bp = pools["b"][target]
+    scaling = pools["scaling"]
+    for j in range(1, MAX_ACTIVE_TOPPINGS):
+        aid = active_adapters[j]
+        Aj = A[aid, layer_idx]  # [In, r]
+        Bj = Bp[aid, layer_idx]  # [r, Out]
+        contrib = ((x @ Aj) @ Bj) * scaling[aid].astype(x.dtype)
+        out = out + jnp.where((token_slot == j)[:, None], contrib, 0)
+    return out
