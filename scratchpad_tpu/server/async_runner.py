@@ -46,6 +46,29 @@ class AsyncEngineRunner:
         self.last_step_at = time.monotonic()
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
+        # watchdog: if requests are in flight but the step loop has made no
+        # progress within the timeout, fail them instead of hanging clients
+        # (reference: scheduler.py:370-385 watchdog_thread)
+        self._watchdog = threading.Thread(target=self._watch, daemon=True)
+        self._watchdog.start()
+
+    def _watch(self) -> None:
+        timeout = self.engine.args.watchdog_timeout
+        while not self._stop.wait(timeout / 4):
+            if not self.states:
+                self.last_step_at = time.monotonic()
+                continue
+            if time.monotonic() - self.last_step_at > timeout:
+                logger.critical(
+                    "watchdog: no scheduler progress in %.0fs with %d "
+                    "requests in flight; failing them",
+                    timeout,
+                    len(self.states),
+                )
+                for rid in list(self.states):
+                    self.engine.scheduler.abort_request(rid)
+                self._fail_all()
+                self.last_step_at = time.monotonic()
 
     # ------------------------------------------------------------- scheduler
 

@@ -94,6 +94,9 @@ class ServerApp:
         r.add_post("/v1/chat/completions", self.chat_completions)
         r.add_post("/flush_cache", self.flush_cache)
         r.add_post("/abort_request", self.abort_request)
+        r.add_post("/start_profile", self.start_profile)
+        r.add_post("/stop_profile", self.stop_profile)
+        r.add_post("/v1/embeddings", self.embeddings)
         if self._metrics is not None:
             r.add_get("/metrics", self._metrics.handle)
 
@@ -158,6 +161,39 @@ class ServerApp:
         body = await request.json()
         self.engine.scheduler.abort_request(body.get("rid", ""))
         return web.json_response({"status": "ok"})
+
+    async def start_profile(self, request) -> web.Response:
+        """jax.profiler trace start (reference: ProfileReq,
+        scheduler.py:487-491 + SP_TORCH_PROFILER_DIR)."""
+        import jax
+
+        body = await request.json() if request.can_read_body else {}
+        out_dir = body.get("output_dir", "/tmp/sptpu_profile")
+        try:
+            jax.profiler.start_trace(out_dir)
+        except Exception as e:  # already running etc.
+            return self._bad_request(str(e))
+        self._profile_dir = out_dir
+        return web.json_response({"status": "ok", "output_dir": out_dir})
+
+    async def stop_profile(self, request) -> web.Response:
+        import jax
+
+        try:
+            jax.profiler.stop_trace()
+        except Exception as e:
+            return self._bad_request(str(e))
+        return web.json_response(
+            {"status": "ok", "output_dir": getattr(self, "_profile_dir", None)}
+        )
+
+    async def embeddings(self, request) -> web.Response:
+        return web.json_response(
+            ErrorResponse(
+                message="embeddings are not supported yet", code=501
+            ).model_dump(),
+            status=501,
+        )
 
     # ----------------------------------------------------------- completions
 
@@ -309,14 +345,37 @@ class ServerApp:
                 for _ in range(creq.n)
             ]
         )
+        from scratchpad_tpu.server.openai_api.function_call_parser import (
+            FunctionCallParser,
+        )
+        from scratchpad_tpu.server.openai_api.reasoning_parser import (
+            split_reasoning,
+        )
+
         choices = []
         usage = UsageInfo()
         for idx, out in enumerate(outs):
+            reasoning, visible = split_reasoning(out.text)
+            tool_calls = None
+            finish = out.finish_reason
+            if creq.tools:
+                parsed = FunctionCallParser(creq.tools).parse(visible)
+                if parsed.calls:
+                    tool_calls = [
+                        c.to_openai(i) for i, c in enumerate(parsed.calls)
+                    ]
+                    visible = parsed.normal_text or None
+                    finish = "tool_calls"
             choices.append(
                 ChatCompletionChoice(
                     index=idx,
-                    message=ChatMessage(role="assistant", content=out.text),
-                    finish_reason=out.finish_reason,
+                    message=ChatMessage(
+                        role="assistant",
+                        content=visible,
+                        tool_calls=tool_calls,
+                        reasoning_content=reasoning,
+                    ),
+                    finish_reason=finish,
                 )
             )
             usage.prompt_tokens += out.prompt_tokens
