@@ -102,9 +102,13 @@ class ModelRunner:
         self.model.page_size = self.page_size
 
         # attention backend (reference: model_runner.py:453 init_attention_backend)
+        # "auto" currently resolves to the XLA gather backend: at serving
+        # batch sizes XLA's fused dynamic-gather attention outperforms the
+        # per-request paged kernels (grid steps serialize on one tensorcore);
+        # the Pallas kernels win on long contexts and stay selectable.
         backend = self.args.attention_backend
         if backend == "auto":
-            backend = "pallas" if jax.default_backend() != "cpu" else "xla"
+            backend = "xla"
         if backend == "pallas":
             from scratchpad_tpu.ops.attention.pallas_decode import (
                 decode_attention_pallas,

@@ -226,7 +226,7 @@ class LlamaForCausalLM:
             return y
 
         def body(carry, layer):
-            x, k_cache, v_cache = carry
+            x, kv_c = carry
             lp, lidx = layer
             h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
             q = lin(h, lp, "wq", lidx)
@@ -244,13 +244,10 @@ class LlamaForCausalLM:
                 kn = rms_norm(kn, lp["k_norm"], cfg.rms_norm_eps)
             q = apply_rope(q, meta.positions, inv_freq)
             kn = apply_rope(kn, meta.positions, inv_freq)
-            k_cache, v_cache = write_kv(
-                k_cache, v_cache, kn, vn, lidx, meta.out_cache_loc
-            )
+            kv_c = write_kv(kv_c, kn, vn, lidx, meta.out_cache_loc)
             attn = attend(
                 q,
-                k_cache,
-                v_cache,
+                kv_c,
                 lidx,
                 meta,
                 page_size=self.page_size,
@@ -266,11 +263,11 @@ class LlamaForCausalLM:
                 "down",
                 lidx,
             )
-            return (x, k_cache, v_cache), None
+            return (x, kv_c), None
 
-        (x, k_cache, v_cache), _ = jax.lax.scan(
+        (x, kv_out), _ = jax.lax.scan(
             body,
-            (x, kv.k, kv.v),
+            (x, kv),
             (params["layers"], jnp.arange(L, dtype=jnp.int32)),
         )
 
@@ -280,9 +277,6 @@ class LlamaForCausalLM:
         logits = (last @ head.T).astype(jnp.float32)  # [B, V]
         if cfg.logit_softcap:
             logits = cfg.logit_softcap * jnp.tanh(logits / cfg.logit_softcap)
-        kv_out = KVCache(
-            k=k_cache, v=v_cache, k_scale=kv.k_scale, v_scale=kv.v_scale
-        )
         return kv_out, logits
 
     # set by the executor before jit (page size is static per engine)

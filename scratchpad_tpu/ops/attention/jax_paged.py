@@ -50,8 +50,7 @@ def _call(
 
 def decode_attention_jax_paged(
     q: jax.Array,
-    k_cache: jax.Array,
-    v_cache: jax.Array,
+    kv,  # KVCache
     layer_idx: jax.Array,
     meta: ForwardMeta,
     *,
@@ -61,6 +60,8 @@ def decode_attention_jax_paged(
     sliding_window: Optional[int] = None,
 ) -> jax.Array:
     assert sliding_window is None, "sliding window unsupported by this backend"
+    k_cache, v_cache = kv.k, kv.v
+    assert k_cache.dtype != jnp.int8, "int8 KV not supported by this kernel yet"
     D = q.shape[-1]
     Dp = k_cache.shape[-1]
     if Dp != D:  # cache head_dim is lane-padded

@@ -200,8 +200,7 @@ def _paged_decode_call(
 
 def decode_attention_pallas(
     q: jax.Array,  # [B, Hq, D]
-    k_cache: jax.Array,  # [Hkv, L, S, D]
-    v_cache: jax.Array,
+    kv,  # KVCache with k/v [Hkv, L, S, D]
     layer_idx: jax.Array,
     meta: ForwardMeta,
     *,
@@ -211,6 +210,8 @@ def decode_attention_pallas(
     sliding_window: Optional[int] = None,
 ) -> jax.Array:
     """Drop-in replacement for decode_attention_xla (same signature)."""
+    k_cache, v_cache = kv.k, kv.v
+    assert k_cache.dtype != jnp.int8, "int8 KV not supported by this kernel yet"
     D = q.shape[-1]
     Dp = k_cache.shape[-1]
     if Dp != D:  # cache head_dim is lane-padded

@@ -18,53 +18,72 @@ import jax
 import jax.numpy as jnp
 
 from scratchpad_tpu.executor.forward_meta import ForwardMeta
+from scratchpad_tpu.memory.kv_cache import KVCache
 
 _NEG = -1e30
 
 
+def _quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-(token, head) symmetric int8: x [T, Hkv, D] -> (i8, scale[T, Hkv])."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
+
+
 def write_kv(
-    k_cache: jax.Array,  # [Hkv, L, S, D]
-    v_cache: jax.Array,
+    kv: KVCache,
     k_new: jax.Array,  # [T, Hkv, D]
     v_new: jax.Array,
     layer_idx: jax.Array,  # scalar i32
     out_cache_loc: jax.Array,  # i32[T] slot indices
-) -> tuple[jax.Array, jax.Array]:
+) -> KVCache:
     """Scatter new KV rows into the cache (set_kv_buffer analogue,
-    reference: scratchpad/memory/pool.py:392-424)."""
-    Dp = k_cache.shape[-1]
+    reference: scratchpad/memory/pool.py:392-424). INT8 caches additionally
+    store per-(slot, head) scales — finer than the reference's static
+    per-layer fp8 scales (pool.py:274-278)."""
+    Dp = kv.k.shape[-1]
     D = k_new.shape[-1]
     if Dp != D:  # cache head_dim is lane-padded (see kv_cache.padded_head_dim)
         pad = [(0, 0), (0, 0), (0, Dp - D)]
         k_new = jnp.pad(k_new, pad)
         v_new = jnp.pad(v_new, pad)
+    k_scale = kv.k_scale
+    v_scale = kv.v_scale
+    if kv.k.dtype == jnp.int8:
+        k_new, ks = _quantize_rows(k_new)
+        v_new, vs = _quantize_rows(v_new)
+        k_scale = k_scale.at[:, layer_idx, out_cache_loc].set(ks.T)
+        v_scale = v_scale.at[:, layer_idx, out_cache_loc].set(vs.T)
     # adjacent advanced indices (layer_idx, out_cache_loc) broadcast to [T]
     # in place, so the update shape is [Hkv, T, D]
-    k_cache = k_cache.at[:, layer_idx, out_cache_loc, :].set(
-        k_new.astype(k_cache.dtype).transpose(1, 0, 2)
+    k = kv.k.at[:, layer_idx, out_cache_loc, :].set(
+        k_new.astype(kv.k.dtype).transpose(1, 0, 2)
     )
-    v_cache = v_cache.at[:, layer_idx, out_cache_loc, :].set(
-        v_new.astype(v_cache.dtype).transpose(1, 0, 2)
+    v = kv.v.at[:, layer_idx, out_cache_loc, :].set(
+        v_new.astype(kv.v.dtype).transpose(1, 0, 2)
     )
-    return k_cache, v_cache
+    return KVCache(k=k, v=v, k_scale=k_scale, v_scale=v_scale)
 
 
-def _pad_q(q: jax.Array, Dp: int) -> jax.Array:
-    D = q.shape[-1]
-    if D == Dp:
-        return q
-    return jnp.pad(q, [(0, 0)] * (q.ndim - 1) + [(0, Dp - D)])
-
-
-def _gather_kv(k_cache, v_cache, layer_idx, meta: ForwardMeta, page_size: int):
-    """Dense per-request KV: [B, S_max, Hkv, D], S_max = MAXP * page_size."""
+def _gather_kv(kv: KVCache, layer_idx, meta: ForwardMeta, page_size: int, D: int):
+    """Dense per-request KV: [B, S_max, Hkv, D], S_max = MAXP * page_size.
+    Dequantizes int8 rows with their stored scales."""
     B, maxp = meta.page_table.shape
     offsets = jnp.arange(page_size, dtype=jnp.int32)
     slots = (
         meta.page_table[:, :, None] * page_size + offsets[None, None, :]
     ).reshape(B, maxp * page_size)
-    k = k_cache[:, layer_idx, slots].transpose(1, 2, 0, 3)  # [B, S_max, Hkv, D]
-    v = v_cache[:, layer_idx, slots].transpose(1, 2, 0, 3)
+    # slice padded lanes off BEFORE the gather so XLA reads only live bytes
+    k = kv.k[..., :D][:, layer_idx, slots].transpose(1, 2, 0, 3)
+    v = kv.v[..., :D][:, layer_idx, slots].transpose(1, 2, 0, 3)
+    if kv.k.dtype == jnp.int8:
+        ks = kv.k_scale[:, layer_idx, slots].transpose(1, 2, 0)  # [B, S, Hkv]
+        vs = kv.v_scale[:, layer_idx, slots].transpose(1, 2, 0)
+        k = k.astype(jnp.float32) * ks[..., None]
+        v = v.astype(jnp.float32) * vs[..., None]
     return k, v
 
 
@@ -76,8 +95,7 @@ def _softcap(scores: jax.Array, cap: Optional[float]) -> jax.Array:
 
 def decode_attention_xla(
     q: jax.Array,  # [B, Hq, D]
-    k_cache: jax.Array,
-    v_cache: jax.Array,
+    kv: KVCache,
     layer_idx: jax.Array,
     meta: ForwardMeta,
     *,
@@ -87,13 +105,11 @@ def decode_attention_xla(
     sliding_window: Optional[int] = None,
 ) -> jax.Array:
     B, Hq, D = q.shape
-    q = _pad_q(q, k_cache.shape[-1])
-    Dp = q.shape[-1]
-    k, v = _gather_kv(k_cache, v_cache, layer_idx, meta, page_size)
+    k, v = _gather_kv(kv, layer_idx, meta, page_size, D)
     S = k.shape[1]
     Hkv = k.shape[2]
     G = Hq // Hkv
-    qg = q.reshape(B, Hkv, G, Dp)
+    qg = q.reshape(B, Hkv, G, D)
     scores = jnp.einsum(
         "bhgd,bshd->bhgs", qg.astype(jnp.float32), k.astype(jnp.float32)
     )
@@ -105,13 +121,12 @@ def decode_attention_xla(
     scores = jnp.where(valid[:, None, None, :], scores, _NEG)
     p = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhgs,bshd->bhgd", p, v.astype(jnp.float32))
-    return out.reshape(B, Hq, Dp)[..., :D].astype(q.dtype)
+    return out.reshape(B, Hq, D).astype(q.dtype)
 
 
 def extend_attention_xla(
     q: jax.Array,  # [T, Hq, D] flat new-token queries
-    k_cache: jax.Array,
-    v_cache: jax.Array,
+    kv: KVCache,
     layer_idx: jax.Array,
     meta: ForwardMeta,
     *,
@@ -128,25 +143,23 @@ def extend_attention_xla(
     this (flashinfer_backend.py:419-440); here the paged cache unifies it.
     """
     T, Hq, D = q.shape
-    q = _pad_q(q, k_cache.shape[-1])
-    Dp = q.shape[-1]
     B = meta.batch_size
-    k, v = _gather_kv(k_cache, v_cache, layer_idx, meta, page_size)
+    k, v = _gather_kv(kv, layer_idx, meta, page_size, D)
     S = k.shape[1]
     Hkv = k.shape[2]
     G = Hq // Hkv
 
-    # scatter flat queries to padded [B, T, Hq, Dp] (E_max = T upper bound)
+    # scatter flat queries to padded [B, T, Hq, D] (E_max = T upper bound)
     starts = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(meta.extend_lens)[:-1]]
     )
     intra = jnp.arange(T, dtype=jnp.int32) - starts[meta.req_indices]
-    qp = jnp.zeros((B, T, Hq, Dp), q.dtype)
+    qp = jnp.zeros((B, T, Hq, D), q.dtype)
     qp = qp.at[meta.req_indices, intra].set(q)
     pos_p = jnp.zeros((B, T), jnp.int32)
     pos_p = pos_p.at[meta.req_indices, intra].set(meta.positions)
 
-    qg = qp.reshape(B, T, Hkv, G, Dp)
+    qg = qp.reshape(B, T, Hkv, G, D)
     scores = jnp.einsum(
         "bthgd,bshd->bhgts", qg.astype(jnp.float32), k.astype(jnp.float32)
     )
@@ -159,6 +172,6 @@ def extend_attention_xla(
     scores = jnp.where(valid[:, None, None, :, :], scores, _NEG)
     p = jax.nn.softmax(scores, axis=-1)
     outp = jnp.einsum("bhgts,bshd->bthgd", p, v.astype(jnp.float32))
-    outp = outp.reshape(B, T, Hq, Dp)
-    out = outp[meta.req_indices, intra][..., :D]
+    outp = outp.reshape(B, T, Hq, D)
+    out = outp[meta.req_indices, intra]
     return out.astype(q.dtype)

@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 
 from scratchpad_tpu.executor.forward_meta import ForwardMeta, ForwardMode
+from scratchpad_tpu.memory.kv_cache import KVCache
 from scratchpad_tpu.ops.attention.pallas_decode import decode_attention_pallas
 from scratchpad_tpu.ops.attention.xla_backend import decode_attention_xla
 
@@ -39,22 +40,22 @@ def make_case(B=4, Hq=8, Hkv=2, D=64, ps=16, P=16, L=2, seed=0, dtype=jnp.float3
         extend_lens=jnp.ones(B, jnp.int32),
         last_token_idx=jnp.arange(B, dtype=jnp.int32),
     )
-    return q, k, v, meta
+    return q, KVCache(k=k, v=v), meta
 
 
 @pytest.mark.parametrize("seed", [0, 1])
 @pytest.mark.parametrize("caps", [(None, None), (30.0, None)])
 def test_decode_kernel_matches_xla(seed, caps):
     logit_cap, sliding_window = caps
-    q, k, v, meta = make_case(seed=seed)
+    q, kv, meta = make_case(seed=seed)
     kw = dict(
         page_size=16,
         sm_scale=0.125,
         logit_cap=logit_cap,
         sliding_window=sliding_window,
     )
-    ref = decode_attention_xla(q, k, v, jnp.int32(1), meta, **kw)
-    out = decode_attention_pallas(q, k, v, jnp.int32(1), meta, **kw)
+    ref = decode_attention_xla(q, kv, jnp.int32(1), meta, **kw)
+    out = decode_attention_pallas(q, kv, jnp.int32(1), meta, **kw)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
     )
@@ -62,14 +63,14 @@ def test_decode_kernel_matches_xla(seed, caps):
 
 def test_decode_kernel_padding_rows():
     """Rows with seq_len == 0 (batch padding) must return zeros, not NaN."""
-    q, k, v, meta = make_case(B=4)
+    q, kv, meta = make_case(B=4)
     import dataclasses
 
     seq = np.asarray(meta.seq_lens).copy()
     seq[2:] = 0
     meta = dataclasses.replace(meta, seq_lens=jnp.asarray(seq))
     out = decode_attention_pallas(
-        q, k, v, jnp.int32(0), meta, page_size=16, sm_scale=0.125
+        q, kv, jnp.int32(0), meta, page_size=16, sm_scale=0.125
     )
     a = np.asarray(out)
     assert np.isfinite(a).all()
@@ -101,7 +102,7 @@ def test_decode_kernel_gqa_grouping():
         last_token_idx=jnp.arange(B, dtype=jnp.int32),
     )
     out = np.asarray(
-        decode_attention_pallas(q, k, v, jnp.int32(0), meta, page_size=ps, sm_scale=0.125)
+        decode_attention_pallas(q, KVCache(k=k, v=v), jnp.int32(0), meta, page_size=ps, sm_scale=0.125)
     )
     # uniform attention -> output equals the v constant of the right kv head
     np.testing.assert_allclose(out[0, 0], 5.0, rtol=1e-6)

@@ -100,3 +100,33 @@ class TestQuantizedEngine:
         assert ql.q.dtype == jnp.uint8
         # packed size is half the rows
         assert ql.q.shape[-2] == cfg.intermediate_size // 2
+
+
+class TestInt8KV:
+    def test_int8_kv_engine_quality(self):
+        """INT8 KV with per-row scales: close logprobs, correct lengths."""
+        from scratchpad_tpu.config import ServerArgs
+        from scratchpad_tpu.sampling.sampling_params import SamplingParams
+        from scratchpad_tpu.server.engine import Engine
+
+        common = dict(
+            preset="tiny-debug",
+            random_weights=True,
+            dtype="float32",
+            page_size=4,
+            max_total_tokens=2048,
+        )
+        p = np.random.default_rng(7).integers(1, 500, 24).tolist()
+        sp = SamplingParams(temperature=0.0, max_new_tokens=8)
+
+        ref = Engine(ServerArgs(**common)).generate(
+            input_ids=p, sampling_params=sp, return_logprob=True
+        )
+        out = Engine(ServerArgs(kv_cache_dtype="int8", **common)).generate(
+            input_ids=p, sampling_params=sp, return_logprob=True
+        )
+        assert len(out.output_ids) == 8
+        a = np.asarray(ref.output_token_logprobs)
+        b = np.asarray(out.output_token_logprobs)
+        assert np.isfinite(b).all()
+        assert abs(a.mean() - b.mean()) < 0.5, (a, b)
