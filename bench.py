@@ -23,7 +23,11 @@ def main() -> None:
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 
+    import os
+
     on_tpu = jax.default_backend() not in ("cpu",)
+    quant = os.environ.get("SPTPU_BENCH_QUANT")  # e.g. "w4a16"
+    kv_dtype = os.environ.get("SPTPU_BENCH_KV", "auto")  # e.g. "int8"
     if on_tpu:
         preset, dtype = "llama-3.2-1b", "bfloat16"
         batch_size, prompt_len, decode_len = 64, 128, 128
@@ -46,6 +50,8 @@ def main() -> None:
         preset=preset,
         random_weights=True,
         dtype=dtype,
+        quantization=quant,
+        kv_cache_dtype=kv_dtype,
         max_total_tokens=max_total_tokens,
         max_running_requests=batch_size,
         # one request per prefill batch keeps the XLA extend-attention
@@ -99,10 +105,15 @@ def main() -> None:
     sol_step = (param_bytes + kv_bytes) / (hbm_gbps * 1e9)
     sol_tok_s = batch_size / sol_step
 
+    tag = f"decode_tok_s_{preset}_bs{batch_size}"
+    if quant:
+        tag += f"_{quant}"
+    if kv_dtype not in ("auto",):
+        tag += f"_kv{kv_dtype}"
     print(
         json.dumps(
             {
-                "metric": f"decode_tok_s_{preset}_bs{batch_size}",
+                "metric": tag,
                 "value": round(tok_s, 1),
                 "unit": "tok/s",
                 "vs_baseline": round(tok_s / sol_tok_s, 4),
