@@ -1,0 +1,64 @@
+"""Tensor-parallel engine correctness on the virtual CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+from jax.sharding import Mesh
+
+from scratchpad_tpu.config import ServerArgs
+from scratchpad_tpu.sampling.sampling_params import SamplingParams
+from scratchpad_tpu.server.engine import Engine
+
+
+def make_engine(mesh=None, **kw):
+    args = ServerArgs(
+        preset="tiny-debug",
+        random_weights=True,
+        dtype="float32",
+        page_size=4,
+        max_total_tokens=2048,
+        **kw,
+    )
+    return Engine(args, mesh=mesh)
+
+
+def tp_mesh(tp, dp=1):
+    devs = jax.devices()
+    if len(devs) < tp * dp:
+        pytest.skip(f"needs {tp * dp} devices")
+    return Mesh(np.array(devs[: tp * dp]).reshape(dp, tp), ("dp", "tp"))
+
+
+def prompts():
+    rng = np.random.default_rng(0)
+    return [rng.integers(1, 500, n).tolist() for n in (9, 25, 14)]
+
+
+class TestTensorParallel:
+    def test_tp2_matches_single_device(self):
+        sp = SamplingParams(temperature=0.0, max_new_tokens=6)
+        ref = [
+            o.output_ids
+            for o in make_engine().generate(
+                input_ids=prompts(), sampling_params=[sp] * 3
+            )
+        ]
+        eng = make_engine(mesh=tp_mesh(2))
+        got = [
+            o.output_ids
+            for o in eng.generate(input_ids=prompts(), sampling_params=[sp] * 3)
+        ]
+        assert got == ref
+        eng.scheduler.check_memory_leak()
+
+    def test_dp2_tp2_runs(self):
+        sp = SamplingParams(temperature=0.0, max_new_tokens=4)
+        eng = make_engine(mesh=tp_mesh(2, dp=2))
+        outs = eng.generate(input_ids=prompts(), sampling_params=[sp] * 3)
+        assert all(len(o.output_ids) == 4 for o in outs)
+
+    def test_tp2_quantized_runs(self):
+        sp = SamplingParams(temperature=0.0, max_new_tokens=4)
+        eng = make_engine(mesh=tp_mesh(2), quantization="w4a16")
+        outs = eng.generate(input_ids=prompts()[:2], sampling_params=[sp] * 2)
+        assert all(len(o.output_ids) == 4 for o in outs)
