@@ -109,6 +109,8 @@ class Req:
         if len(self.output_ids) >= sp.max_new_tokens:
             self.finished_reason = FinishReason.LENGTH
             return
+        if len(self.output_ids) < sp.min_new_tokens:
+            return  # eos/stop suppressed until min_new_tokens
         last = self.output_ids[-1]
         if not sp.ignore_eos:
             if last in self.eos_token_ids:

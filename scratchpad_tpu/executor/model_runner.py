@@ -634,6 +634,35 @@ class ModelRunner:
         )
         return meta, sinfo
 
+    # ---------------------------------------------------------- weight update
+
+    def update_weights(self, state: dict) -> tuple[bool, str]:
+        """In-place weight swap with rollback on failure
+        (reference: model_runner.py:236-323 update_weights). The caller must
+        flush the radix cache afterwards — cached KV belongs to old weights."""
+        old = self.params
+        try:
+            host = self.model.convert_hf_state(state, self._dtype())
+            if self.args.quantization in ("w4a16", "w4"):
+                from scratchpad_tpu.ops.quant import quantize_model_params
+
+                host = quantize_model_params(host)
+            if "toppings" in old:
+                host["toppings"] = old["toppings"]
+            if self.mesh is not None:
+                specs = self.model.param_specs()
+                if "layers_q" in host:
+                    from scratchpad_tpu.ops.quant.w4a16 import quant_param_specs
+
+                    specs = quant_param_specs(specs, host)
+                self.params = place_params(host, specs, self.mesh)
+            else:
+                self.params = jax.tree.map(jnp.asarray, host)
+            return True, "ok"
+        except Exception as e:  # noqa: BLE001
+            self.params = old
+            return False, f"update failed, rolled back: {e}"
+
     # ------------------------------------------------------------- precompile
 
     def capture(self, decode_only: bool = True) -> None:

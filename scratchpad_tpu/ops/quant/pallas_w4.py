@@ -28,8 +28,9 @@ def _w4_kernel(layer_ref, x_ref, q_ref, s_ref, z_ref, o_ref, *, group_size):
     x = x_ref[...]
     dtype = x.dtype
     qw = q_ref[0]  # [half, OUT_BLK] uint8
-    lo = (qw & 0xF).astype(dtype)
-    hi = (qw >> 4).astype(dtype)
+    # mosaic lacks a direct uint8->bf16 cast; go via int32 -> f32
+    lo = (qw & 0xF).astype(jnp.int32).astype(jnp.float32).astype(dtype)
+    hi = (qw >> 4).astype(jnp.int32).astype(jnp.float32).astype(dtype)
     s = s_ref[0].astype(dtype)  # [G, OUT_BLK]
     z = z_ref[0].astype(dtype)
     # row-repeat each group's scale to its rows ([G, O] -> [G*group, O])

@@ -186,6 +186,38 @@ class Engine:
             else [sampling_params] * len(prompts)
         )
         tops = topping if isinstance(topping, list) else [topping] * len(prompts)
+        # parallel sampling (n > 1): pre-cache each prompt's prefix with a
+        # zero-token warmup request, then expand into n stochastic clones
+        # (reference: managers/tokenizer.py:321 _handle_batch_request)
+        if any(s is not None and s.n > 1 for s in sps):
+            warmups = []
+            for p, i, s, t in zip(prompts, idss, sps, tops):
+                if s is not None and s.n > 1:
+                    warmups.append(
+                        self._make_req(
+                            p,
+                            i,
+                            dataclasses.replace(s, max_new_tokens=0, n=1),
+                            topping=t,
+                        )
+                    )
+            for r in warmups:
+                self.scheduler.add_request(r)
+            while any(not r.finished() for r in warmups):
+                if not self.scheduler.step() and not self.scheduler.has_work():
+                    break
+            new = ([], [], [], [])
+            for p, i, s, t in zip(prompts, idss, sps, tops):
+                reps = s.n if s is not None else 1
+                for _ in range(reps):
+                    new[0].append(p)
+                    new[1].append(i)
+                    new[2].append(
+                        dataclasses.replace(s, n=1) if s is not None else None
+                    )
+                    new[3].append(t)
+            prompts, idss, sps, tops = new
+            batched = True
         reqs = [
             self._make_req(p, i, s, return_logprob, topping=t)
             for p, i, s, t in zip(prompts, idss, sps, tops)
@@ -272,6 +304,19 @@ class Engine:
                 req.finished_at - req.created_at if req.finished_at else None
             ),
         )
+
+    def update_weights(self, model_path: str = None, state: dict = None):
+        """Swap weights in place; flushes the radix cache on success
+        (reference: scheduler.py:1834-1842 update_weights + flush)."""
+        assert not self.scheduler.has_work(), "drain requests first"
+        if state is None:
+            from scratchpad_tpu.executor.weight_loader import load_hf_state
+
+            state = load_hf_state(model_path)
+        ok, msg = self.scheduler.runner.update_weights(state)
+        if ok:
+            self.flush_cache()
+        return ok, msg
 
     def flush_cache(self) -> None:
         assert not self.scheduler.has_work()

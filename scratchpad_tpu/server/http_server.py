@@ -96,6 +96,7 @@ class ServerApp:
         r.add_post("/abort_request", self.abort_request)
         r.add_post("/start_profile", self.start_profile)
         r.add_post("/stop_profile", self.stop_profile)
+        r.add_post("/update_weights", self.update_weights)
         r.add_post("/v1/embeddings", self.embeddings)
         if self._metrics is not None:
             r.add_get("/metrics", self._metrics.handle)
@@ -161,6 +162,20 @@ class ServerApp:
         body = await request.json()
         self.engine.scheduler.abort_request(body.get("rid", ""))
         return web.json_response({"status": "ok"})
+
+    async def update_weights(self, request) -> web.Response:
+        """In-place weight reload (reference: UpdateWeightReqInput)."""
+        body = await request.json()
+        path = body.get("model_path")
+        if not path:
+            return self._bad_request("model_path required")
+        if self.engine.scheduler.has_work():
+            return web.json_response({"status": "busy"}, status=409)
+        ok, msg = self.engine.update_weights(model_path=path)
+        return web.json_response(
+            {"status": "ok" if ok else "error", "message": msg},
+            status=200 if ok else 500,
+        )
 
     async def start_profile(self, request) -> web.Response:
         """jax.profiler trace start (reference: ProfileReq,
