@@ -109,6 +109,8 @@ class ModelRunner:
         backend = self.args.attention_backend
         if backend == "auto":
             backend = "xla"
+        if not getattr(self.model, "supports_pallas_attention", True):
+            backend = "xla"
         if backend == "pallas":
             from scratchpad_tpu.ops.attention.pallas_decode import (
                 decode_attention_pallas,

@@ -53,3 +53,14 @@ def _ensure_builtin():
         _REGISTRY["Qwen3ForCausalLM"] = Qwen3ForCausalLM
     except ImportError:
         pass
+    try:
+        from scratchpad_tpu.models.gemma import (
+            Gemma2ForCausalLM,
+            Gemma3ForCausalLM,
+        )
+
+        _REGISTRY["Gemma2ForCausalLM"] = Gemma2ForCausalLM
+        _REGISTRY["Gemma3ForCausalLM"] = Gemma3ForCausalLM
+        _REGISTRY["Gemma3ForConditionalGeneration"] = Gemma3ForCausalLM
+    except ImportError:
+        pass
