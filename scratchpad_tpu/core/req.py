@@ -69,6 +69,8 @@ class Req:
     # logprobs
     return_logprob: bool = False
     output_token_logprobs: list[float] = dataclasses.field(default_factory=list)
+    # [(top_values, top_ids), ...] per output token when requested
+    output_top_logprobs: list = dataclasses.field(default_factory=list)
 
     # stats
     created_at: float = dataclasses.field(default_factory=time.monotonic)

@@ -129,12 +129,16 @@ class Scheduler:
 
         if mode == ForwardMode.EXTEND:
             wb = self._build_worker_batch(batch, mode, chunk_lens)
-            token_ids, logprobs = self.runner.run_extend(wb)
-            return self._process_extend_result(batch, chunk_lens, token_ids, logprobs)
+            token_ids, logprobs, tops = self.runner.run_extend(wb)
+            return self._process_extend_result(
+                batch, chunk_lens, token_ids, logprobs, tops
+            )
 
         wb = self._build_worker_batch(batch, mode, None)
-        token_ids, logprobs = self.runner.run_decode_window(wb, self._decode_window)
-        return self._process_decode_result(batch, token_ids, logprobs)
+        token_ids, logprobs, tops = self.runner.run_decode_window(
+            wb, self._decode_window
+        )
+        return self._process_decode_result(batch, token_ids, logprobs, tops)
 
     # ------------------------------------------------------------ batch build
 
@@ -159,6 +163,8 @@ class Scheduler:
             w = min(w, 4)
         if any(r.grammar is not None for r in self.running):
             return 1  # grammar FSM advances on host per token (for now)
+        if any(r.sampling_params.top_logprobs > 0 for r in self.running):
+            return 1  # top-logprobs fetched per step
         # round down to a power of two for compile-cache reuse
         k = 1
         while k * 2 <= w:
@@ -380,6 +386,7 @@ class Scheduler:
         )
         bitmask = self._build_vocab_bitmask(batch, mode)
         active, slots = self._build_topping_batch(batch)
+        want_tops = any(r.sampling_params.top_logprobs > 0 for r in batch)
         return WorkerBatch(
             mode=mode,
             tokens=tokens,
@@ -393,6 +400,7 @@ class Scheduler:
             vocab_bitmask=bitmask,
             active_adapters=active,
             adapter_slots=slots,
+            return_top_logprobs=want_tops,
         )
 
     def _build_topping_batch(self, batch: list[Req]):
@@ -427,7 +435,9 @@ class Scheduler:
 
     # --------------------------------------------------------------- results
 
-    def _process_extend_result(self, batch, chunk_lens, token_ids, logprobs):
+    def _process_extend_result(
+        self, batch, chunk_lens, token_ids, logprobs, tops=None
+    ):
         events: list[StepEvent] = []
         for i, (req, chunk) in enumerate(zip(batch, chunk_lens)):
             req.computed_len += chunk
@@ -441,6 +451,11 @@ class Scheduler:
                 req.output_ids.append(tok)
                 if req.return_logprob:
                     req.output_token_logprobs.append(float(logprobs[i]))
+                if tops is not None and req.sampling_params.top_logprobs > 0:
+                    k = req.sampling_params.top_logprobs
+                    req.output_top_logprobs.append(
+                        (tops[0][i][:k].tolist(), tops[1][i][:k].tolist())
+                    )
                 if req.grammar is not None:
                     req.grammar.accept_token(tok)
                 req.check_finished()
@@ -456,7 +471,7 @@ class Scheduler:
                 events.append(StepEvent(req, [tok], False))
         return events
 
-    def _process_decode_result(self, batch, token_ids, logprobs):
+    def _process_decode_result(self, batch, token_ids, logprobs, tops=None):
         """Accept a [K, B] window of sampled tokens. A request that finishes
         at window step j still consumed valid inputs through step j+1, so its
         computed_len advances by min(j+2, K); later window slots are
@@ -473,6 +488,11 @@ class Scheduler:
                 req.output_ids.append(tok)
                 if req.return_logprob:
                     req.output_token_logprobs.append(float(logprobs[k, i]))
+                if tops is not None and req.sampling_params.top_logprobs > 0:
+                    tk = req.sampling_params.top_logprobs
+                    req.output_top_logprobs.append(
+                        (tops[0][k][i][:tk].tolist(), tops[1][k][i][:tk].tolist())
+                    )
                 if req.grammar is not None:
                     req.grammar.accept_token(tok)
                 req.check_finished()

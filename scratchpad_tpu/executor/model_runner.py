@@ -55,6 +55,7 @@ class WorkerBatch:
     extend_lens: np.ndarray  # i32[B_real]
     sampling_info: SamplingBatchInfo  # arrays sized B_real (padded by runner)
     vocab_bitmask: Optional[np.ndarray] = None  # u32[B_real, ceil(V/32)]
+    return_top_logprobs: bool = False
     # toppings: distinct adapter pool slots + per-request position in that list
     active_adapters: Optional[np.ndarray] = None  # i32[MAX_ACTIVE_TOPPINGS]
     adapter_slots: Optional[np.ndarray] = None  # i32[B_real]
@@ -397,6 +398,7 @@ class ModelRunner:
             wb.vocab_bitmask is None
             and si.output_token_counts is None
             and wb.active_adapters is None
+            and not wb.return_top_logprobs
             and not self._dp_shard
         )
 
@@ -408,14 +410,27 @@ class ModelRunner:
             "toppings": manager.device_pools(),
         }
 
-    def run_extend(self, wb: WorkerBatch) -> tuple[np.ndarray, np.ndarray]:
-        """One extend step; returns (ids[B_real], logprobs[B_real])."""
+    def run_extend(self, wb: WorkerBatch):
+        """One extend step; returns (ids[B_real], logprobs[B_real], tops)."""
         B_real = len(wb.seq_lens)
+        if wb.return_top_logprobs:
+            meta, sinfo = self._pad_to_buckets(wb)
+            self._rng, step_rng = jax.random.split(self._rng)
+            self.kv_cache, ids, chosen, topv, topi = self._jit_step(
+                self.params, self.kv_cache, meta, sinfo, step_rng,
+                return_logprobs=True,
+            )
+            return (
+                np.asarray(ids)[:B_real],
+                np.asarray(chosen)[:B_real],
+                (np.asarray(topv)[:B_real], np.asarray(topi)[:B_real]),
+            )
         if not self._packed_supported(wb):
             out = self.forward_and_sample(wb)
             return (
                 np.asarray(out.next_token_ids)[:B_real],
                 np.asarray(out.chosen_logprobs)[:B_real],
+                None,
             )
         T, B, P = self._bucket_dims(wb)
         ints, floats = self._pack_host(wb, T, B, P)
@@ -424,22 +439,38 @@ class ModelRunner:
         )
         host = np.asarray(out)  # ONE fetch
         ids = host[0, 0].view(np.int32)[:B_real]
-        return ids, host[1, 0, :B_real]
+        return ids, host[1, 0, :B_real], None
 
     def run_decode_window(self, wb: WorkerBatch, num_steps: int):
-        """K fused decode steps; returns (ids[K, B_real], logprobs[K, B_real])."""
+        """K fused decode steps; returns (ids[K, B_real], logprobs[K, B_real],
+        tops) where tops is None or ([K?, B, k], [K?, B, k]) top logprobs."""
         B_real = len(wb.seq_lens)
+        if wb.return_top_logprobs:
+            assert num_steps == 1, "top-logprobs forces single-step windows"
+            meta, sinfo = self._pad_to_buckets(wb)
+            self._rng, step_rng = jax.random.split(self._rng)
+            self.kv_cache, ids, chosen, topv, topi = self._jit_step(
+                self.params, self.kv_cache, meta, sinfo, step_rng,
+                return_logprobs=True,
+            )
+            return (
+                np.asarray(ids)[None, :B_real],
+                np.asarray(chosen)[None, :B_real],
+                (np.asarray(topv)[None, :B_real], np.asarray(topi)[None, :B_real]),
+            )
         if not self._packed_supported(wb):
             if num_steps == 1:
                 out = self.forward_and_sample(wb)
                 return (
                     np.asarray(out.next_token_ids)[None, :B_real],
                     np.asarray(out.chosen_logprobs)[None, :B_real],
+                    None,
                 )
             out = self.decode_multi(wb, num_steps)
             return (
                 np.asarray(out.next_token_ids)[:, :B_real],
                 np.asarray(out.chosen_logprobs)[:, :B_real],
+                None,
             )
         _, B, P = self._bucket_dims(wb)
         ints, floats = self._pack_host(wb, B, B, P)
@@ -448,7 +479,7 @@ class ModelRunner:
         )
         host = np.asarray(out)  # ONE fetch
         ids = host[0].view(np.int32)[:, :B_real]
-        return ids, host[1, :, :B_real]
+        return ids, host[1, :, :B_real], None
 
     # ------------------------------------------------------------ multi-step
 
@@ -519,13 +550,16 @@ class ModelRunner:
 
     # ------------------------------------------------------------------- step
 
+    TOP_LOGPROBS_K = 8
+
     def _step_impl(self, params, kv, meta, sinfo, rng, return_logprobs=False):
         kv, logits = self.model(params, kv, meta)
         ids, logprobs = sample(logits, sinfo, rng)
         B = ids.shape[0]
         chosen = jnp.take_along_axis(logprobs, ids[:, None], axis=-1)[:, 0]
         if return_logprobs:
-            return kv, ids, chosen, logprobs
+            topv, topi = jax.lax.top_k(logprobs, self.TOP_LOGPROBS_K)
+            return kv, ids, chosen, topv, topi
         return kv, ids, chosen
 
     def _shard_batch(self, meta: ForwardMeta, sinfo: SamplingBatchInfo):

@@ -27,6 +27,7 @@ class SamplingParams:
     skip_special_tokens: bool = True
     spaces_between_special_tokens: bool = True
     n: int = 1
+    top_logprobs: int = 0  # return top-k alternatives per output token (<=8)
     # constrained decoding (one of)
     json_schema: Optional[str] = None
     regex: Optional[str] = None

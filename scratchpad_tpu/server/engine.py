@@ -35,6 +35,7 @@ class GenerationOutput:
     completion_tokens: int
     cached_tokens: int
     output_token_logprobs: Optional[list[float]] = None
+    output_top_logprobs: Optional[list] = None  # [(values, token_ids), ...]
     ttft: Optional[float] = None
     e2e_latency: Optional[float] = None
 
@@ -296,6 +297,11 @@ class Engine:
             cached_tokens=req.cached_prefix_len,
             output_token_logprobs=(
                 list(req.output_token_logprobs) if req.return_logprob else None
+            ),
+            output_top_logprobs=(
+                list(req.output_top_logprobs)
+                if req.output_top_logprobs
+                else None
             ),
             ttft=(
                 req.first_token_at - req.created_at if req.first_token_at else None

@@ -94,3 +94,20 @@ def test_update_weights_changes_output_and_rolls_back(engine):
     assert not ok and "rolled back" in msg
     still = engine.generate(input_ids=p, sampling_params=sp).output_ids
     assert still == before
+
+
+def test_top_logprobs(engine):
+    sp = SamplingParams(temperature=0.0, max_new_tokens=4, top_logprobs=5)
+    out = engine.generate(
+        input_ids=prompt(11, seed=12), sampling_params=sp, return_logprob=True
+    )
+    assert out.output_top_logprobs is not None
+    assert len(out.output_top_logprobs) == 4
+    for (vals, ids), chosen_tok, chosen_lp in zip(
+        out.output_top_logprobs, out.output_ids, out.output_token_logprobs
+    ):
+        assert len(vals) == 5 and len(ids) == 5
+        assert sorted(vals, reverse=True) == vals  # descending
+        # greedy: the chosen token is the top-1 alternative
+        assert ids[0] == chosen_tok
+        assert abs(vals[0] - chosen_lp) < 1e-4
