@@ -1,0 +1,225 @@
+"""Mixtral-style sparse MoE models.
+
+Counterpart of the reference's Llama-MoE family
+(reference: scratchpad/nn/models/llama/llama_moe.py:243,
+llama_quant_moe.py:29-36, nn/layers/fused_moe/patch.py:92).
+
+TPU-first expert execution: decode is memory-bound and every expert's
+weights are resident, so the forward LOOPS over experts with per-token
+routing masks — dense MXU matmuls, no gather/scatter dispatch (the
+reference needs triteia's sbmm batched expert GEMM for this). Routing
+follows HF Mixtral: softmax over all experts -> top-k -> renormalize.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from scratchpad_tpu.config.model_config import ModelConfig
+from scratchpad_tpu.executor.forward_meta import ForwardMeta, ForwardMode
+from scratchpad_tpu.memory.kv_cache import KVCache
+from scratchpad_tpu.models.common import apply_rope, compute_inv_freq, rms_norm, silu_mul
+from scratchpad_tpu.ops.attention import write_kv
+from scratchpad_tpu.ops.attention.xla_backend import (
+    decode_attention_xla,
+    extend_attention_xla,
+)
+
+
+class MixtralForCausalLM:
+    page_size: int = 16
+
+    def __init__(self, cfg: ModelConfig):
+        assert cfg.num_experts > 0, "MoE model needs num_experts"
+        self.cfg = cfg
+        self.inv_freq = compute_inv_freq(cfg)
+        self.sm_scale = cfg.head_dim**-0.5
+        self.decode_attention = decode_attention_xla
+        self.extend_attention = extend_attention_xla
+
+    # ------------------------------------------------------------ parameters
+
+    def init_params(self, rng: jax.Array, dtype=jnp.bfloat16) -> dict[str, Any]:
+        cfg = self.cfg
+        H, L, E = cfg.hidden_size, cfg.num_hidden_layers, cfg.num_experts
+        D, Hq, Hkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_kv_heads
+        I = cfg.moe_intermediate_size or cfg.intermediate_size
+        V = cfg.vocab_size
+        keys = iter(jax.random.split(rng, 16))
+
+        def init(key, shape, scale_dim):
+            return (
+                jax.random.normal(key, shape, jnp.float32) / np.sqrt(scale_dim)
+            ).astype(dtype)
+
+        params = {
+            "embed": init(next(keys), (V, H), H),
+            "layers": {
+                "input_norm": jnp.ones((L, H), dtype),
+                "post_norm": jnp.ones((L, H), dtype),
+                "wq": init(next(keys), (L, H, Hq * D), H),
+                "wk": init(next(keys), (L, H, Hkv * D), H),
+                "wv": init(next(keys), (L, H, Hkv * D), H),
+                "wo": init(next(keys), (L, Hq * D, H), Hq * D),
+                "router": init(next(keys), (L, H, E), H),
+                "w1": init(next(keys), (L, E, H, I), H),  # gate
+                "w3": init(next(keys), (L, E, H, I), H),  # up
+                "w2": init(next(keys), (L, E, I, H), I),  # down
+            },
+            "final_norm": jnp.ones((H,), dtype),
+        }
+        if not cfg.tie_word_embeddings:
+            params["lm_head"] = init(next(keys), (V, H), H)
+        return params
+
+    def param_specs(self, tp_axis: str = "tp") -> dict[str, Any]:
+        t = tp_axis
+        specs = {
+            "embed": P(t, None),
+            "layers": {
+                "input_norm": P(None, None),
+                "post_norm": P(None, None),
+                "wq": P(None, None, t),
+                "wk": P(None, None, t),
+                "wv": P(None, None, t),
+                "wo": P(None, t, None),
+                "router": P(None, None, None),
+                # experts TP-sharded on the ffw dim (EP = shard the E axis
+                # instead; planned with shard_map)
+                "w1": P(None, None, None, t),
+                "w3": P(None, None, None, t),
+                "w2": P(None, None, t, None),
+            },
+            "final_norm": P(None),
+        }
+        if not self.cfg.tie_word_embeddings:
+            specs["lm_head"] = P(t, None)
+        return specs
+
+    def convert_hf_state(self, state: dict[str, np.ndarray], dtype=jnp.bfloat16):
+        cfg = self.cfg
+        L, E = cfg.num_hidden_layers, cfg.num_experts
+        layers: dict[str, list] = {}
+        out: dict[str, Any] = {"layers": {}}
+
+        def put(tgt, l, w, e=None):
+            if tgt in ("w1", "w2", "w3"):
+                slot = layers.setdefault(tgt, [[None] * E for _ in range(L)])
+                slot[l][e] = w
+            else:
+                layers.setdefault(tgt, [None] * L)[l] = w
+
+        for name, w in state.items():
+            if name.startswith("model.layers."):
+                rest = name[len("model.layers.") :]
+                l_s, sub = rest.split(".", 1)
+                l = int(l_s)
+                if sub.startswith("block_sparse_moe.experts."):
+                    parts = sub.split(".")
+                    e = int(parts[2])
+                    which = parts[3]  # w1|w2|w3
+                    put(which, l, w.T, e)
+                elif sub == "block_sparse_moe.gate.weight":
+                    put("router", l, w.T)
+                elif sub == "self_attn.q_proj.weight":
+                    put("wq", l, w.T)
+                elif sub == "self_attn.k_proj.weight":
+                    put("wk", l, w.T)
+                elif sub == "self_attn.v_proj.weight":
+                    put("wv", l, w.T)
+                elif sub == "self_attn.o_proj.weight":
+                    put("wo", l, w.T)
+                elif sub == "input_layernorm.weight":
+                    put("input_norm", l, w)
+                elif sub == "post_attention_layernorm.weight":
+                    put("post_norm", l, w)
+                else:
+                    raise KeyError(f"unmapped {name}")
+            elif name == "model.embed_tokens.weight":
+                out["embed"] = w
+            elif name == "model.norm.weight":
+                out["final_norm"] = w
+            elif name == "lm_head.weight":
+                if not cfg.tie_word_embeddings:
+                    out["lm_head"] = w
+            else:
+                raise KeyError(f"unmapped {name}")
+        for k, ws in layers.items():
+            if k in ("w1", "w2", "w3"):
+                out["layers"][k] = np.stack(
+                    [np.stack(row) for row in ws]
+                )  # [L, E, ...]
+            else:
+                out["layers"][k] = np.stack(ws)
+        return jax.tree.map(lambda x: jnp.asarray(x, dtype), out)
+
+    # ---------------------------------------------------------------- forward
+
+    def _moe(self, h: jax.Array, lp: dict) -> jax.Array:
+        """Masked expert loop (reference: fused_moe_forward_native,
+        nn/layers/fused_moe/patch.py:92)."""
+        cfg = self.cfg
+        E, K = cfg.num_experts, cfg.num_experts_per_tok
+        logits = (h @ lp["router"]).astype(jnp.float32)  # [T, E]
+        probs = jax.nn.softmax(logits, axis=-1)
+        topv, topi = jax.lax.top_k(probs, K)  # [T, K]
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)  # renormalize
+        # per-token weight for each expert: [T, E]
+        w_full = jnp.zeros((h.shape[0], E), jnp.float32)
+        for k in range(K):
+            w_full = w_full + jax.nn.one_hot(topi[:, k], E) * topv[:, k : k + 1]
+        y = jnp.zeros_like(h)
+        for e in range(E):
+            contrib = silu_mul(h @ lp["w1"][e], h @ lp["w3"][e]) @ lp["w2"][e]
+            y = y + contrib * w_full[:, e : e + 1].astype(h.dtype)
+        return y
+
+    def __call__(self, params: dict, kv: KVCache, meta: ForwardMeta):
+        cfg = self.cfg
+        L = cfg.num_hidden_layers
+        Hq, Hkv, D = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
+        T = meta.num_tokens
+        inv_freq = jnp.asarray(self.inv_freq)
+
+        x = jnp.take(params["embed"], meta.tokens, axis=0)
+        attend = (
+            self.decode_attention
+            if meta.mode == ForwardMode.DECODE
+            else self.extend_attention
+        )
+
+        def body(carry, layer):
+            x, kv_c = carry
+            lp, lidx = layer
+            h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
+            q = (h @ lp["wq"]).reshape(T, Hq, D)
+            kn = (h @ lp["wk"]).reshape(T, Hkv, D)
+            vn = (h @ lp["wv"]).reshape(T, Hkv, D)
+            q = apply_rope(q, meta.positions, inv_freq)
+            kn = apply_rope(kn, meta.positions, inv_freq)
+            kv_c = write_kv(kv_c, kn, vn, lidx, meta.out_cache_loc)
+            attn = attend(
+                q, kv_c, lidx, meta,
+                page_size=self.page_size,
+                sm_scale=self.sm_scale,
+                logit_cap=None,
+                sliding_window=None,
+            )
+            x = x + attn.reshape(T, Hq * D) @ lp["wo"]
+            h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
+            x = x + self._moe(h2, lp)
+            return (x, kv_c), None
+
+        (x, kv_out), _ = jax.lax.scan(
+            body, (x, kv), (params["layers"], jnp.arange(L, dtype=jnp.int32))
+        )
+        h = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        last = jnp.take(h, meta.last_token_idx, axis=0)
+        head = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
+        logits = (last @ head.T).astype(jnp.float32)
+        return kv_out, logits

@@ -64,3 +64,9 @@ def _ensure_builtin():
         _REGISTRY["Gemma3ForConditionalGeneration"] = Gemma3ForCausalLM
     except ImportError:
         pass
+    try:
+        from scratchpad_tpu.models.mixtral import MixtralForCausalLM
+
+        _REGISTRY["MixtralForCausalLM"] = MixtralForCausalLM
+    except ImportError:
+        pass

@@ -27,10 +27,11 @@ def _w4_kernel(layer_ref, x_ref, q_ref, s_ref, z_ref, o_ref, *, group_size):
     half, out_blk = q_ref.shape[1], q_ref.shape[2]
     x = x_ref[...]
     dtype = x.dtype
-    qw = q_ref[0]  # [half, OUT_BLK] uint8
-    # mosaic lacks a direct uint8->bf16 cast; go via int32 -> f32
-    lo = (qw & 0xF).astype(jnp.int32).astype(jnp.float32).astype(dtype)
-    hi = (qw >> 4).astype(jnp.int32).astype(jnp.float32).astype(dtype)
+    # mosaic has no uint8 shift/cast ops: widen to int32 first, then all
+    # bit math and the int32 -> f32 -> target-dtype cast chain are legal
+    qi = q_ref[0].astype(jnp.int32)  # [half, OUT_BLK]
+    lo = (qi & 0xF).astype(jnp.float32).astype(dtype)
+    hi = ((qi >> 4) & 0xF).astype(jnp.float32).astype(dtype)
     s = s_ref[0].astype(dtype)  # [G, OUT_BLK]
     z = z_ref[0].astype(dtype)
     # row-repeat each group's scale to its rows ([G, O] -> [G*group, O])
