@@ -57,6 +57,10 @@ class Req:
     # topping (LoRA adapter) pool slot; 0 = none
     topping_idx: int = 0
 
+    # embedding request: finish at prefill with pooled hidden state
+    is_embedding: bool = False
+    embedding: Any = None
+
     # stop/stream state
     finished_reason: Optional[FinishReason] = None
     eos_token_ids: frozenset[int] = frozenset()

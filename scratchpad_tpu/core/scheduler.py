@@ -129,6 +129,9 @@ class Scheduler:
 
         if mode == ForwardMode.EXTEND:
             wb = self._build_worker_batch(batch, mode, chunk_lens)
+            if batch[0].is_embedding:
+                emb = self.runner.run_embed(wb)
+                return self._process_embed_result(batch, chunk_lens, emb)
             token_ids, logprobs, tops = self.runner.run_extend(wb)
             return self._process_extend_result(
                 batch, chunk_lens, token_ids, logprobs, tops
@@ -193,7 +196,11 @@ class Scheduler:
         if len(self.running) >= self.runner.max_running_requests:
             return None
 
-        self.policy.calc_priority(self.waiting)
+        # embedding requests run in exclusive batches (their jitted step
+        # returns hidden states, not sampled tokens)
+        embed_waiting = [r for r in self.waiting if r.is_embedding]
+        candidates = embed_waiting if embed_waiting else self.waiting
+        self.policy.calc_priority(candidates)
         adder = PrefillAdder(
             self.tree_cache,
             self.allocator,
@@ -209,7 +216,7 @@ class Scheduler:
         from scratchpad_tpu.toppings.manager import MAX_ACTIVE_TOPPINGS
 
         active_toppings = {r.topping_idx for r in self.running if r.topping_idx}
-        for req in list(self.waiting):
+        for req in list(candidates):
             if self.req_slots.available_slots <= len(admitted):
                 break
             if (
@@ -469,6 +476,20 @@ class Scheduler:
                 self._cache_unfinished(req)
                 self.running.append(req)
                 events.append(StepEvent(req, [tok], False))
+        return events
+
+    def _process_embed_result(self, batch, chunk_lens, emb):
+        events: list[StepEvent] = []
+        for i, (req, chunk) in enumerate(zip(batch, chunk_lens)):
+            req.computed_len += chunk
+            if req.computed_len < len(req.origin_input_ids):
+                self._cache_unfinished(req)
+                events.append(StepEvent(req, [], False))
+                continue
+            req.embedding = emb[i].copy()
+            req.finished_reason = FinishReason.LENGTH
+            self._finish_req(req)
+            events.append(StepEvent(req, [], True))
         return events
 
     def _process_decode_result(self, batch, token_ids, logprobs, tops=None):

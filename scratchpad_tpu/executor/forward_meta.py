@@ -57,6 +57,8 @@ class ForwardMeta:
     # each request row's position within that list (0 = zero adapter)
     active_adapters: Optional[jax.Array] = None  # i32[MAX_ACTIVE_TOPPINGS]
     adapter_slots: Optional[jax.Array] = None  # i32[B]
+    # embedding mode: models return pooled last-token hidden instead of logits
+    capture_hidden: bool = False
 
     @property
     def num_tokens(self) -> int:
@@ -85,5 +87,5 @@ jax.tree_util.register_dataclass(
         "active_adapters",
         "adapter_slots",
     ],
-    meta_fields=["mode"],
+    meta_fields=["mode", "capture_hidden"],
 )

@@ -132,17 +132,28 @@ class ModelRunner:
         if params is not None:
             self.params = params
         else:
-            if self.args.random_weights or not cfg.model_path:
-                rng = jax.random.PRNGKey(self.args.random_seed)
-                self.params = self.model.init_params(rng, self._dtype())
-            else:
-                state = load_hf_state(cfg.model_path)
-                self.params = self.model.convert_hf_state(state, self._dtype())
-                del state
-            if self.args.quantization in ("w4a16", "w4"):
-                from scratchpad_tpu.ops.quant import quantize_model_params
+            quantizing = self.args.quantization in ("w4a16", "w4")
+            # quantization reads weights on the host — init/convert on CPU so
+            # nothing bounces device->host through a (possibly slow) link
+            import contextlib
 
-                self.params = quantize_model_params(self.params)
+            ctx = (
+                jax.default_device(jax.devices("cpu")[0])
+                if quantizing
+                else contextlib.nullcontext()
+            )
+            with ctx:
+                if self.args.random_weights or not cfg.model_path:
+                    rng = jax.random.PRNGKey(self.args.random_seed)
+                    self.params = self.model.init_params(rng, self._dtype())
+                else:
+                    state = load_hf_state(cfg.model_path)
+                    self.params = self.model.convert_hf_state(state, self._dtype())
+                    del state
+                if quantizing:
+                    from scratchpad_tpu.ops.quant import quantize_model_params
+
+                    self.params = quantize_model_params(self.params)
             if mesh is not None:
                 specs = self.model.param_specs()
                 if "layers_q" in self.params:
@@ -150,6 +161,8 @@ class ModelRunner:
 
                     specs = quant_param_specs(specs, self.params)
                 self.params = place_params(self.params, specs, mesh)
+            elif quantizing:
+                self.params = jax.device_put(self.params, jax.devices()[0])
         self.param_bytes = sum(
             x.size * x.dtype.itemsize for x in jax.tree.leaves(self.params)
         )
@@ -669,6 +682,27 @@ class ModelRunner:
             else None,
         )
         return meta, sinfo
+
+    # ------------------------------------------------------------- embeddings
+
+    def _embed_impl(self, params, kv, meta):
+        kv, hidden = self.model(params, kv, meta)
+        emb = hidden.astype(jnp.float32)
+        emb = emb / jnp.maximum(
+            jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-9
+        )
+        return kv, emb
+
+    def run_embed(self, wb: WorkerBatch) -> np.ndarray:
+        """Extend pass returning L2-normalised last-token hidden states
+        (reference: scratchpad/nn/models/llama/llama_embedding.py)."""
+        B_real = len(wb.seq_lens)
+        meta, _ = self._pad_to_buckets(wb)
+        meta = dataclasses.replace(meta, capture_hidden=True)
+        if not hasattr(self, "_jit_embed"):
+            self._jit_embed = jax.jit(self._embed_impl, donate_argnames=("kv",))
+        self.kv_cache, emb = self._jit_embed(self.params, self.kv_cache, meta)
+        return np.asarray(emb)[:B_real]
 
     # ---------------------------------------------------------- weight update
 

@@ -273,6 +273,8 @@ class LlamaForCausalLM:
 
         h = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
         last = jnp.take(h, meta.last_token_idx, axis=0)  # [B, H]
+        if getattr(meta, "capture_hidden", False):
+            return kv_out, last
         head = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
         logits = (last @ head.T).astype(jnp.float32)  # [B, V]
         if cfg.logit_softcap:

@@ -100,6 +100,10 @@ class AsyncEngineRunner:
                     )
                     req.stream_sent_len = safe
                 if req.finished():
+                    if req.is_embedding:
+                        st.push(("done", req.embedding))
+                        del self.states[req.rid]
+                        continue
                     out = self.engine._to_output(req)
                     if len(req.decoded_text) > req.stream_sent_len:
                         st.push(
@@ -150,6 +154,28 @@ class AsyncEngineRunner:
             if not req.finished():
                 self.engine.scheduler.abort_request(req.rid)
                 self.states.pop(req.rid, None)
+
+    async def encode(
+        self,
+        prompt: Optional[str] = None,
+        input_ids: Optional[list[int]] = None,
+    ):
+        """Embedding through the scheduler thread (no cross-thread stepping)."""
+        from scratchpad_tpu.sampling.sampling_params import SamplingParams
+
+        req = self.engine._make_req(
+            prompt, input_ids, SamplingParams(max_new_tokens=0)
+        )
+        req.is_embedding = True
+        st = _ReqState(asyncio.get_running_loop())
+        self.submit_q.put((req, st))
+        self._wake.set()
+        while True:
+            kind, payload = await st.q.get()
+            if kind == "error":
+                raise RuntimeError(payload)
+            if kind == "done":
+                return payload
 
     async def generate_full(self, **kw) -> GenerationOutput:
         async for kind, payload in self.generate(**kw):

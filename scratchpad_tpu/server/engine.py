@@ -311,6 +311,37 @@ class Engine:
             ),
         )
 
+    def encode(
+        self,
+        prompt: Optional[Union[str, list[str]]] = None,
+        input_ids: Optional[Union[list[int], list[list[int]]]] = None,
+    ):
+        """Embedding inference: L2-normalised last-token hidden states
+        (reference: llama_embedding.py + /v1/embeddings)."""
+        batched = isinstance(prompt, list) or (
+            input_ids is not None
+            and len(input_ids) > 0
+            and isinstance(input_ids[0], (list, tuple))
+        )
+        prompts = prompt if isinstance(prompt, list) else [prompt]
+        if input_ids is not None and not batched:
+            idss = [input_ids]
+        else:
+            idss = input_ids if input_ids is not None else [None] * len(prompts)
+        if prompt is None:
+            prompts = [None] * len(idss)
+        reqs = []
+        for p, i in zip(prompts, idss):
+            r = self._make_req(p, i, SamplingParams(max_new_tokens=0))
+            r.is_embedding = True
+            reqs.append(r)
+            self.scheduler.add_request(r)
+        while any(not r.finished() for r in reqs):
+            if not self.scheduler.step() and not self.scheduler.has_work():
+                break
+        embs = [r.embedding for r in reqs]
+        return embs if batched else embs[0]
+
     def update_weights(self, model_path: str = None, state: dict = None):
         """Swap weights in place; flushes the radix cache on success
         (reference: scheduler.py:1834-1842 update_weights + flush)."""

@@ -203,11 +203,48 @@ class ServerApp:
         )
 
     async def embeddings(self, request) -> web.Response:
+        """/v1/embeddings (reference: handler.py:1578 v1_embeddings)."""
+        from scratchpad_tpu.server.openai_api.protocol import EmbeddingRequest
+
+        try:
+            ereq = EmbeddingRequest(**await request.json())
+        except Exception as e:
+            return self._bad_request(str(e))
+        inputs = ereq.input
+        if isinstance(inputs, str):
+            items = [("prompt", inputs)]
+        elif inputs and isinstance(inputs[0], int):
+            items = [("ids", inputs)]
+        elif inputs and isinstance(inputs[0], str):
+            items = [("prompt", x) for x in inputs]
+        else:
+            items = [("ids", x) for x in inputs]
+        if self.engine.tokenizer is None and any(k == "prompt" for k, _ in items):
+            return self._bad_request("no tokenizer loaded; send token ids")
+        embs = await asyncio.gather(
+            *[
+                self.runner.encode(
+                    prompt=val if kind == "prompt" else None,
+                    input_ids=val if kind == "ids" else None,
+                )
+                for kind, val in items
+            ]
+        )
+        data = [
+            {
+                "object": "embedding",
+                "index": i,
+                "embedding": [float(x) for x in e],
+            }
+            for i, e in enumerate(embs)
+        ]
         return web.json_response(
-            ErrorResponse(
-                message="embeddings are not supported yet", code=501
-            ).model_dump(),
-            status=501,
+            {
+                "object": "list",
+                "data": data,
+                "model": ereq.model,
+                "usage": {"prompt_tokens": 0, "total_tokens": 0},
+            }
         )
 
     # ----------------------------------------------------------- completions

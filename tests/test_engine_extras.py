@@ -111,3 +111,17 @@ def test_top_logprobs(engine):
         # greedy: the chosen token is the top-1 alternative
         assert ids[0] == chosen_tok
         assert abs(vals[0] - chosen_lp) < 1e-4
+
+
+def test_embeddings(engine):
+    a = engine.encode(input_ids=prompt(16, seed=20))
+    b = engine.encode(input_ids=prompt(16, seed=20))
+    c = engine.encode(input_ids=prompt(16, seed=21))
+    assert a.shape == (engine.model_config.hidden_size,)
+    assert abs(float(np.linalg.norm(a)) - 1.0) < 1e-5
+    np.testing.assert_allclose(a, b, atol=1e-6)  # deterministic
+    assert np.abs(a - c).max() > 1e-3  # different input, different embedding
+    # batch mode
+    embs = engine.encode(input_ids=[prompt(8, seed=22), prompt(30, seed=23)])
+    assert len(embs) == 2
+    engine.scheduler.check_memory_leak()

@@ -161,3 +161,13 @@ class TestServer:
             timeout=60,
         )
         assert r.status_code in (200, 400)
+
+    def test_embeddings_endpoint(self, server):
+        r = httpx.post(
+            f"{server}/v1/embeddings",
+            json={"model": "tiny", "input": [[1, 2, 3, 4, 5]]},
+            timeout=60,
+        )
+        assert r.status_code == 200, r.text
+        data = r.json()["data"]
+        assert len(data) == 1 and len(data[0]["embedding"]) == 128
