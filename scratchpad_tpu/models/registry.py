@@ -70,3 +70,9 @@ def _ensure_builtin():
         _REGISTRY["MixtralForCausalLM"] = MixtralForCausalLM
     except ImportError:
         pass
+    try:
+        from scratchpad_tpu.models.apertus import ApertusForCausalLM
+
+        _REGISTRY["ApertusForCausalLM"] = ApertusForCausalLM
+    except ImportError:
+        pass
