@@ -179,12 +179,20 @@ class ModelRunner:
         num_pages = num_tokens // self.page_size + 1  # +1 = reserved dump page
         from scratchpad_tpu.memory.kv_cache import padded_head_dim
 
+        # lane-padding is only required by the paged Pallas kernels; the XLA
+        # gather backend reads padded bytes (the slice doesn't fuse), so keep
+        # the cache tight when XLA serves attention
+        cache_head_dim = (
+            padded_head_dim(cfg.head_dim)
+            if self.attention_backend in ("pallas", "jax_paged")
+            else cfg.head_dim
+        )
         self.kv_config = KVCacheConfig(
             num_layers=cfg.num_hidden_layers,
             num_pages=num_pages,
             page_size=self.page_size,
             num_kv_heads=cfg.num_kv_heads,
-            head_dim=padded_head_dim(cfg.head_dim),
+            head_dim=cache_head_dim,
             dtype=self._dtype(),
             quantized=self.args.kv_cache_dtype == "int8",
         )
@@ -271,13 +279,12 @@ class ModelRunner:
 
         cfg = self.model_config
         itemsize = 1 if self.args.kv_cache_dtype == "int8" else jnp.dtype(self._dtype()).itemsize
-        return (
-            2
-            * cfg.num_hidden_layers
-            * cfg.num_kv_heads
-            * padded_head_dim(cfg.head_dim)
-            * itemsize
+        hd = (
+            padded_head_dim(cfg.head_dim)
+            if getattr(self, "attention_backend", "xla") in ("pallas", "jax_paged")
+            else cfg.head_dim
         )
+        return 2 * cfg.num_hidden_layers * cfg.num_kv_heads * hd * itemsize
 
     # ------------------------------------------------- packed single-RPC path
     #

@@ -47,7 +47,10 @@ class LlamaForCausalLM:
         self.decode_attention = decode_attention_xla
         self.extend_attention = extend_attention_xla
         # W4A16 matmul: Pallas on accelerators, XLA reference path on CPU
-        if jax.default_backend() == "cpu":
+        # (SPTPU_W4_IMPL=xla forces the XLA fused-dequant path for A/B tests)
+        import os
+
+        if jax.default_backend() == "cpu" or os.environ.get("SPTPU_W4_IMPL") == "xla":
             from scratchpad_tpu.ops.quant import slice_layer, w4a16_matmul_xla
 
             self.quant_matmul = lambda x, ql, l: w4a16_matmul_xla(
