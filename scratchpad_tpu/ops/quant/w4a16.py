@@ -96,15 +96,25 @@ def dequantize_w4(ql: QuantizedLinear, dtype=jnp.bfloat16) -> jax.Array:
 def quantize_stacked(
     w_stacked: Any, group_size: int = 128, dtype=jnp.bfloat16
 ) -> QuantizedLinear:
-    """Quantize a layer-stacked weight [L, In, Out] into stacked planes."""
+    """Quantize a layer-stacked weight [L, In, Out] (vectorised over layers)."""
     w = np.asarray(w_stacked, np.float32)
-    L, In, _ = w.shape
+    L, In, Out = w.shape
     g = min(group_size, In // 2)
-    qs = [quantize_w4(w[l], g, dtype) for l in range(L)]
+    G = In // g
+    wg = w.reshape(L * G, g, Out)
+    wmin = wg.min(axis=1)
+    wmax = wg.max(axis=1)
+    scale = np.maximum((wmax - wmin) / 15.0, 1e-8)  # [L*G, Out]
+    zero = np.round(-wmin / scale)
+    q = np.clip(
+        np.round(wg / scale[:, None, :]) + zero[:, None, :], 0, 15
+    ).astype(np.uint8)
+    q = q.reshape(L, In, Out)
+    packed = (q[:, : In // 2] | (q[:, In // 2 :] << 4)).astype(np.uint8)
     return QuantizedLinear(
-        q=jnp.stack([x.q for x in qs]),
-        s=jnp.stack([x.s for x in qs]),
-        z=jnp.stack([x.z for x in qs]),
+        q=jnp.asarray(packed),
+        s=jnp.asarray(scale.reshape(L, G, Out), dtype),
+        z=jnp.asarray(zero.reshape(L, G, Out), dtype),
         group_size=g,
     )
 
