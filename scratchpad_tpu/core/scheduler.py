@@ -262,6 +262,27 @@ class Scheduler:
             self.num_prefill_tokens += chunk
         if not batch:
             return None
+        # mixed chunk: running decode requests join the prefill batch as
+        # one-token extend rows (reference: schedule_batch.py:1073
+        # mix_with_running); the flat-token extend layout handles them
+        # natively — input token fill_ids[computed_len] is the last sample
+        if (
+            self.args.enable_mixed_chunk
+            and self.running
+            and not batch[0].is_embedding
+            and not any(r.grammar is not None for r in self.running)
+        ):
+            ps = self.page_size
+            for r in self.running:
+                need = -(-(r.computed_len + 1) // ps) - len(r.pages)
+                if need > 0:
+                    pages = self._alloc_pages(need)
+                    if pages is None:
+                        continue
+                    r.pages = np.concatenate([r.pages, pages])
+                    self.req_slots.write_pages(r.req_slot, 0, r.pages)
+                batch.append(r)
+                chunk_lens.append(1)
         return batch, chunk_lens
 
     def _alloc_for_extend(self, req: Req, chunk: int) -> bool:
@@ -470,11 +491,14 @@ class Scheduler:
                 req.finished_reason = FinishReason.LENGTH
             self.num_generated_tokens += 1
             if req.finished():
+                if req in self.running:  # mixed-chunk decode row
+                    self.running.remove(req)
                 self._finish_req(req)
                 events.append(StepEvent(req, [tok], True))
             else:
-                self._cache_unfinished(req)
-                self.running.append(req)
+                if req not in self.running:
+                    self._cache_unfinished(req)
+                    self.running.append(req)
                 events.append(StepEvent(req, [tok], False))
         return events
 

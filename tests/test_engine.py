@@ -162,3 +162,22 @@ class TestSchedulePolicies:
         outs = eng.generate(input_ids=prompts, sampling_params=[sp] * 4)
         assert all(len(o.output_ids) == 3 for o in outs)
         eng.scheduler.check_memory_leak()
+
+
+class TestMixedChunk:
+    def test_mixed_chunk_matches_plain(self):
+        """Decode rows riding in prefill batches must not change results."""
+        prompts = [prompt(n, seed=200 + n) for n in (40, 9, 25, 13)]
+        sp = SamplingParams(temperature=0.0, max_new_tokens=8, ignore_eos=True)
+        plain = make_engine(chunked_prefill_size=16)
+        ref = [
+            o.output_ids
+            for o in plain.generate(input_ids=prompts, sampling_params=[sp] * 4)
+        ]
+        mixed = make_engine(chunked_prefill_size=16, enable_mixed_chunk=True)
+        got = [
+            o.output_ids
+            for o in mixed.generate(input_ids=prompts, sampling_params=[sp] * 4)
+        ]
+        assert got == ref
+        mixed.scheduler.check_memory_leak()
