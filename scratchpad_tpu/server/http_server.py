@@ -368,10 +368,13 @@ class ServerApp:
             return tok.apply_chat_template(
                 dicts, tokenize=False, add_generation_prompt=True
             )
-        # fallback template
-        parts = [f"<|{d['role']}|>\n{d['content']}" for d in dicts]
-        parts.append("<|assistant|>\n")
-        return "\n".join(parts)
+        # named/inferred fallback template (reference: conversation.py)
+        from scratchpad_tpu.server.openai_api.conversation import get_template
+
+        conv = get_template(
+            self.args.chat_template, self.args.served_model_name
+        )
+        return conv.render(dicts)
 
     async def chat_completions(self, request) -> web.Response:
         try:

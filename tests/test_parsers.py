@@ -69,3 +69,25 @@ class TestReasoningParser:
     def test_none(self):
         r, v = split_reasoning("plain answer")
         assert r is None and v == "plain answer"
+
+
+class TestConversationTemplates:
+    def test_inference_from_model_name(self):
+        from scratchpad_tpu.server.openai_api.conversation import get_template
+
+        msgs = [
+            {"role": "system", "content": "be brief"},
+            {"role": "user", "content": "hi"},
+        ]
+        assert "<|start_header_id|>" in get_template(model_name="Llama-3.2-1B").render(msgs)
+        assert "<|im_start|>" in get_template(model_name="Qwen3-8B").render(msgs)
+        assert "<start_of_turn>" in get_template(model_name="gemma-2-9b").render(msgs)
+        assert "[INST]" in get_template(model_name="Mistral-7B").render(msgs)
+        out = get_template(model_name="unknown-model").render(msgs)
+        assert "<|assistant|>" in out
+
+    def test_explicit_name(self):
+        from scratchpad_tpu.server.openai_api.conversation import get_template
+
+        t = get_template(name="chatml")
+        assert t.stop == ["<|im_end|>"]
