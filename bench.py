@@ -27,6 +27,7 @@ def main() -> None:
 
     on_tpu = jax.default_backend() not in ("cpu",)
     quant = os.environ.get("SPTPU_BENCH_QUANT")  # e.g. "w4a16"
+    attn = os.environ.get("SPTPU_ATTN", "auto")
     kv_dtype = os.environ.get("SPTPU_BENCH_KV", "auto")  # e.g. "int8"
     if on_tpu:
         preset, dtype = "llama-3.2-1b", "bfloat16"
@@ -52,6 +53,7 @@ def main() -> None:
         dtype=dtype,
         quantization=quant,
         kv_cache_dtype=kv_dtype,
+        attention_backend=attn,
         max_total_tokens=max_total_tokens,
         max_running_requests=batch_size,
         # one request per prefill batch keeps the XLA extend-attention

@@ -64,21 +64,22 @@ def _decode_kernel(
     G = Hq // Hkv
 
     def chunk_dmas(c, slot):
-        """One copy per (head, page); integer indices only."""
+        """One strided copy per page moving ALL heads' [ps, D] slabs at once
+        (requires the lane-padded cache: trailing dims must be tile-aligned).
+        8 DMAs per chunk instead of Hkv*CHUNK_PAGES*2."""
         out = []
-        for h in range(Hkv):
-            for j in range(CHUNK_PAGES):
-                page = pt_ref[b, c * CHUNK_PAGES + j]
-                out.append(
-                    pltpu.make_async_copy(
-                        k_hbm.at[h, page], k_buf.at[slot, h, j], sems.at[slot, 0]
-                    )
+        for j in range(CHUNK_PAGES):
+            page = pt_ref[b, c * CHUNK_PAGES + j]
+            out.append(
+                pltpu.make_async_copy(
+                    k_hbm.at[:, page], k_buf.at[slot, :, j], sems.at[slot, 0]
                 )
-                out.append(
-                    pltpu.make_async_copy(
-                        v_hbm.at[h, page], v_buf.at[slot, h, j], sems.at[slot, 1]
-                    )
+            )
+            out.append(
+                pltpu.make_async_copy(
+                    v_hbm.at[:, page], v_buf.at[slot, :, j], sems.at[slot, 1]
                 )
+            )
         return out
 
     def start_chunk(c, slot):
