@@ -103,27 +103,29 @@ class ModelRunner:
         self.model.page_size = self.page_size
 
         # attention backend (reference: model_runner.py:453 init_attention_backend)
-        # "auto" currently resolves to the XLA gather backend: at serving
-        # batch sizes XLA's fused dynamic-gather attention outperforms the
-        # per-request paged kernels (grid steps serialize on one tensorcore);
-        # the Pallas kernels win on long contexts and stay selectable.
+        # "auto": the unified ragged-paged-attention kernel on TPU (both
+        # extend and decode), the XLA gather backend on CPU. int8 KV and
+        # per-layer dynamic sliding windows (Gemma) use the XLA backend.
         backend = self.args.attention_backend
         if backend == "auto":
-            backend = "xla"
+            backend = "ragged" if jax.default_backend() != "cpu" else "xla"
         if not getattr(self.model, "supports_pallas_attention", True):
             backend = "xla"
-        if backend == "pallas":
+        if self.args.kv_cache_dtype == "int8" and backend == "ragged":
+            backend = "xla"
+        if backend == "ragged":
+            from scratchpad_tpu.ops.attention.ragged_backend import (
+                attention_ragged,
+            )
+
+            self.model.decode_attention = attention_ragged
+            self.model.extend_attention = attention_ragged
+        elif backend == "pallas":
             from scratchpad_tpu.ops.attention.pallas_decode import (
                 decode_attention_pallas,
             )
 
             self.model.decode_attention = decode_attention_pallas
-        elif backend == "jax_paged":
-            from scratchpad_tpu.ops.attention.jax_paged import (
-                decode_attention_jax_paged,
-            )
-
-            self.model.decode_attention = decode_attention_jax_paged
         # else: keep the XLA reference backend
         self.attention_backend = backend
 
@@ -184,7 +186,7 @@ class ModelRunner:
         # the cache tight when XLA serves attention
         cache_head_dim = (
             padded_head_dim(cfg.head_dim)
-            if self.attention_backend in ("pallas", "jax_paged")
+            if self.attention_backend in ("pallas", "ragged")
             else cfg.head_dim
         )
         self.kv_config = KVCacheConfig(
@@ -281,7 +283,7 @@ class ModelRunner:
         itemsize = 1 if self.args.kv_cache_dtype == "int8" else jnp.dtype(self._dtype()).itemsize
         hd = (
             padded_head_dim(cfg.head_dim)
-            if getattr(self, "attention_backend", "xla") in ("pallas", "jax_paged")
+            if getattr(self, "attention_backend", "xla") in ("pallas", "ragged")
             else cfg.head_dim
         )
         return 2 * cfg.num_hidden_layers * cfg.num_kv_heads * hd * itemsize

@@ -1,22 +1,17 @@
-"""Pallas paged flash-decode attention for TPU.
+"""In-repo Pallas paged flash-decode attention for TPU.
 
 Replaces the reference's FlashInfer paged decode and its 2-stage Triton
 flash-decode (reference: scratchpad/nn/attention/triton_attn/decode_attention.py:12-608)
-with a single-pass online-softmax kernel over the paged cache:
+with a single-pass online-softmax kernel over the paged cache. The default
+TPU backend is the unified ragged kernel (ragged_backend.py); this kernel is
+the simpler decode-only in-repo alternative.
 
-- the [Hkv, L, S, D] cache is viewed as one global page pool
-  [Hkv, L*Ptot, page_size, D]; the layer is folded into the page index
-  host-side (global_page = layer * Ptot + page), so the kernel never slices
-  a layer out of the cache
-- grid (batch,): each program owns one request and all kv heads; pages are
-  DMA'd HBM->VMEM per (head, page) — integer indexing only, which keeps
-  every copied block's trailing dims full and tile-aligned — in chunks of
-  CHUNK_PAGES with double buffering
-- online softmax (m, l, acc) in f32; seq_len == 0 rows (batch padding)
-  write zeros
-
-Decode is HBM-bound: the kernel reads exactly the live KV (ceil to chunk)
-instead of the padded dense gather the XLA backend does.
+- combined cache [total_pages, ps, 2*Hkv, D] (K/V interleaved per head);
+  the layer folds into the page index host-side
+- grid (batch,): each program owns one request; ONE strided DMA per page
+  moves all heads' K and V slabs at once (requires the lane-padded cache)
+- double-buffered chunks of CHUNK_PAGES pages; online softmax in f32;
+  seq_len == 0 rows (batch padding) write zeros
 """
 
 from __future__ import annotations
@@ -30,6 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from scratchpad_tpu.executor.forward_meta import ForwardMeta
+from scratchpad_tpu.memory.kv_cache import KVCache
 
 _NEG = -1e30
 CHUNK_PAGES = 8  # pages per buffered chunk
@@ -41,14 +37,12 @@ def _decode_kernel(
     len_ref,  # i32[B] seq lens
     # inputs
     q_ref,  # VMEM [B, Hq, D] (full array)
-    k_hbm,  # ANY  [Hkv, Pglobal, ps, D]
-    v_hbm,
+    kv_hbm,  # ANY  [Pglobal, ps, 2Hkv, D]
     # output
     o_ref,  # VMEM [B, Hq, D]
     # scratch
-    k_buf,  # VMEM [2, Hkv, CHUNK_PAGES, ps, D]
-    v_buf,
-    sems,  # DMA sems [2, 2]
+    kv_buf,  # VMEM [2, CHUNK_PAGES, ps, 2Hkv, D]
+    sems,  # DMA sems [2]
     *,
     page_size: int,
     sm_scale: float,
@@ -60,24 +54,17 @@ def _decode_kernel(
     seq_len = len_ref[b]
     CHUNK = CHUNK_PAGES * page_size
     Hq, D = q_ref.shape[1], q_ref.shape[2]
-    Hkv = k_buf.shape[1]
+    Hkv = kv_buf.shape[3] // 2
     G = Hq // Hkv
 
     def chunk_dmas(c, slot):
-        """One strided copy per page moving ALL heads' [ps, D] slabs at once
-        (requires the lane-padded cache: trailing dims must be tile-aligned).
-        8 DMAs per chunk instead of Hkv*CHUNK_PAGES*2."""
+        """One copy per page moving the whole [ps, 2Hkv, D] page."""
         out = []
         for j in range(CHUNK_PAGES):
             page = pt_ref[b, c * CHUNK_PAGES + j]
             out.append(
                 pltpu.make_async_copy(
-                    k_hbm.at[:, page], k_buf.at[slot, :, j], sems.at[slot, 0]
-                )
-            )
-            out.append(
-                pltpu.make_async_copy(
-                    v_hbm.at[:, page], v_buf.at[slot, :, j], sems.at[slot, 1]
+                    kv_hbm.at[page], kv_buf.at[slot, j], sems.at[slot]
                 )
             )
         return out
@@ -106,11 +93,13 @@ def _decode_kernel(
 
         wait_chunk(c, slot)
 
-        k = k_buf[slot].reshape(Hkv, CHUNK, D).astype(jnp.float32)
-        v = v_buf[slot].reshape(Hkv, CHUNK, D).astype(jnp.float32)
-        # batched over heads: [Hkv, G, D] x [Hkv, CHUNK, D] -> [Hkv, G, CHUNK]
+        arr = kv_buf[slot].reshape(CHUNK, 2 * Hkv, D)
+        arr = arr.reshape(CHUNK, Hkv, 2, D).astype(jnp.float32)
+        k = arr[:, :, 0, :]  # [CHUNK, Hkv, D]
+        v = arr[:, :, 1, :]
+        # batch over heads: q [Hkv, G, D] x k [CHUNK, Hkv, D] -> [Hkv, G, CHUNK]
         s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            q, k, (((2,), (2,)), ((0,), (1,))), preferred_element_type=jnp.float32
         )
         if logit_cap is not None:
             s = logit_cap * jnp.tanh(s / logit_cap)
@@ -125,7 +114,7 @@ def _decode_kernel(
         p = jnp.exp(s - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            p, v, (((2,), (0,)), ((0,), (1,))), preferred_element_type=jnp.float32
         )
         return m_new, l_new, acc_new
 
@@ -140,26 +129,27 @@ def _decode_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("page_size", "sm_scale", "logit_cap", "sliding_window"),
+    static_argnames=(
+        "page_size", "sm_scale", "logit_cap", "sliding_window", "num_layers"
+    ),
 )
 def _paged_decode_call(
-    q, k_cache, v_cache, layer_idx, page_table, seq_lens,
-    *, page_size, sm_scale, logit_cap, sliding_window,
+    q, kv_pages, layer_idx, page_table, seq_lens,
+    *, page_size, sm_scale, logit_cap, sliding_window, num_layers,
 ):
     B, Hq, D = q.shape
-    Hkv, L, S, _ = k_cache.shape
-    Ptot = S // page_size
-    # global page pool view; contiguous reshape, no copy
-    k_pages = k_cache.reshape(Hkv, L * Ptot, page_size, D)
-    v_pages = v_cache.reshape(Hkv, L * Ptot, page_size, D)
+    Pg, ps, H2, Dp = kv_pages.shape
+    Hkv = H2 // 2
+    Ptot = Pg // num_layers
     P = page_table.shape[1]
     P_pad = -(-P // CHUNK_PAGES) * CHUNK_PAGES
     if P_pad != P:
         page_table = jnp.pad(page_table, ((0, 0), (0, P_pad - P)))
-    # fold the layer into the page index (padding pages point at page 0 of
-    # this layer — harmless, they are masked)
     page_table = page_table + layer_idx.astype(jnp.int32) * Ptot
     num_chunks = P_pad // CHUNK_PAGES
+
+    if Dp != D:
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, Dp - D)])
 
     kernel = functools.partial(
         _decode_kernel,
@@ -175,33 +165,30 @@ def _paged_decode_call(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # q: full array
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, Hkv, CHUNK_PAGES, page_size, D), k_cache.dtype),
-            pltpu.VMEM((2, Hkv, CHUNK_PAGES, page_size, D), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, CHUNK_PAGES, ps, H2, Dp), kv_pages.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Dp), q.dtype),
         interpret=jax.default_backend() == "cpu",
     )(
         page_table.astype(jnp.int32),
         seq_lens.astype(jnp.int32),
         q,
-        k_pages,
-        v_pages,
+        kv_pages,
     )
-    return out
+    return out[..., :D]
 
 
 def decode_attention_pallas(
     q: jax.Array,  # [B, Hq, D]
-    kv,  # KVCache with k/v [Hkv, L, S, D]
+    kv: KVCache,
     layer_idx: jax.Array,
     meta: ForwardMeta,
     *,
@@ -211,16 +198,10 @@ def decode_attention_pallas(
     sliding_window: Optional[int] = None,
 ) -> jax.Array:
     """Drop-in replacement for decode_attention_xla (same signature)."""
-    k_cache, v_cache = kv.k, kv.v
-    assert k_cache.dtype != jnp.int8, "int8 KV not supported by this kernel yet"
-    D = q.shape[-1]
-    Dp = k_cache.shape[-1]
-    if Dp != D:  # cache head_dim is lane-padded
-        q = jnp.pad(q, [(0, 0), (0, 0), (0, Dp - D)])
-    out = _paged_decode_call(
+    assert kv.kv.dtype != jnp.int8, "int8 KV not supported by this kernel yet"
+    return _paged_decode_call(
         q,
-        k_cache,
-        v_cache,
+        kv.kv,
         jnp.asarray(layer_idx),
         meta.page_table,
         meta.seq_lens,
@@ -228,5 +209,5 @@ def decode_attention_pallas(
         sm_scale=sm_scale,
         logit_cap=logit_cap,
         sliding_window=sliding_window,
+        num_layers=kv.num_layers,
     )
-    return out[..., :D]

@@ -7,7 +7,8 @@ the performance path on TPU. Mirrors what FlashInfer provides the reference
 (reference: scratchpad/nn/attention/flashinfer_backend.py) and the in-repo
 Triton kernels (reference: scratchpad/nn/attention/triton_attn/).
 
-Cache layout: k_cache/v_cache are [L, Hkv, S, D] (see memory/kv_cache.py).
+Cache layout: one combined [total_pages, ps, 2*Hkv, D] array with K/V
+interleaved per head (see memory/kv_cache.py).
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ _NEG = -1e30
 
 
 def _quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Per-(token, head) symmetric int8: x [T, Hkv, D] -> (i8, scale[T, Hkv])."""
+    """Per-(token, head) symmetric int8: x [T, H, D] -> (i8, scale[T, H])."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
     scale = jnp.maximum(amax / 127.0, 1e-8)
     q = jnp.clip(
@@ -38,52 +39,50 @@ def write_kv(
     k_new: jax.Array,  # [T, Hkv, D]
     v_new: jax.Array,
     layer_idx: jax.Array,  # scalar i32
-    out_cache_loc: jax.Array,  # i32[T] slot indices
+    out_cache_loc: jax.Array,  # i32[T] per-layer slot indices
 ) -> KVCache:
     """Scatter new KV rows into the cache (set_kv_buffer analogue,
     reference: scratchpad/memory/pool.py:392-424). INT8 caches additionally
-    store per-(slot, head) scales — finer than the reference's static
+    store per-(row, head) scales — finer than the reference's static
     per-layer fp8 scales (pool.py:274-278)."""
-    Dp = kv.k.shape[-1]
-    D = k_new.shape[-1]
+    Pg, ps, H2, Dp = kv.kv.shape
+    T, Hkv, D = k_new.shape
     if Dp != D:  # cache head_dim is lane-padded (see kv_cache.padded_head_dim)
         pad = [(0, 0), (0, 0), (0, Dp - D)]
         k_new = jnp.pad(k_new, pad)
         v_new = jnp.pad(v_new, pad)
-    k_scale = kv.k_scale
-    v_scale = kv.v_scale
-    if kv.k.dtype == jnp.int8:
-        k_new, ks = _quantize_rows(k_new)
-        v_new, vs = _quantize_rows(v_new)
-        k_scale = k_scale.at[:, layer_idx, out_cache_loc].set(ks.T)
-        v_scale = v_scale.at[:, layer_idx, out_cache_loc].set(vs.T)
-    # adjacent advanced indices (layer_idx, out_cache_loc) broadcast to [T]
-    # in place, so the update shape is [Hkv, T, D]
-    k = kv.k.at[:, layer_idx, out_cache_loc, :].set(
-        k_new.astype(kv.k.dtype).transpose(1, 0, 2)
+    # interleave per head: [T, Hkv, 2, Dp] -> [T, 2*Hkv, Dp]
+    upd = jnp.stack([k_new, v_new], axis=2).reshape(T, H2, Dp)
+    rows = layer_idx * kv.slots_per_layer + out_cache_loc  # global rows
+    scale = kv.scale
+    if kv.kv.dtype == jnp.int8:
+        upd, sc = _quantize_rows(upd)  # sc [T, 2Hkv]
+        scale = scale.reshape(-1, H2).at[rows].set(sc).reshape(Pg, ps, H2)
+    kvf = kv.kv.reshape(Pg * ps, H2, Dp)
+    kvf = kvf.at[rows].set(upd.astype(kv.kv.dtype))
+    return KVCache(
+        kv=kvf.reshape(Pg, ps, H2, Dp), scale=scale, num_layers=kv.num_layers
     )
-    v = kv.v.at[:, layer_idx, out_cache_loc, :].set(
-        v_new.astype(kv.v.dtype).transpose(1, 0, 2)
-    )
-    return KVCache(k=k, v=v, k_scale=k_scale, v_scale=v_scale)
 
 
 def _gather_kv(kv: KVCache, layer_idx, meta: ForwardMeta, page_size: int, D: int):
     """Dense per-request KV: [B, S_max, Hkv, D], S_max = MAXP * page_size.
     Dequantizes int8 rows with their stored scales."""
+    Pg, ps, H2, Dp = kv.kv.shape
     B, maxp = meta.page_table.shape
     offsets = jnp.arange(page_size, dtype=jnp.int32)
+    slots_per_layer = kv.slots_per_layer
     slots = (
         meta.page_table[:, :, None] * page_size + offsets[None, None, :]
     ).reshape(B, maxp * page_size)
-    # slice padded lanes off BEFORE the gather so XLA reads only live bytes
-    k = kv.k[..., :D][:, layer_idx, slots].transpose(1, 2, 0, 3)
-    v = kv.v[..., :D][:, layer_idx, slots].transpose(1, 2, 0, 3)
-    if kv.k.dtype == jnp.int8:
-        ks = kv.k_scale[:, layer_idx, slots].transpose(1, 2, 0)  # [B, S, Hkv]
-        vs = kv.v_scale[:, layer_idx, slots].transpose(1, 2, 0)
-        k = k.astype(jnp.float32) * ks[..., None]
-        v = v.astype(jnp.float32) * vs[..., None]
+    rows = layer_idx * slots_per_layer + slots  # [B, S_max] global
+    kvf = kv.kv.reshape(Pg * ps, H2, Dp)[..., :D]
+    g = kvf[rows]  # [B, S_max, 2Hkv, D]
+    if kv.kv.dtype == jnp.int8:
+        sc = kv.scale.reshape(Pg * ps, H2)[rows]  # [B, S, 2Hkv]
+        g = g.astype(jnp.float32) * sc[..., None]
+    k = g[:, :, 0::2, :]
+    v = g[:, :, 1::2, :]
     return k, v
 
 

@@ -1,4 +1,6 @@
-"""Pallas kernels vs XLA reference backend (interpret mode on CPU)."""
+"""Paged attention kernels vs XLA reference backend (interpret mode on CPU)."""
+
+import dataclasses
 
 import numpy as np
 import pytest
@@ -6,22 +8,20 @@ import jax
 import jax.numpy as jnp
 
 from scratchpad_tpu.executor.forward_meta import ForwardMeta, ForwardMode
-from scratchpad_tpu.memory.kv_cache import KVCache
+from scratchpad_tpu.memory.kv_cache import KVCache, padded_head_dim
 from scratchpad_tpu.ops.attention.pallas_decode import decode_attention_pallas
 from scratchpad_tpu.ops.attention.xla_backend import decode_attention_xla
 
 
-def make_case(B=4, Hq=8, Hkv=2, D=64, ps=16, P=16, L=2, seed=0, dtype=jnp.float32):
-    from scratchpad_tpu.memory.kv_cache import padded_head_dim
-
+def make_case(B=4, Hq=8, Hkv=2, D=64, ps=16, P=16, L=2, seed=0,
+              dtype=jnp.float32, pad=True):
     rng = np.random.default_rng(seed)
-    S = (P * B + 1) * ps  # enough distinct pages
-    Dp = padded_head_dim(D)
+    Ptot = P * B + 1  # pages per layer; page 0 reserved
+    Dp = padded_head_dim(D) if pad else D
     q = jnp.asarray(rng.normal(size=(B, Hq, D)), dtype)
-    # cache head_dim is lane-padded; padded region content is irrelevant
-    k = jnp.asarray(rng.normal(size=(Hkv, L, S, Dp)), dtype)
-    v = jnp.asarray(rng.normal(size=(Hkv, L, S, Dp)), dtype)
-    # distinct pages per request; page 0 reserved
+    # combined interleaved cache; padded-lane content is irrelevant
+    kv_arr = jnp.asarray(rng.normal(size=(L * Ptot, ps, 2 * Hkv, Dp)), dtype)
+    cache = KVCache(kv=kv_arr, num_layers=L)
     pt = np.zeros((B, P), np.int32)
     seq_lens = rng.integers(1, P * ps, B).astype(np.int32)
     next_page = 1
@@ -40,7 +40,7 @@ def make_case(B=4, Hq=8, Hkv=2, D=64, ps=16, P=16, L=2, seed=0, dtype=jnp.float3
         extend_lens=jnp.ones(B, jnp.int32),
         last_token_idx=jnp.arange(B, dtype=jnp.int32),
     )
-    return q, KVCache(k=k, v=v), meta
+    return q, cache, meta
 
 
 @pytest.mark.parametrize("seed", [0, 1])
@@ -64,8 +64,6 @@ def test_decode_kernel_matches_xla(seed, caps):
 def test_decode_kernel_padding_rows():
     """Rows with seq_len == 0 (batch padding) must return zeros, not NaN."""
     q, kv, meta = make_case(B=4)
-    import dataclasses
-
     seq = np.asarray(meta.seq_lens).copy()
     seq[2:] = 0
     meta = dataclasses.replace(meta, seq_lens=jnp.asarray(seq))
@@ -78,17 +76,15 @@ def test_decode_kernel_padding_rows():
 
 
 def test_decode_kernel_gqa_grouping():
-    """Head group h of q must attend to kv head h//G (layout contract)."""
+    """Head group h of q must attend to kv head h//G; K/V interleave holds."""
     B, Hq, Hkv, D, ps, P, L = 1, 4, 2, 64, 16, 8, 1
-    S = 64 * ps
-    # k/v distinct per head: head 0 KV = 1s, head 1 KV = 2s (values v likewise)
-    from scratchpad_tpu.memory.kv_cache import padded_head_dim
-
+    Ptot = 64
     Dp = padded_head_dim(D)
-    k = jnp.ones((Hkv, L, S, Dp), jnp.float32)
-    v = jnp.concatenate(
-        [jnp.full((1, L, S, Dp), 5.0), jnp.full((1, L, S, Dp), 7.0)], axis=0
-    )
+    # kv head 0: v = 5s; kv head 1: v = 7s; all k = 1s
+    kv_arr = np.ones((L * Ptot, ps, 2 * Hkv, Dp), np.float32)
+    kv_arr[:, :, 1, :] = 5.0  # v of head 0
+    kv_arr[:, :, 3, :] = 7.0  # v of head 1
+    cache = KVCache(kv=jnp.asarray(kv_arr), num_layers=L)
     q = jnp.ones((B, Hq, D), jnp.float32)
     meta = ForwardMeta(
         mode=ForwardMode.DECODE,
@@ -102,10 +98,43 @@ def test_decode_kernel_gqa_grouping():
         last_token_idx=jnp.arange(B, dtype=jnp.int32),
     )
     out = np.asarray(
-        decode_attention_pallas(q, KVCache(k=k, v=v), jnp.int32(0), meta, page_size=ps, sm_scale=0.125)
+        decode_attention_pallas(
+            q, cache, jnp.int32(0), meta, page_size=ps, sm_scale=0.125
+        )
     )
-    # uniform attention -> output equals the v constant of the right kv head
     np.testing.assert_allclose(out[0, 0], 5.0, rtol=1e-6)
     np.testing.assert_allclose(out[0, 1], 5.0, rtol=1e-6)
     np.testing.assert_allclose(out[0, 2], 7.0, rtol=1e-6)
     np.testing.assert_allclose(out[0, 3], 7.0, rtol=1e-6)
+
+
+def test_ragged_reference_matches_xla_decode():
+    """The ragged kernel's jax reference impl must agree with our XLA
+    backend given the same combined cache (validates layout + semantics)."""
+    from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
+        ref_ragged_paged_attention,
+    )
+
+    q, kv, meta = make_case(B=4, seed=2)
+    kw = dict(page_size=16, sm_scale=0.125, logit_cap=None, sliding_window=None)
+    ref = decode_attention_xla(q, kv, jnp.int32(1), meta, **kw)
+    B, Hq, D = q.shape
+    Ptot = kv.kv.shape[0] // kv.num_layers
+    pt = meta.page_table + 1 * Ptot
+    cu = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(meta.extend_lens).astype(jnp.int32)]
+    )
+    Dp = kv.kv.shape[-1]
+    qp = jnp.pad(q, [(0, 0), (0, 0), (0, Dp - D)]) if Dp != D else q
+    out = ref_ragged_paged_attention(
+        (qp.astype(jnp.float32) * 0.125).astype(qp.dtype),
+        kv.kv,
+        meta.seq_lens.astype(jnp.int32),
+        pt.astype(jnp.int32),
+        cu,
+        jnp.asarray([B], jnp.int32),
+        sm_scale=1.0,
+    )[..., :D]
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
