@@ -98,6 +98,10 @@ class ServerApp:
         r.add_post("/stop_profile", self.stop_profile)
         r.add_post("/update_weights", self.update_weights)
         r.add_post("/v1/embeddings", self.embeddings)
+        from scratchpad_tpu.server.openai_api.files_batches import FilesAndBatches
+
+        self.files_batches = FilesAndBatches(self)
+        self.files_batches.add_routes(r)
         if self._metrics is not None:
             r.add_get("/metrics", self._metrics.handle)
 

@@ -171,3 +171,49 @@ class TestServer:
         assert r.status_code == 200, r.text
         data = r.json()["data"]
         assert len(data) == 1 and len(data[0]["embedding"]) == 128
+
+    def test_files_and_batches(self, server):
+        import io
+
+        lines = "\n".join(
+            json.dumps(
+                {
+                    "custom_id": f"r{i}",
+                    "body": {
+                        "model": "tiny",
+                        "prompt": [list(range(1, 8 + i))],
+                        "max_tokens": 3,
+                        "temperature": 0.0,
+                    },
+                }
+            )
+            for i in range(3)
+        )
+        r = httpx.post(
+            f"{server}/v1/files",
+            files={"file": ("batch.jsonl", io.BytesIO(lines.encode()))},
+            data={"purpose": "batch"},
+            timeout=30,
+        )
+        assert r.status_code == 200, r.text
+        fid = r.json()["id"]
+        r = httpx.post(
+            f"{server}/v1/batches",
+            json={"input_file_id": fid, "endpoint": "/v1/completions"},
+            timeout=30,
+        )
+        assert r.status_code == 200, r.text
+        bid = r.json()["id"]
+        for _ in range(60):
+            b = httpx.get(f"{server}/v1/batches/{bid}", timeout=30).json()
+            if b["status"] == "completed":
+                break
+            time.sleep(1)
+        assert b["status"] == "completed", b
+        assert b["request_counts"]["completed"] == 3
+        out = httpx.get(
+            f"{server}/v1/files/{b['output_file_id']}/content", timeout=30
+        )
+        results = [json.loads(x) for x in out.text.strip().splitlines()]
+        assert {r["custom_id"] for r in results} == {"r0", "r1", "r2"}
+        assert all(r["response"]["status_code"] == 200 for r in results)
