@@ -56,10 +56,9 @@ def main() -> None:
         attention_backend=attn,
         max_total_tokens=max_total_tokens,
         max_running_requests=batch_size,
-        # one request per prefill batch keeps the XLA extend-attention
-        # footprint bounded until the Pallas prefill kernel lands
-        max_prefill_tokens=prompt_len,
-        chunked_prefill_size=prompt_len,
+        # the ragged kernel serves batched chunked prefill directly
+        max_prefill_tokens=4096 if on_tpu else prompt_len,
+        chunked_prefill_size=2048 if on_tpu else prompt_len,
         decode_window_size=64,
     )
     sched = Scheduler(cfg, args)
