@@ -54,15 +54,16 @@ def write_kv(
     # interleave per head: [T, Hkv, 2, Dp] -> [T, 2*Hkv, Dp]
     upd = jnp.stack([k_new, v_new], axis=2).reshape(T, H2, Dp)
     rows = layer_idx * kv.slots_per_layer + out_cache_loc  # global rows
+    # scatter directly into the 4-D buffer (a reshape before the scatter can
+    # defeat in-place donation aliasing and copy the whole cache each step)
+    pg_idx = rows // ps
+    off_idx = rows % ps
     scale = kv.scale
     if kv.kv.dtype == jnp.int8:
         upd, sc = _quantize_rows(upd)  # sc [T, 2Hkv]
-        scale = scale.reshape(-1, H2).at[rows].set(sc).reshape(Pg, ps, H2)
-    kvf = kv.kv.reshape(Pg * ps, H2, Dp)
-    kvf = kvf.at[rows].set(upd.astype(kv.kv.dtype))
-    return KVCache(
-        kv=kvf.reshape(Pg, ps, H2, Dp), scale=scale, num_layers=kv.num_layers
-    )
+        scale = scale.at[pg_idx, off_idx].set(sc)
+    new_kv = kv.kv.at[pg_idx, off_idx].set(upd.astype(kv.kv.dtype))
+    return KVCache(kv=new_kv, scale=scale, num_layers=kv.num_layers)
 
 
 def _gather_kv(kv: KVCache, layer_idx, meta: ForwardMeta, page_size: int, D: int):
@@ -76,10 +77,9 @@ def _gather_kv(kv: KVCache, layer_idx, meta: ForwardMeta, page_size: int, D: int
         meta.page_table[:, :, None] * page_size + offsets[None, None, :]
     ).reshape(B, maxp * page_size)
     rows = layer_idx * slots_per_layer + slots  # [B, S_max] global
-    kvf = kv.kv.reshape(Pg * ps, H2, Dp)[..., :D]
-    g = kvf[rows]  # [B, S_max, 2Hkv, D]
+    g = kv.kv[rows // ps, rows % ps, :, :D]  # [B, S_max, 2Hkv, D]
     if kv.kv.dtype == jnp.int8:
-        sc = kv.scale.reshape(Pg * ps, H2)[rows]  # [B, S, 2Hkv]
+        sc = kv.scale[rows // ps, rows % ps]  # [B, S, 2Hkv]
         g = g.astype(jnp.float32) * sc[..., None]
     k = g[:, :, 0::2, :]
     v = g[:, :, 1::2, :]
