@@ -113,6 +113,11 @@ class ModelRunner:
             backend = "xla"
         if self.args.kv_cache_dtype == "int8" and backend == "ragged":
             backend = "xla"
+        if mesh is not None and backend in ("ragged", "pallas"):
+            # pallas kernels don't auto-partition under jit; multi-chip needs
+            # a shard_map wrapper (planned) — use the XLA backend meanwhile
+            logger.warning("mesh run: falling back to XLA attention backend")
+            backend = "xla"
         if backend == "ragged":
             from scratchpad_tpu.ops.attention.ragged_backend import (
                 attention_ragged,
