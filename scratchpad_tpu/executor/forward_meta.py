@@ -59,6 +59,8 @@ class ForwardMeta:
     adapter_slots: Optional[jax.Array] = None  # i32[B]
     # embedding mode: models return pooled last-token hidden instead of logits
     capture_hidden: bool = False
+    # scoring mode: models return the full [T, H] hidden sequence
+    capture_all_hidden: bool = False
 
     @property
     def num_tokens(self) -> int:
@@ -87,5 +89,5 @@ jax.tree_util.register_dataclass(
         "active_adapters",
         "adapter_slots",
     ],
-    meta_fields=["mode", "capture_hidden"],
+    meta_fields=["mode", "capture_hidden", "capture_all_hidden"],
 )

@@ -718,6 +718,48 @@ class ModelRunner:
         self.kv_cache, emb = self._jit_embed(self.params, self.kv_cache, meta)
         return np.asarray(emb)[:B_real]
 
+    # ---------------------------------------------------------------- scoring
+
+    def _score_impl(self, params, kv, meta):
+        """Per-token next-token logprobs for the fed sequence (teacher
+        forcing) — the prompt-logprob primitive behind perplexity eval
+        (reference: `sp benchmark` lm-eval flow needs served logprobs)."""
+        kv, h = self.model(params, kv, meta)  # [T, H]
+        head = (
+            params["embed"]
+            if self.model_config.tie_word_embeddings
+            else params["lm_head"]
+        )
+        T = h.shape[0]
+        # next-token targets: tokens shifted left (last position unused)
+        targets = jnp.concatenate(
+            [meta.tokens[1:], jnp.zeros(1, jnp.int32)]
+        )
+
+        def chunk_fn(args):
+            hc, tc = args  # [C, H], [C]
+            logits = (hc @ head.T).astype(jnp.float32)  # [C, V]
+            lse = jax.nn.logsumexp(logits, axis=-1)
+            chosen = jnp.take_along_axis(logits, tc[:, None], axis=-1)[:, 0]
+            return chosen - lse
+
+        C = 128
+        pad = (-T) % C
+        hp = jnp.pad(h, [(0, pad), (0, 0)]).reshape(-1, C, h.shape[1])
+        tp = jnp.pad(targets, [(0, pad)]).reshape(-1, C)
+        lps = jax.lax.map(chunk_fn, (hp, tp)).reshape(-1)[:T]
+        return kv, lps  # [T] logprob of token t+1 given prefix..t
+
+    def run_score(self, wb: WorkerBatch) -> np.ndarray:
+        """Teacher-forcing logprobs for one extend batch; returns [T_real]."""
+        T_real = len(wb.tokens)
+        meta, _ = self._pad_to_buckets(wb)
+        meta = dataclasses.replace(meta, capture_all_hidden=True)
+        if not hasattr(self, "_jit_score"):
+            self._jit_score = jax.jit(self._score_impl, donate_argnames=("kv",))
+        self.kv_cache, lps = self._jit_score(self.params, self.kv_cache, meta)
+        return np.asarray(lps)[:T_real]
+
     # ---------------------------------------------------------- weight update
 
     def update_weights(self, state: dict) -> tuple[bool, str]:

@@ -275,6 +275,8 @@ class LlamaForCausalLM:
         )
 
         h = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        if getattr(meta, "capture_all_hidden", False):
+            return kv_out, h  # [T, H] for sequence scoring
         last = jnp.take(h, meta.last_token_idx, axis=0)  # [B, H]
         if getattr(meta, "capture_hidden", False):
             return kv_out, last

@@ -342,6 +342,53 @@ class Engine:
         embs = [r.embedding for r in reqs]
         return embs if batched else embs[0]
 
+    def score(self, input_ids: list[int]) -> list[float]:
+        """Teacher-forcing next-token logprobs for a sequence (perplexity
+        building block). Engine must be idle; pages are borrowed and freed."""
+        import numpy as np
+
+        from scratchpad_tpu.executor.forward_meta import ForwardMode
+        from scratchpad_tpu.executor.model_runner import WorkerBatch
+        from scratchpad_tpu.sampling.batch_info import SamplingBatchInfo
+
+        sched = self.scheduler
+        assert not sched.has_work(), "score() requires an idle engine"
+        n = len(input_ids)
+        ps = sched.page_size
+        pages = sched._alloc_pages(-(-n // ps))
+        assert pages is not None, "prompt too long for KV pool"
+        try:
+            pos = np.arange(n)
+            loc = (pages[pos // ps] * ps + pos % ps).astype(np.int32)
+            sinfo = SamplingBatchInfo(
+                temperature=np.zeros(1, np.float32),
+                top_p=np.ones(1, np.float32),
+                top_k=np.full(1, self.model_config.vocab_size, np.int32),
+                min_p=np.zeros(1, np.float32),
+            )
+            wb = WorkerBatch(
+                mode=ForwardMode.EXTEND,
+                tokens=np.asarray(input_ids, np.int32),
+                positions=pos.astype(np.int32),
+                out_cache_loc=loc,
+                req_indices=np.zeros(n, np.int32),
+                page_table=pages[None, :].astype(np.int32),
+                seq_lens=np.array([n], np.int32),
+                extend_lens=np.array([n], np.int32),
+                sampling_info=sinfo,
+            )
+            lps = sched.runner.run_score(wb)
+        finally:
+            sched.allocator.free(pages)
+        # position t holds logprob of token t+1; the last has no target
+        return lps[: n - 1].tolist()
+
+    def perplexity(self, input_ids: list[int]) -> float:
+        import math
+
+        lps = self.score(input_ids)
+        return math.exp(-sum(lps) / max(len(lps), 1))
+
     def update_weights(self, model_path: str = None, state: dict = None):
         """Swap weights in place; flushes the radix cache on success
         (reference: scheduler.py:1834-1842 update_weights + flush)."""

@@ -125,3 +125,21 @@ def test_embeddings(engine):
     embs = engine.encode(input_ids=[prompt(8, seed=22), prompt(30, seed=23)])
     assert len(embs) == 2
     engine.scheduler.check_memory_leak()
+
+
+def test_score_matches_generation_logprobs(engine):
+    """score() teacher-forcing logprobs must equal the logprobs observed
+    when the model greedily generated those very tokens."""
+    p = prompt(10, seed=30)
+    sp = SamplingParams(temperature=0.0, max_new_tokens=6, ignore_eos=True)
+    out = engine.generate(input_ids=p, sampling_params=sp, return_logprob=True)
+    full = p + out.output_ids
+    lps = engine.score(full)
+    # positions len(p)-1 .. len(full)-2 predict the generated tokens
+    gen_lps = lps[len(p) - 1 :]
+    np.testing.assert_allclose(
+        gen_lps, out.output_token_logprobs, rtol=2e-3, atol=2e-3
+    )
+    ppl = engine.perplexity(full)
+    assert ppl > 0
+    engine.scheduler.check_memory_leak()
