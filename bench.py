@@ -28,6 +28,7 @@ def main() -> None:
     on_tpu = jax.default_backend() not in ("cpu",)
     quant = os.environ.get("SPTPU_BENCH_QUANT")  # e.g. "w4a16"
     attn = os.environ.get("SPTPU_ATTN", "auto")
+    page_size = int(os.environ.get("SPTPU_PS", "16"))
     kv_dtype = os.environ.get("SPTPU_BENCH_KV", "auto")  # e.g. "int8"
     if on_tpu:
         preset, dtype = "llama-3.2-1b", "bfloat16"
@@ -54,6 +55,7 @@ def main() -> None:
         quantization=quant,
         kv_cache_dtype=kv_dtype,
         attention_backend=attn,
+        page_size=page_size,
         max_total_tokens=max_total_tokens,
         max_running_requests=batch_size,
         # the ragged kernel serves batched chunked prefill directly

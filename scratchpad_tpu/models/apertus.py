@@ -206,6 +206,10 @@ class ApertusForCausalLM:
             body, (x, kv), (params["layers"], jnp.arange(L, dtype=jnp.int32))
         )
         h = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        if getattr(meta, "capture_all_hidden", False):
+            return kv_out, h
+        if getattr(meta, "capture_hidden", False):
+            return kv_out, jnp.take(h, meta.last_token_idx, axis=0)
         last = jnp.take(h, meta.last_token_idx, axis=0)
         head = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
         logits = (last @ head.T).astype(jnp.float32)

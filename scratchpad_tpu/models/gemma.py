@@ -264,6 +264,10 @@ class GemmaForCausalLM:
         )
 
         h = gemma_rms_norm(x, params["final_norm"], eps)
+        if getattr(meta, "capture_all_hidden", False):
+            return kv_out, h
+        if getattr(meta, "capture_hidden", False):
+            return kv_out, jnp.take(h, meta.last_token_idx, axis=0)
         last = jnp.take(h, meta.last_token_idx, axis=0)
         logits = (last @ params["embed"].T).astype(jnp.float32)
         if cfg.logit_softcap:

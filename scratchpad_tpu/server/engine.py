@@ -342,6 +342,37 @@ class Engine:
         embs = [r.embedding for r in reqs]
         return embs if batched else embs[0]
 
+    # --------------------------------------------------------------- sessions
+
+    def open_session(self) -> str:
+        """Multi-turn session: subsequent generate(session_id=...) calls
+        continue from the accumulated token history; the radix cache makes
+        re-prefill an O(new tokens) operation
+        (reference: session fields in GenerateReqInput, managers/structs.py)."""
+        if not hasattr(self, "_sessions"):
+            self._sessions: dict[str, list[int]] = {}
+        sid = uuid.uuid4().hex
+        self._sessions[sid] = []
+        return sid
+
+    def close_session(self, sid: str) -> None:
+        getattr(self, "_sessions", {}).pop(sid, None)
+
+    def session_generate(
+        self,
+        sid: str,
+        prompt: Optional[str] = None,
+        input_ids: Optional[list[int]] = None,
+        sampling_params: Optional[SamplingParams] = None,
+    ) -> GenerationOutput:
+        history = self._sessions[sid]
+        if input_ids is None:
+            input_ids = self.tokenizer.encode(prompt)
+        full = history + list(input_ids)
+        out = self.generate(input_ids=full, sampling_params=sampling_params)
+        self._sessions[sid] = full + out.output_ids
+        return out
+
     def score(self, input_ids: list[int]) -> list[float]:
         """Teacher-forcing next-token logprobs for a sequence (perplexity
         building block). Engine must be idle; pages are borrowed and freed."""

@@ -143,3 +143,20 @@ def test_score_matches_generation_logprobs(engine):
     ppl = engine.perplexity(full)
     assert ppl > 0
     engine.scheduler.check_memory_leak()
+
+
+def test_sessions(engine):
+    sid = engine.open_session()
+    sp = SamplingParams(temperature=0.0, max_new_tokens=4, ignore_eos=True)
+    p1 = prompt(12, seed=40)
+    out1 = engine.session_generate(sid, input_ids=p1, sampling_params=sp)
+    p2 = prompt(5, seed=41)
+    out2 = engine.session_generate(sid, input_ids=p2, sampling_params=sp)
+    # second turn saw the whole history and reused its KV prefix
+    assert out2.prompt_tokens == 12 + 4 + 5
+    assert out2.cached_tokens > 0
+    # equals a from-scratch run over the same concatenated tokens
+    full = p1 + out1.output_ids + p2
+    ref = engine.generate(input_ids=full, sampling_params=sp)
+    assert ref.output_ids == out2.output_ids
+    engine.close_session(sid)
