@@ -139,7 +139,7 @@ class ModelRunner:
         if params is not None:
             self.params = params
         else:
-            quantizing = self.args.quantization in ("w4a16", "w4")
+            quantizing = self.args.quantization in ("w4a16", "w4", "fp8")
             # quantization reads weights on the host — init/convert on CPU so
             # nothing bounces device->host through a (possibly slow) link
             import contextlib
@@ -157,16 +157,29 @@ class ModelRunner:
                     state = load_hf_state(cfg.model_path)
                     self.params = self.model.convert_hf_state(state, self._dtype())
                     del state
-                if quantizing:
+                if self.args.quantization == "fp8":
+                    from scratchpad_tpu.ops.quant.fp8 import (
+                        quantize_model_params_fp8,
+                    )
+
+                    self.params = quantize_model_params_fp8(self.params)
+                elif quantizing:
                     from scratchpad_tpu.ops.quant import quantize_model_params
 
                     self.params = quantize_model_params(self.params)
             if mesh is not None:
                 specs = self.model.param_specs()
                 if "layers_q" in self.params:
-                    from scratchpad_tpu.ops.quant.w4a16 import quant_param_specs
+                    if self.args.quantization == "fp8":
+                        from scratchpad_tpu.ops.quant.fp8 import fp8_param_specs
 
-                    specs = quant_param_specs(specs, self.params)
+                        specs = fp8_param_specs(specs, self.params)
+                    else:
+                        from scratchpad_tpu.ops.quant.w4a16 import (
+                            quant_param_specs,
+                        )
+
+                        specs = quant_param_specs(specs, self.params)
                 self.params = place_params(self.params, specs, mesh)
             elif quantizing:
                 self.params = jax.device_put(self.params, jax.devices()[0])

@@ -218,7 +218,13 @@ class LlamaForCausalLM:
 
         def lin(x_, lp, name, lidx):
             if qlayers is not None and name in qlayers:
-                y = self.quant_matmul(x_, qlayers[name], lidx)
+                ql = qlayers[name]
+                from scratchpad_tpu.ops.quant.fp8 import Fp8Linear, fp8_matmul
+
+                if isinstance(ql, Fp8Linear):
+                    y = fp8_matmul(x_, ql, lidx)
+                else:
+                    y = self.quant_matmul(x_, ql, lidx)
             else:
                 y = x_ @ lp[name]
             if use_toppings:

@@ -130,3 +130,42 @@ class TestInt8KV:
         b = np.asarray(out.output_token_logprobs)
         assert np.isfinite(b).all()
         assert abs(a.mean() - b.mean()) < 0.5, (a, b)
+
+
+class TestFp8:
+    def test_fp8_engine_quality(self):
+        from scratchpad_tpu.config import ServerArgs
+        from scratchpad_tpu.sampling.sampling_params import SamplingParams
+        from scratchpad_tpu.server.engine import Engine
+
+        common = dict(
+            preset="tiny-debug",
+            random_weights=True,
+            dtype="float32",
+            page_size=4,
+            max_total_tokens=2048,
+        )
+        p = np.random.default_rng(9).integers(1, 500, 20).tolist()
+        sp = SamplingParams(temperature=0.0, max_new_tokens=8)
+        ref = Engine(ServerArgs(**common)).generate(
+            input_ids=p, sampling_params=sp, return_logprob=True
+        )
+        out = Engine(ServerArgs(quantization="fp8", **common)).generate(
+            input_ids=p, sampling_params=sp, return_logprob=True
+        )
+        assert len(out.output_ids) == 8
+        a = np.asarray(ref.output_token_logprobs)
+        b = np.asarray(out.output_token_logprobs)
+        assert np.isfinite(b).all()
+        # fp8 should track fp32 much tighter than w4
+        assert abs(a.mean() - b.mean()) < 0.3, (a, b)
+
+    def test_fp8_roundtrip(self):
+        from scratchpad_tpu.ops.quant.fp8 import quantize_fp8_stacked
+
+        rng = np.random.default_rng(4)
+        w = rng.normal(size=(2, 64, 32)).astype(np.float32)
+        fl = quantize_fp8_stacked(w)
+        deq = np.asarray(fl.w8.astype(jnp.float32)) * np.asarray(fl.s)[:, None, :]
+        rel = np.abs(deq - w).max() / np.abs(w).max()
+        assert rel < 0.08  # e4m3 relative precision
