@@ -13,7 +13,6 @@ import random
 from typing import Optional
 
 from scratchpad_tpu.core.req import Req
-from scratchpad_tpu.memory.radix_cache import RadixCache
 
 
 class SchedulePolicy:

@@ -805,19 +805,19 @@ class ModelRunner:
     # ------------------------------------------------------------- precompile
 
     def capture(self, decode_only: bool = True) -> None:
-        """Pre-compile the decode bucket ladder (CUDA-graph capture analogue)."""
+        """Pre-compile the decode bucket ladder on the hot (packed window)
+        path (CUDA-graph capture analogue)."""
         t0 = time.monotonic()
+        windows = sorted({1, 4, self.args.decode_window_size})
+        n = 0
         for bs in self.args.decode_bs_buckets:
             if bs > self.max_running_requests:
                 break
-            wb = self._dummy_decode_batch(bs)
-            out = self.forward_and_sample(wb)
-            jax.block_until_ready(out.next_token_ids)
-        logger.info(
-            "captured %d decode buckets in %.1fs",
-            len(self.args.decode_bs_buckets),
-            time.monotonic() - t0,
-        )
+            for k in windows:
+                wb = self._dummy_decode_batch(bs)
+                ids, _, _ = self.run_decode_window(wb, k)
+                n += 1
+        logger.info("captured %d decode variants in %.1fs", n, time.monotonic() - t0)
 
     def _dummy_decode_batch(self, bs: int) -> WorkerBatch:
         sinfo = SamplingBatchInfo(

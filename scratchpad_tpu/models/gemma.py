@@ -27,7 +27,6 @@ from scratchpad_tpu.config.model_config import ModelConfig
 from scratchpad_tpu.executor.forward_meta import ForwardMeta, ForwardMode
 from scratchpad_tpu.memory.kv_cache import KVCache
 from scratchpad_tpu.models.common import apply_rope, gelu_mul
-from scratchpad_tpu.models.registry import register
 from scratchpad_tpu.ops.attention import write_kv
 from scratchpad_tpu.ops.attention.xla_backend import (
     decode_attention_xla,

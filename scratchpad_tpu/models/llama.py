@@ -13,7 +13,7 @@ reference issues manually after o_proj/down_proj
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import numpy as np
 import jax

@@ -9,8 +9,6 @@ fused top-k/p kernel can later replace the sort.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -14,7 +14,7 @@ import asyncio
 import queue
 import threading
 import time
-from typing import Any, Optional
+from typing import Optional
 
 from scratchpad_tpu.core.req import Req
 from scratchpad_tpu.server.engine import Engine, GenerationOutput

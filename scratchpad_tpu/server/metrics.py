@@ -10,7 +10,6 @@ from __future__ import annotations
 from aiohttp import web
 from prometheus_client import (
     CollectorRegistry,
-    Counter,
     Gauge,
     generate_latest,
     CONTENT_TYPE_LATEST,

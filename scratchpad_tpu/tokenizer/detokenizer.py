@@ -9,8 +9,6 @@ the host, overlapped with device steps by async dispatch.
 
 from __future__ import annotations
 
-from typing import Optional
-
 from scratchpad_tpu.core.req import FinishReason, Req
 
 _REPLACEMENT = "�"

@@ -20,7 +20,6 @@ import json
 import random
 import time
 from dataclasses import dataclass, field
-from typing import Optional
 
 import aiohttp
 import numpy as np

@@ -10,7 +10,6 @@ hardware (the reference's stand-in for multi-node testing, SURVEY §4).
 
 from __future__ import annotations
 
-import heapq
 import json
 import random
 from dataclasses import dataclass, field
