@@ -78,6 +78,10 @@ class Scheduler:
             self.init_new_token_ratio - self.min_new_token_ratio
         ) / 600.0
 
+        # one-window-deep decode pipeline (overlap scheduling analogue,
+        # reference: managers/tp_worker_client.py): {"batch", "pending", "K"}
+        self._inflight = None
+
         # stats
         self.num_generated_tokens = 0
         self.num_prefill_tokens = 0
@@ -107,8 +111,21 @@ class Scheduler:
                 r.finished_reason = FinishReason.ABORT
                 return
 
+    def drain(self) -> list[StepEvent]:
+        """Complete any in-flight decode window and release finished reqs."""
+        events: list[StepEvent] = []
+        while self._inflight is not None:
+            events.extend(self._step_pipelined())
+        self._sweep_external_finishes()
+        return events
+
     def has_work(self) -> bool:
-        return bool(self.waiting or self.running or self.chunked_req)
+        return bool(
+            self.waiting
+            or self.running
+            or self.chunked_req
+            or self._inflight is not None
+        )
 
     def num_queued(self) -> int:
         return len(self.waiting)
@@ -121,6 +138,8 @@ class Scheduler:
     def step(self) -> list[StepEvent]:
         """One scheduling iteration: build a batch, run it, process results."""
         self.step_count += 1
+        if self._inflight is not None:
+            return self._step_pipelined()
         self._sweep_external_finishes()
 
         batch, mode, chunk_lens = self._get_next_batch()
@@ -138,10 +157,101 @@ class Scheduler:
             )
 
         wb = self._build_worker_batch(batch, mode, None)
-        token_ids, logprobs, tops = self.runner.run_decode_window(
-            wb, self._decode_window
-        )
+        K = self._decode_window
+        if self.args.enable_overlap and self._pipeline_ok(batch, wb):
+            pending = self.runner.dispatch_decode_window(wb, K)
+            self._inflight = {"batch": list(batch), "pending": pending, "K": K}
+            return []  # results surface next step, overlapped with host work
+        token_ids, logprobs, tops = self.runner.run_decode_window(wb, K)
         return self._process_decode_result(batch, token_ids, logprobs, tops)
+
+    # ------------------------------------------------------- window pipeline
+
+    def _pipeline_ok(self, batch, wb=None) -> bool:
+        if wb is not None and not self.runner._packed_supported(wb):
+            return False
+        return not any(
+            r.grammar is not None
+            or r.sampling_params.top_logprobs > 0
+            or r.sampling_params.needs_penalties()
+            for r in batch
+        )
+
+    def _try_alloc_decode_pages(self, horizon: int) -> bool:
+        """Allocate pages covering ``horizon`` more tokens per running req
+        WITHOUT retraction (chaining must not change batch membership)."""
+        ps = self.page_size
+        need = sum(
+            -(-(r.computed_len + horizon) // ps) - len(r.pages)
+            for r in self.running
+        )
+        if need > self.allocator.available_pages + self.tree_cache.evictable_pages:
+            return False
+        for r in self.running:
+            n = -(-(r.computed_len + horizon) // ps) - len(r.pages)
+            if n > 0:
+                pages = self._alloc_pages(n)
+                assert pages is not None
+                r.pages = np.concatenate([r.pages, pages])
+                self.req_slots.write_pages(r.req_slot, 0, r.pages)
+        return True
+
+    def _step_pipelined(self) -> list[StepEvent]:
+        """Fetch the in-flight window; when possible, dispatch the next one
+        FIRST (chained via the device-resident last samples) so the device
+        never idles while the host detokenizes/streams."""
+        infl = self._inflight
+        batch, K = infl["batch"], infl["K"]
+        chain = (
+            not self.waiting
+            and self.chunked_req is None
+            and len(self.running) == len(batch)
+            and all(a is b for a, b in zip(self.running, batch))
+            and all(not r.finished() for r in batch)
+            and self._pipeline_ok(batch)
+        )
+        next_pending = None
+        K2 = 0
+        if chain:
+            K2 = self._pick_decode_window()
+            if self._try_alloc_decode_pages(K + K2):
+                wb2 = self._build_decode_wb_ahead(batch, K)
+                next_pending = self.runner.dispatch_decode_window(
+                    wb2, K2, prev_tokens=infl["pending"][1]
+                )
+        token_ids, logprobs, _ = self.runner.fetch_decode_window(infl["pending"])
+        events = self._process_decode_result(
+            batch, token_ids, logprobs, defer_finish=next_pending is not None
+        )
+        if next_pending is not None:
+            self._inflight = {"batch": batch, "pending": next_pending, "K": K2}
+        else:
+            self._inflight = None
+        return events
+
+    def _build_decode_wb_ahead(self, batch: list[Req], offset: int) -> WorkerBatch:
+        """Decode WorkerBatch for a window starting ``offset`` steps ahead of
+        the processed state; input tokens come from the device carry."""
+        B = len(batch)
+        positions = np.array(
+            [r.computed_len + offset for r in batch], np.int32
+        )
+        maxp = max(len(r.pages) for r in batch)
+        page_table = np.zeros((B, maxp), np.int32)
+        for i, r in enumerate(batch):
+            page_table[i, : len(r.pages)] = r.pages
+        sinfo = SamplingBatchInfo.from_reqs(batch, B, self.model_config.vocab_size)
+        return WorkerBatch(
+            mode=ForwardMode.DECODE,
+            tokens=np.zeros(B, np.int32),  # overridden by prev_tokens
+            positions=positions,
+            out_cache_loc=np.zeros(B, np.int32),  # derived on device
+            req_indices=np.arange(B, dtype=np.int32),
+            page_table=page_table,
+            seq_lens=positions + 1,
+            extend_lens=np.ones(B, np.int32),
+            sampling_info=sinfo,
+        )
 
     # ------------------------------------------------------------ batch build
 
@@ -516,15 +626,27 @@ class Scheduler:
             events.append(StepEvent(req, [], True))
         return events
 
-    def _process_decode_result(self, batch, token_ids, logprobs, tops=None):
+    def _process_decode_result(
+        self, batch, token_ids, logprobs, tops=None, defer_finish=False
+    ):
         """Accept a [K, B] window of sampled tokens. A request that finishes
         at window step j still consumed valid inputs through step j+1, so its
         computed_len advances by min(j+2, K); later window slots are
-        discarded (their KV lands in already-owned private pages)."""
+        discarded (their KV lands in already-owned private pages).
+
+        ``defer_finish``: another window over the same batch is already in
+        flight — finished requests keep their resources (and stay in
+        ``running``) until the pipeline drains, since the in-flight window
+        still writes KV into their pages."""
         K = token_ids.shape[0]
         events: list[StepEvent] = []
         finished: list[Req] = []
         for i, req in enumerate(batch):
+            if req.finished():
+                # finished in an earlier window of the pipeline; this
+                # window's speculative tokens for it are discarded
+                events.append(StepEvent(req, [], True))
+                continue
             accepted: list[int] = []
             finish_step = None
             for k in range(K):
@@ -551,9 +673,10 @@ class Scheduler:
                 finished.append(req)
             self.num_generated_tokens += len(accepted)
             events.append(StepEvent(req, accepted, req.finished()))
-        for req in finished:
-            self.running.remove(req)
-            self._finish_req(req)
+        if not defer_finish:
+            for req in finished:
+                self.running.remove(req)
+                self._finish_req(req)
         return events
 
     # ----------------------------------------------------- cache bookkeeping

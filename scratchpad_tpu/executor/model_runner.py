@@ -419,18 +419,25 @@ class ModelRunner:
         chosen = jnp.take_along_axis(logprobs, ids[:, None], axis=-1)[:, 0]
         return kv, self._pack_out(ids, chosen)[:, None, :]
 
-    def _packed_decode_impl(self, params, kv, ints, floats, key, B, P, num_steps):
+    def _packed_decode_impl(
+        self, params, kv, ints, floats, key, B, P, num_steps, prev_tokens=None
+    ):
         meta, sinfo = self._unpack(ints, floats, B, B, P, ForwardMode.DECODE)
+        if prev_tokens is not None:
+            # window pipelining: the first input tokens are the previous
+            # window's last samples, still resident on device
+            meta = dataclasses.replace(meta, tokens=prev_tokens)
         step_key = jax.random.fold_in(key, ints[-1])
         kv, all_ids, all_chosen = self._decode_multi_impl(
             params, kv, meta, sinfo, step_key, num_steps
         )
-        return kv, jnp.stack(
+        out = jnp.stack(
             [
                 jax.lax.bitcast_convert_type(all_ids, jnp.float32),
                 all_chosen,
             ]
         )
+        return kv, out, all_ids[-1]  # last samples stay on device for chaining
 
     def _packed_supported(self, wb: WorkerBatch) -> bool:
         si = wb.sampling_info
@@ -512,11 +519,33 @@ class ModelRunner:
                 np.asarray(out.chosen_logprobs)[:, :B_real],
                 None,
             )
+        pw = self.dispatch_decode_window(wb, num_steps)
+        return self.fetch_decode_window(pw)
+
+    def dispatch_decode_window(
+        self, wb: WorkerBatch, num_steps: int, prev_tokens=None
+    ):
+        """Enqueue a decode window WITHOUT fetching results; returns a
+        pending-window handle. ``prev_tokens`` chains the previous window's
+        device-resident last samples as this window's first inputs."""
+        B_real = len(wb.seq_lens)
         _, B, P = self._bucket_dims(wb)
         ints, floats = self._pack_host(wb, B, B, P)
-        self.kv_cache, out = self._jit_packed_decode(
-            self.params, self.kv_cache, ints, floats, self._base_key, B, P, num_steps
+        self.kv_cache, out, last_ids = self._jit_packed_decode(
+            self.params,
+            self.kv_cache,
+            ints,
+            floats,
+            self._base_key,
+            B,
+            P,
+            num_steps,
+            prev_tokens,
         )
+        return (out, last_ids, B_real)
+
+    def fetch_decode_window(self, pending):
+        out, _, B_real = pending
         host = np.asarray(out)  # ONE fetch
         ids = host[0].view(np.int32)[:, :B_real]
         return ids, host[1, :, :B_real], None

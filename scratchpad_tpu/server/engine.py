@@ -234,6 +234,8 @@ class Engine:
                 self._postprocess_event(ev)
                 if ev.req.finished() and ev.req.rid in pending:
                     pending.discard(ev.req.rid)
+        for ev in self.scheduler.drain():
+            self._postprocess_event(ev)
         outs = [self._to_output(r) for r in reqs]
         return outs if batched else outs[0]
 
@@ -257,6 +259,8 @@ class Engine:
                 delta = req.decoded_text[req.stream_sent_len : safe]
                 req.stream_sent_len = safe
                 yield {"delta": delta, "finished": False}
+        for ev in self.scheduler.drain():
+            self._postprocess_event(ev)
         if len(req.decoded_text) > req.stream_sent_len:
             yield {
                 "delta": req.decoded_text[req.stream_sent_len :],
@@ -383,6 +387,7 @@ class Engine:
         from scratchpad_tpu.sampling.batch_info import SamplingBatchInfo
 
         sched = self.scheduler
+        sched.drain()
         assert not sched.has_work(), "score() requires an idle engine"
         n = len(input_ids)
         ps = sched.page_size
@@ -423,6 +428,7 @@ class Engine:
     def update_weights(self, model_path: str = None, state: dict = None):
         """Swap weights in place; flushes the radix cache on success
         (reference: scheduler.py:1834-1842 update_weights + flush)."""
+        self.scheduler.drain()
         assert not self.scheduler.has_work(), "drain requests first"
         if state is None:
             from scratchpad_tpu.executor.weight_loader import load_hf_state
@@ -434,6 +440,7 @@ class Engine:
         return ok, msg
 
     def flush_cache(self) -> None:
+        self.scheduler.drain()
         assert not self.scheduler.has_work()
         self.scheduler.tree_cache.reset()
         self.scheduler.allocator.clear()
