@@ -111,7 +111,7 @@ class ModelRunner:
             backend = "ragged" if jax.default_backend() != "cpu" else "xla"
         if not getattr(self.model, "supports_pallas_attention", True):
             backend = "xla"
-        if self.args.kv_cache_dtype == "int8" and backend == "ragged":
+        if self.args.kv_cache_dtype in ("int8", "fp8") and backend == "ragged":
             backend = "xla"
         if mesh is not None and backend in ("ragged", "pallas"):
             # pallas kernels don't auto-partition under jit; multi-chip needs
@@ -214,7 +214,12 @@ class ModelRunner:
             num_kv_heads=cfg.num_kv_heads,
             head_dim=cache_head_dim,
             dtype=self._dtype(),
-            quantized=self.args.kv_cache_dtype == "int8",
+            quantized=self.args.kv_cache_dtype in ("int8", "fp8"),
+            quant_dtype=(
+                jnp.float8_e4m3fn
+                if self.args.kv_cache_dtype == "fp8"
+                else jnp.int8
+            ),
         )
         self.kv_cache = create_kv_cache(self.kv_config, mesh)
 
@@ -298,7 +303,11 @@ class ModelRunner:
         from scratchpad_tpu.memory.kv_cache import padded_head_dim
 
         cfg = self.model_config
-        itemsize = 1 if self.args.kv_cache_dtype == "int8" else jnp.dtype(self._dtype()).itemsize
+        itemsize = (
+            1
+            if self.args.kv_cache_dtype in ("int8", "fp8")
+            else jnp.dtype(self._dtype()).itemsize
+        )
         hd = (
             padded_head_dim(cfg.head_dim)
             if getattr(self, "attention_backend", "xla") in ("pallas", "ragged")

@@ -46,7 +46,8 @@ class KVCacheConfig:
     num_kv_heads: int
     head_dim: int
     dtype: Any = jnp.bfloat16
-    quantized: bool = False  # int8 values + per-row scales
+    quantized: bool = False  # low-bit values + per-row scales
+    quant_dtype: Any = jnp.int8  # int8 | float8_e4m3fn
 
     @property
     def num_slots(self) -> int:
@@ -104,7 +105,7 @@ def create_kv_cache(
         2 * cfg.num_kv_heads,
         cfg.head_dim,
     )
-    store_dtype = jnp.int8 if cfg.quantized else cfg.dtype
+    store_dtype = cfg.quant_dtype if cfg.quantized else cfg.dtype
 
     if mesh is not None:
         kv_sharding = NamedSharding(mesh, P(None, None, tp_axis, None))

@@ -198,7 +198,7 @@ def decode_attention_pallas(
     sliding_window: Optional[int] = None,
 ) -> jax.Array:
     """Drop-in replacement for decode_attention_xla (same signature)."""
-    assert kv.kv.dtype != jnp.int8, "int8 KV not supported by this kernel yet"
+    assert kv.kv.dtype not in (jnp.int8, jnp.float8_e4m3fn), "int8 KV not supported by this kernel yet"
     return _paged_decode_call(
         q,
         kv.kv,

@@ -94,7 +94,7 @@ def attention_ragged(
     sliding_window: Optional[int] = None,
 ) -> jax.Array:
     """Backend entry for both EXTEND and DECODE."""
-    assert kv.kv.dtype != jnp.int8, "int8 KV uses the XLA backend"
+    assert kv.kv.dtype not in (jnp.int8, jnp.float8_e4m3fn), "int8 KV uses the XLA backend"
     return _ragged_call(
         q,
         kv.kv,

@@ -24,14 +24,22 @@ from scratchpad_tpu.memory.kv_cache import KVCache
 _NEG = -1e30
 
 
-def _quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Per-(token, head) symmetric int8: x [T, H, D] -> (i8, scale[T, H])."""
+def _quantize_rows(x: jax.Array, qdtype) -> tuple[jax.Array, jax.Array]:
+    """Per-(token, head) symmetric low-bit storage:
+    x [T, H, D] -> (int8 | float8_e4m3fn values, scale [T, H])."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
-    scale = jnp.maximum(amax / 127.0, 1e-8)
-    q = jnp.clip(
-        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
-    ).astype(jnp.int8)
+    if qdtype == jnp.int8:
+        scale = jnp.maximum(amax / 127.0, 1e-8)
+        q = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+        ).astype(jnp.int8)
+    else:  # fp8 e4m3
+        scale = jnp.maximum(amax / 448.0, 1e-8)
+        q = (x.astype(jnp.float32) / scale[..., None]).astype(qdtype)
     return q, scale
+
+
+_QUANT_KV_DTYPES = (jnp.int8, jnp.float8_e4m3fn)
 
 
 def write_kv(
@@ -59,8 +67,8 @@ def write_kv(
     pg_idx = rows // ps
     off_idx = rows % ps
     scale = kv.scale
-    if kv.kv.dtype == jnp.int8:
-        upd, sc = _quantize_rows(upd)  # sc [T, 2Hkv]
+    if kv.kv.dtype in _QUANT_KV_DTYPES:
+        upd, sc = _quantize_rows(upd, kv.kv.dtype)  # sc [T, 2Hkv]
         scale = scale.at[pg_idx, off_idx].set(sc)
     new_kv = kv.kv.at[pg_idx, off_idx].set(upd.astype(kv.kv.dtype))
     return KVCache(kv=new_kv, scale=scale, num_layers=kv.num_layers)
@@ -78,7 +86,7 @@ def _gather_kv(kv: KVCache, layer_idx, meta: ForwardMeta, page_size: int, D: int
     ).reshape(B, maxp * page_size)
     rows = layer_idx * slots_per_layer + slots  # [B, S_max] global
     g = kv.kv[rows // ps, rows % ps, :, :D]  # [B, S_max, 2Hkv, D]
-    if kv.kv.dtype == jnp.int8:
+    if kv.kv.dtype in _QUANT_KV_DTYPES:
         sc = kv.scale[rows // ps, rows % ps]  # [B, S, 2Hkv]
         g = g.astype(jnp.float32) * sc[..., None]
     k = g[:, :, 0::2, :]

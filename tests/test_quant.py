@@ -169,3 +169,28 @@ class TestFp8:
         deq = np.asarray(fl.w8.astype(jnp.float32)) * np.asarray(fl.s)[:, None, :]
         rel = np.abs(deq - w).max() / np.abs(w).max()
         assert rel < 0.08  # e4m3 relative precision
+
+    def test_fp8_kv_engine_quality(self):
+        from scratchpad_tpu.config import ServerArgs
+        from scratchpad_tpu.sampling.sampling_params import SamplingParams
+        from scratchpad_tpu.server.engine import Engine
+
+        common = dict(
+            preset="tiny-debug",
+            random_weights=True,
+            dtype="float32",
+            page_size=4,
+            max_total_tokens=2048,
+        )
+        p = np.random.default_rng(13).integers(1, 500, 24).tolist()
+        sp = SamplingParams(temperature=0.0, max_new_tokens=8)
+        ref = Engine(ServerArgs(**common)).generate(
+            input_ids=p, sampling_params=sp, return_logprob=True
+        )
+        out = Engine(ServerArgs(kv_cache_dtype="fp8", **common)).generate(
+            input_ids=p, sampling_params=sp, return_logprob=True
+        )
+        a = np.asarray(ref.output_token_logprobs)
+        b = np.asarray(out.output_token_logprobs)
+        assert np.isfinite(b).all()
+        assert abs(a.mean() - b.mean()) < 0.4, (a, b)
