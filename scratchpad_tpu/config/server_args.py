@@ -60,7 +60,11 @@ class ServerArgs:
     # sampling / constrained decoding
     grammar_backend: str = "native"  # native regex/json FSM engine
     disable_penalizer: bool = False
-    enable_overlap: bool = True  # one-step-lookahead host/device overlap
+    # one-window-deep decode pipelining (device-chained token carry).
+    # Off by default: through the remote-TPU relay used for development the
+    # extra dispatch/fetch interleaving measured slower; revisit on local
+    # hosts where it should hide host-side detokenize/stream work.
+    enable_overlap: bool = False
 
     # server
     host: str = "127.0.0.1"

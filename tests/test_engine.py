@@ -181,3 +181,39 @@ class TestMixedChunk:
         ]
         assert got == ref
         mixed.scheduler.check_memory_leak()
+
+
+class TestOverlapPipeline:
+    def test_overlap_matches_plain(self):
+        prompts = [prompt(n, seed=300 + n) for n in (12, 30, 8)]
+        sp = SamplingParams(temperature=0.0, max_new_tokens=10, ignore_eos=True)
+        plain = make_engine()
+        ref = [
+            o.output_ids
+            for o in plain.generate(input_ids=prompts, sampling_params=[sp] * 3)
+        ]
+        ov = make_engine(enable_overlap=True)
+        got = [
+            o.output_ids
+            for o in ov.generate(input_ids=prompts, sampling_params=[sp] * 3)
+        ]
+        assert got == ref
+        ov.scheduler.check_memory_leak()
+
+    def test_overlap_with_eos_midwindow(self):
+        ov = make_engine(enable_overlap=True, decode_window_size=4)
+        p = prompt(10, seed=310)
+        base = ov.generate(
+            input_ids=p,
+            sampling_params=SamplingParams(temperature=0.0, max_new_tokens=20),
+        )
+        stop_tok = base.output_ids[5]
+        out = ov.generate(
+            input_ids=p,
+            sampling_params=SamplingParams(
+                temperature=0.0, max_new_tokens=20, stop_token_ids=[stop_tok]
+            ),
+        )
+        assert out.output_ids[-1] == stop_tok
+        assert out.output_ids == base.output_ids[:6]
+        ov.scheduler.check_memory_leak()
