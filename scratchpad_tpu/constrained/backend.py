@@ -99,6 +99,20 @@ class Grammar:
             return
         self.state = self.compiled.next_state(self.state, token_id)
 
+    def forced_next_token(self) -> Optional[int]:
+        """Token id when the grammar allows exactly ONE continuation — the
+        jump-forward primitive (reference: constrained/outlines_jump_forward.py:31).
+        Returns None when the choice is free."""
+        if self.finished:
+            return None
+        m = self.compiled.bitmask_for(self.state)
+        counts = np.array([bin(int(w)).count("1") for w in m], dtype=np.int32)
+        if counts.sum() != 1:
+            return None
+        word = int(np.argmax(counts))
+        bit = int(m[word]).bit_length() - 1
+        return word * 32 + bit
+
     def is_terminated(self) -> bool:
         return self.finished
 

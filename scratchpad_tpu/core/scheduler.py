@@ -260,6 +260,20 @@ class Scheduler:
         if prefill is not None:
             reqs, chunk_lens = prefill
             return reqs, ForwardMode.EXTEND, chunk_lens
+        # grammar jump-forward catch-up: requests that had forced tokens
+        # appended host-side carry a multi-token KV deficit; compute it as
+        # one extend chunk (prefill speed instead of per-token decode)
+        catchup = [r for r in self.running if r.extend_input_len > 1]
+        if catchup:
+            batch, chunks = [], []
+            for r in catchup:
+                chunk = r.extend_input_len
+                if self._alloc_for_extend(r, chunk):
+                    batch.append(r)
+                    chunks.append(chunk)
+            if batch:
+                return batch, ForwardMode.EXTEND, chunks
+
         if self.running:
             self._decode_window = self._pick_decode_window()
             self._prepare_decode(self._decode_window)
@@ -573,6 +587,27 @@ class Scheduler:
 
     # --------------------------------------------------------------- results
 
+
+    def _jump_forward(self, req: Req) -> list[int]:
+        """Append grammar-forced tokens without model steps
+        (reference: outlines_jump_forward.py:31; disable via grammar-free
+        requests). The KV deficit is computed later as an extend chunk."""
+        out: list[int] = []
+        while (
+            req.grammar is not None
+            and not req.finished()
+            and len(out) < 64
+        ):
+            forced = req.grammar.forced_next_token()
+            if forced is None:
+                break
+            req.output_ids.append(forced)
+            req.grammar.accept_token(forced)
+            req.check_finished()
+            out.append(forced)
+            self.num_generated_tokens += 1
+        return out
+
     def _process_extend_result(
         self, batch, chunk_lens, token_ids, logprobs, tops=None
     ):
@@ -585,6 +620,7 @@ class Scheduler:
                 events.append(StepEvent(req, [], False))
                 continue
             tok = int(token_ids[i])
+            new_tokens = [tok]
             if req.sampling_params.max_new_tokens > 0:
                 req.output_ids.append(tok)
                 if req.return_logprob:
@@ -597,6 +633,8 @@ class Scheduler:
                 if req.grammar is not None:
                     req.grammar.accept_token(tok)
                 req.check_finished()
+                if req.grammar is not None and not req.finished():
+                    new_tokens.extend(self._jump_forward(req))
             else:
                 req.finished_reason = FinishReason.LENGTH
             self.num_generated_tokens += 1
@@ -604,12 +642,12 @@ class Scheduler:
                 if req in self.running:  # mixed-chunk decode row
                     self.running.remove(req)
                 self._finish_req(req)
-                events.append(StepEvent(req, [tok], True))
+                events.append(StepEvent(req, new_tokens, True))
             else:
                 if req not in self.running:
                     self._cache_unfinished(req)
                     self.running.append(req)
-                events.append(StepEvent(req, [tok], False))
+                events.append(StepEvent(req, new_tokens, False))
         return events
 
     def _process_embed_result(self, batch, chunk_lens, emb):
@@ -671,6 +709,11 @@ class Scheduler:
             else:
                 req.computed_len += min(finish_step + 2, K)
                 finished.append(req)
+            if req.grammar is not None and not req.finished():
+                forced = self._jump_forward(req)
+                accepted.extend(forced)
+                if req.finished():
+                    finished.append(req)
             self.num_generated_tokens += len(accepted)
             events.append(StepEvent(req, accepted, req.finished()))
         if not defer_finish:

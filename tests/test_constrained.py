@@ -153,3 +153,60 @@ class TestGuidedGeneration:
         out = engine.generate(prompt="emit json:", sampling_params=sp)
         parsed = json.loads(out.text)
         assert set(parsed) == {"ok"} and isinstance(parsed["ok"], bool)
+
+
+class TestJumpForward:
+    def test_forced_next_token_api(self):
+        from scratchpad_tpu.constrained.backend import CompiledGrammar
+        from scratchpad_tpu.constrained.regex_fsm import compile_regex
+
+        # char-level tokens: id = ord(c)+1
+        strs = [None] * 300
+        for i in range(256):
+            strs[i + 1] = chr(i)
+        dfa = compile_regex(r"yes!now")
+        g = CompiledGrammar(dfa, strs, eos_ids={0})
+        from scratchpad_tpu.constrained.backend import Grammar
+
+        cur = Grammar(g)
+        # from the start the whole literal is forced
+        seq = []
+        for _ in range(7):
+            t = cur.forced_next_token()
+            assert t is not None
+            seq.append(chr(t - 1))
+            cur.accept_token(t)
+        assert "".join(seq) == "yes!now"
+
+    def test_jump_forward_e2e_literal(self, engine=None):
+        """A regex with a long forced literal must complete in far fewer
+        model steps than tokens generated."""
+        from scratchpad_tpu.config import ServerArgs
+        from scratchpad_tpu.server.engine import Engine
+        from scratchpad_tpu.sampling.sampling_params import SamplingParams
+
+        eng = Engine(
+            ServerArgs(
+                preset="tiny-debug",
+                random_weights=True,
+                dtype="float32",
+                page_size=4,
+                max_total_tokens=2048,
+            ),
+            tokenizer=CharTokenizer(),
+        )
+        sp = SamplingParams(
+            temperature=0.0,
+            max_new_tokens=64,
+            regex=r"(yes|no): the answer is final\.",
+        )
+        before = eng.scheduler.step_count
+        out = eng.generate(prompt="q:", sampling_params=sp)
+        steps = eng.scheduler.step_count - before
+        assert out.text in (
+            "yes: the answer is final.",
+            "no: the answer is final.",
+        ), out.text
+        # ~27 chars generated; without jump-forward this needs 25+ steps
+        assert steps < 12, steps
+        eng.scheduler.check_memory_leak()
