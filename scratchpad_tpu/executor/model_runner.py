@@ -114,10 +114,22 @@ class ModelRunner:
         if self.args.kv_cache_dtype in ("int8", "fp8") and backend == "ragged":
             backend = "xla"
         if mesh is not None and backend in ("ragged", "pallas"):
-            # pallas kernels don't auto-partition under jit; multi-chip needs
-            # a shard_map wrapper (planned) — use the XLA backend meanwhile
-            logger.warning("mesh run: falling back to XLA attention backend")
-            backend = "xla"
+            # pallas_call doesn't auto-partition under pjit; the ragged
+            # backend has a shard_map head-parallel wrapper for pure-TP
+            # meshes (tp | num_kv_heads). dp>1 splits the flat ragged token
+            # axis, so those meshes use the XLA backend.
+            tp = mesh.shape.get("tp", 1)
+            dp = mesh.shape.get("dp", 1)
+            if (
+                backend == "ragged"
+                and dp == 1
+                and tp >= 1
+                and cfg.num_kv_heads % tp == 0
+            ):
+                backend = "ragged_tp"
+            else:
+                logger.warning("mesh run: falling back to XLA attention backend")
+                backend = "xla"
         if backend == "ragged":
             from scratchpad_tpu.ops.attention.ragged_backend import (
                 attention_ragged,
@@ -125,6 +137,14 @@ class ModelRunner:
 
             self.model.decode_attention = attention_ragged
             self.model.extend_attention = attention_ragged
+        elif backend == "ragged_tp":
+            from scratchpad_tpu.ops.attention.ragged_backend import (
+                make_attention_ragged_tp,
+            )
+
+            attend = make_attention_ragged_tp(mesh)
+            self.model.decode_attention = attend
+            self.model.extend_attention = attend
         elif backend == "pallas":
             from scratchpad_tpu.ops.attention.pallas_decode import (
                 decode_attention_pallas,
@@ -139,7 +159,10 @@ class ModelRunner:
         if params is not None:
             self.params = params
         else:
-            quantizing = self.args.quantization in ("w4a16", "w4", "fp8")
+            quantizing = self.args.quantization in (
+                "w4a16", "w4", "fp8", "awq", "gptq", "gptq_v2",
+            )
+            prequantized = self.args.quantization in ("awq", "gptq", "gptq_v2")
             # quantization reads weights on the host — init/convert on CPU so
             # nothing bounces device->host through a (possibly slow) link
             import contextlib
@@ -153,11 +176,43 @@ class ModelRunner:
                 if self.args.random_weights or not cfg.model_path:
                     rng = jax.random.PRNGKey(self.args.random_seed)
                     self.params = self.model.init_params(rng, self._dtype())
+                    if prequantized:
+                        # no checkpoint to import — quantize the random init
+                        # so the serving path still exercises the W4 kernels
+                        from scratchpad_tpu.ops.quant import (
+                            quantize_model_params,
+                        )
+
+                        self.params = quantize_model_params(self.params)
+                        prequantized = False
+                elif prequantized:
+                    # AutoAWQ/AutoGPTQ int4 checkpoint: repack the nibbles
+                    # directly (bit-exact import, no dequant round trip)
+                    from scratchpad_tpu.ops.quant.import_hf import (
+                        convert_quantized_layers,
+                        split_quant_tensors,
+                    )
+
+                    state = load_hf_state(cfg.model_path)
+                    plain, quant = split_quant_tensors(state)
+                    self.params = self.model.convert_hf_state(
+                        plain, self._dtype()
+                    )
+                    self.params["layers_q"] = convert_quantized_layers(
+                        quant,
+                        cfg.num_hidden_layers,
+                        "awq" if self.args.quantization == "awq" else "gptq",
+                        self._dtype(),
+                        gptq_v2=self.args.quantization == "gptq_v2",
+                    )
+                    del state, quant
                 else:
                     state = load_hf_state(cfg.model_path)
                     self.params = self.model.convert_hf_state(state, self._dtype())
                     del state
-                if self.args.quantization == "fp8":
+                if prequantized:
+                    pass  # layers_q already built above
+                elif self.args.quantization == "fp8":
                     from scratchpad_tpu.ops.quant.fp8 import (
                         quantize_model_params_fp8,
                     )
@@ -204,7 +259,7 @@ class ModelRunner:
         # the cache tight when XLA serves attention
         cache_head_dim = (
             padded_head_dim(cfg.head_dim)
-            if self.attention_backend in ("pallas", "ragged")
+            if self.attention_backend in ("pallas", "ragged", "ragged_tp")
             else cfg.head_dim
         )
         self.kv_config = KVCacheConfig(
@@ -310,7 +365,7 @@ class ModelRunner:
         )
         hd = (
             padded_head_dim(cfg.head_dim)
-            if getattr(self, "attention_backend", "xla") in ("pallas", "ragged")
+            if getattr(self, "attention_backend", "xla") in ("pallas", "ragged", "ragged_tp")
             else cfg.head_dim
         )
         return 2 * cfg.num_hidden_layers * cfg.num_kv_heads * hd * itemsize

@@ -108,3 +108,127 @@ def attention_ragged(
         sliding_window=sliding_window,
         num_layers=kv.num_layers,
     )
+
+
+# ---------------------------------------------------------------------------
+# tensor-parallel wrapper: shard_map over the head axis
+# ---------------------------------------------------------------------------
+
+
+def _ragged_dense_ref(
+    q, kv_pages, kv_lens, pt_global, cu_q, num_seqs, *, sm_scale, logit_cap,
+    sliding_window,
+):
+    """Jittable pure-XLA equivalent of the ragged kernel (same interface).
+
+    Used inside the shard_map body on CPU meshes, where the Mosaic kernel
+    can't run; tiny-shape tests validate the TP wiring against it.
+    """
+    del num_seqs  # padding rows produce garbage that is never gathered
+    T, Hq, Dp = q.shape
+    B, P = pt_global.shape
+    ps, H2 = kv_pages.shape[1], kv_pages.shape[2]
+    Hkv = H2 // 2
+    Gq = Hq // Hkv
+    g = kv_pages[pt_global].reshape(B, P * ps, H2, Dp)
+    k, v = g[:, :, 0::2], g[:, :, 1::2]  # [B, S, Hkv, Dp]
+    t = jnp.arange(T, dtype=jnp.int32)
+    row = jnp.clip(jnp.searchsorted(cu_q, t, side="right") - 1, 0, B - 1)
+    q_len = cu_q[row + 1] - cu_q[row]
+    abs_pos = kv_lens[row] - q_len + (t - cu_q[row])  # kv index of token t
+    qh = q.reshape(T, Hkv, Gq, Dp).astype(jnp.float32)
+    scores = jnp.einsum(
+        "thgd,tshd->thgs", qh, k[row].astype(jnp.float32)
+    )  # [T, Hkv, Gq, S]
+    if logit_cap:
+        scores = logit_cap * jnp.tanh(scores / logit_cap)
+    s_idx = jnp.arange(P * ps, dtype=jnp.int32)
+    mask = s_idx[None, :] <= abs_pos[:, None]
+    if sliding_window is not None:
+        mask &= s_idx[None, :] > abs_pos[:, None] - sliding_window
+    mask |= s_idx[None, :] == 0  # keep padding-row softmax finite
+    scores = jnp.where(mask[:, None, None, :], scores, -1e30)
+    w = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("thgs,tshd->thgd", w, v[row].astype(jnp.float32))
+    return out.reshape(T, Hq, Dp).astype(q.dtype)
+
+
+def make_attention_ragged_tp(mesh):
+    """Ragged attention for a tensor-parallel mesh.
+
+    Heads are embarrassingly parallel: each "tp" shard attends its local
+    Hq/tp query heads against its local Hkv/tp cached KV heads — no
+    collectives, so the kernel runs unmodified per-shard under shard_map
+    (pallas_call does not auto-partition under pjit the way XLA ops do).
+    Requires tp | Hkv; dp>1 meshes use the XLA backend (the flat ragged
+    token axis can't split across dp).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as PS
+
+    use_kernel = jax.default_backend() not in ("cpu",)
+
+    def body(q, kv_pages, kv_lens, pt_global, cu_q, num_seqs,
+             logit_cap, sliding_window):
+        # q arrives pre-scaled; both paths use sm_scale = 1
+        if use_kernel:
+            from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
+                ragged_paged_attention,
+            )
+
+            return ragged_paged_attention(
+                q, kv_pages, kv_lens, pt_global, cu_q, num_seqs,
+                sm_scale=1.0,
+                sliding_window=sliding_window,
+                soft_cap=logit_cap,
+            )
+        return _ragged_dense_ref(
+            q, kv_pages, kv_lens, pt_global, cu_q, num_seqs,
+            sm_scale=1.0, logit_cap=logit_cap,
+            sliding_window=sliding_window,
+        )
+
+    def attend(
+        q: jax.Array,
+        kv: KVCache,
+        layer_idx: jax.Array,
+        meta: ForwardMeta,
+        *,
+        page_size: int,
+        sm_scale: float,
+        logit_cap: Optional[float] = None,
+        sliding_window: Optional[int] = None,
+    ) -> jax.Array:
+        del page_size
+        T, Hq, D = q.shape
+        Dp = kv.kv.shape[-1]
+        Ptot = kv.kv.shape[0] // kv.num_layers
+        pt_global = (
+            meta.page_table + jnp.asarray(layer_idx, jnp.int32) * Ptot
+        ).astype(jnp.int32)
+        kv_lens = jnp.maximum(meta.seq_lens, 1).astype(jnp.int32)
+        cu_q = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32),
+             jnp.cumsum(meta.extend_lens).astype(jnp.int32)]
+        )
+        num_seqs = jnp.sum(meta.extend_lens > 0).astype(jnp.int32).reshape(1)
+        if Dp != D:
+            q = jnp.pad(q, [(0, 0), (0, 0), (0, Dp - D)])
+        q = q * jnp.asarray(sm_scale, q.dtype)
+        sharded = shard_map(
+            lambda qq, kk, kl, pt, cq, ns: body(
+                qq, kk, kl, pt, cq, ns, logit_cap, sliding_window
+            ),
+            mesh=mesh,
+            in_specs=(
+                PS(None, "tp", None),        # q: heads sharded
+                PS(None, None, "tp", None),  # kv pages: heads sharded
+                PS(), PS(), PS(), PS(),      # metadata replicated
+            ),
+            out_specs=PS(None, "tp", None),
+            check_vma=False,
+        )
+        out = sharded(q, kv.kv, kv_lens, pt_global, cu_q, num_seqs)
+        return out[..., :D]
+
+    return attend

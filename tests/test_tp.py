@@ -57,6 +57,29 @@ class TestTensorParallel:
         outs = eng.generate(input_ids=prompts(), sampling_params=[sp] * 3)
         assert all(len(o.output_ids) == 4 for o in outs)
 
+    def test_tp2_ragged_backend_matches(self):
+        """shard_map-wrapped ragged attention == single-device XLA backend.
+
+        On CPU the wrapper's body runs the jittable dense equivalent of the
+        ragged kernel, so this validates the TP wiring (head sharding,
+        replicated paging metadata) end-to-end on the virtual mesh.
+        """
+        sp = SamplingParams(temperature=0.0, max_new_tokens=6)
+        ref = [
+            o.output_ids
+            for o in make_engine().generate(
+                input_ids=prompts(), sampling_params=[sp] * 3
+            )
+        ]
+        eng = make_engine(mesh=tp_mesh(2), attention_backend="ragged")
+        assert eng.scheduler.runner.attention_backend == "ragged_tp"
+        got = [
+            o.output_ids
+            for o in eng.generate(input_ids=prompts(), sampling_params=[sp] * 3)
+        ]
+        assert got == ref
+        eng.scheduler.check_memory_leak()
+
     def test_tp2_quantized_runs(self):
         sp = SamplingParams(temperature=0.0, max_new_tokens=4)
         eng = make_engine(mesh=tp_mesh(2), quantization="w4a16")
