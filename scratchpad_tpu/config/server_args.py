@@ -20,7 +20,9 @@ class ServerArgs:
     preset: Optional[str] = None  # built-in architecture preset (offline runs)
     tokenizer_path: Optional[str] = None
     dtype: str = "bfloat16"
-    quantization: Optional[str] = None  # None | w4a16 | w8a16 | fp8
+    # None | w4a16 | fp8 (quantize at load) | awq | gptq | gptq_v2 (import
+    # a pre-quantized AutoAWQ/AutoGPTQ int4 checkpoint, bit-exact)
+    quantization: Optional[str] = None
     kv_cache_dtype: str = "auto"  # auto | bfloat16 | int8 | fp8
     random_weights: bool = False  # initialise random weights (benchmarks)
     context_length: Optional[int] = None

@@ -51,11 +51,15 @@ class Engine:
         self.args = server_args.resolve()
         if model_config is None:
             if self.args.preset:
-                model_config = get_preset(
-                    self.args.preset,
+                # preset = architecture shortcut; an explicit model_path still
+                # supplies the weights (e.g. a quantized checkpoint on disk)
+                ov = dict(
                     dtype=self.args.dtype,
                     quantization=self.args.quantization,
                 )
+                if self.args.model_path:
+                    ov["model_path"] = self.args.model_path
+                model_config = get_preset(self.args.preset, **ov)
             else:
                 model_config = ModelConfig.from_pretrained(
                     self.args.model_path,
