@@ -14,6 +14,7 @@ one layer's block straight from HBM with no dynamic-slice materialisation.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +35,36 @@ def _w4_kernel(layer_ref, x_ref, q_ref, s_ref, z_ref, o_ref, *, group_size):
     hi = ((qi >> 4) & 0xF).astype(jnp.float32).astype(dtype)
     s = s_ref[0].astype(dtype)  # [G, OUT_BLK]
     z = z_ref[0].astype(dtype)
-    # row-repeat each group's scale to its rows ([G, O] -> [G*group, O])
+
+    if os.environ.get("SPTPU_W4_KERNEL") == "v2":
+        # group-factored dequant: per-element work is unpack+cast ONLY.
+        #   y = sum_g (x_g @ n_g) * s_g  -  xg_sum @ (z*s)
+        # scales/zeros touch [B, OUT] accumulators, never [In, OUT] weights.
+        B = x.shape[0]
+        G = s.shape[0]
+        Gh = G // 2  # groups per nibble plane (group boundaries never
+        # straddle the plane split: half = In/2 is a multiple of group_size)
+        acc = jnp.zeros((B, out_blk), jnp.float32)
+        for g in range(G):
+            plane = lo if g < Gh else hi
+            row0 = (g if g < Gh else g - Gh) * group_size
+            xg = x[:, g * group_size : (g + 1) * group_size]
+            pg = jax.lax.dot(
+                xg,
+                plane[row0 : row0 + group_size],
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc + pg * s[g][None, :].astype(jnp.float32)
+        # zero correction: per-group input sums [B, G] @ (z*s) [G, OUT_BLK]
+        xg_sum = jnp.sum(
+            x.astype(jnp.float32).reshape(B, G, group_size), axis=2
+        )
+        zs = (z * s).astype(jnp.float32)
+        acc = acc - jax.lax.dot(xg_sum, zs, preferred_element_type=jnp.float32)
+        o_ref[...] = acc.astype(o_ref.dtype)
+        return
+
+    # v1: full elementwise dequant then two plane matmuls
     s_rows = jnp.repeat(s, group_size, axis=0)
     z_rows = jnp.repeat(z, group_size, axis=0)
     w_lo = (lo - z_rows[:half]) * s_rows[:half]
@@ -52,17 +82,34 @@ def _w4_call(x, q, s, z, layer_idx, *, group_size, out_block):
     G = s.shape[1]
     OUT_BLK = min(out_block, Out)
     assert Out % OUT_BLK == 0
+    # block the token dim too: a 4096-token prefill bucket's x (16 MiB bf16)
+    # cannot live whole in VMEM. Buckets are powers of two, so ROW_BLK | B.
+    ROW_BLK = min(B, 512)
+
+    # fit the ~16 MiB scoped-VMEM limit: x block (bf16) + packed nibbles (u8)
+    # + the dequant intermediates (int32/f32 casts of both planes, ~2.5 B/elem
+    # measured from compiler scoped-alloc reports) must all fit per program
+    def vmem_cost(r, o):
+        return 2 * r * In + (half * o) + 5 * (half * o)
+
+    BUDGET = 12 * 2**20
+    while vmem_cost(ROW_BLK, OUT_BLK) > BUDGET and OUT_BLK > 128:
+        OUT_BLK //= 2
+    while vmem_cost(ROW_BLK, OUT_BLK) > BUDGET and ROW_BLK > 64:
+        ROW_BLK //= 2
+    assert B % ROW_BLK == 0 and Out % OUT_BLK == 0
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(Out // OUT_BLK,),
+        # out-dim innermost: x's row block stays resident across the sweep
+        grid=(B // ROW_BLK, Out // OUT_BLK),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # x full
-            pl.BlockSpec((1, half, OUT_BLK), lambda o, l: (l[0], 0, o)),
-            pl.BlockSpec((1, G, OUT_BLK), lambda o, l: (l[0], 0, o)),
-            pl.BlockSpec((1, G, OUT_BLK), lambda o, l: (l[0], 0, o)),
+            pl.BlockSpec((ROW_BLK, In), lambda r, o, l: (r, 0)),
+            pl.BlockSpec((1, half, OUT_BLK), lambda r, o, l: (l[0], 0, o)),
+            pl.BlockSpec((1, G, OUT_BLK), lambda r, o, l: (l[0], 0, o)),
+            pl.BlockSpec((1, G, OUT_BLK), lambda r, o, l: (l[0], 0, o)),
         ],
-        out_specs=pl.BlockSpec((B, OUT_BLK), lambda o, l: (0, o)),
+        out_specs=pl.BlockSpec((ROW_BLK, OUT_BLK), lambda r, o, l: (r, o)),
     )
     return pl.pallas_call(
         functools.partial(_w4_kernel, group_size=group_size),
