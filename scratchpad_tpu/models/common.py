@@ -61,10 +61,80 @@ def compute_inv_freq(cfg) -> np.ndarray:
             inv_freq = np.where(mid, blended, inv_freq)
         elif rope_type in ("linear",):
             inv_freq = inv_freq / rs["factor"]
-        elif rope_type in ("default", "dynamic", "yarn", "mrope"):
-            # dynamic/yarn handled as default for now
+        elif rope_type == "yarn":
+            # YaRN (public recipe, as in HF modeling_rope_utils):
+            # interpolate low-frequency dims by `factor`, keep high-frequency
+            # dims, linear-ramp between correction dims set by beta_fast/slow
+            factor = rs["factor"]
+            orig = rs.get(
+                "original_max_position_embeddings",
+                getattr(cfg, "max_position_embeddings", 4096),
+            )
+            beta_fast = rs.get("beta_fast", 32.0)
+            beta_slow = rs.get("beta_slow", 1.0)
+            dim, base = head_dim, cfg.rope_theta
+
+            def corr_dim(rot):
+                return (dim * np.log(orig / (rot * 2 * np.pi))) / (
+                    2 * np.log(base)
+                )
+
+            low = max(int(np.floor(corr_dim(beta_fast))), 0)
+            high = min(int(np.ceil(corr_dim(beta_slow))), dim - 1)
+            ramp = np.clip(
+                (np.arange(dim // 2, dtype=np.float64) - low)
+                / max(high - low, 0.001),
+                0.0,
+                1.0,
+            )
+            extrap_mask = 1.0 - ramp  # 1 = keep original (high freq)
+            inv_freq = (inv_freq / factor) * (
+                1 - extrap_mask
+            ) + inv_freq * extrap_mask
+        elif rope_type == "longrope":
+            # Phi-3 longrope: per-dim rescale factors; the long list applies
+            # when the deployed context exceeds the original pretraining one
+            orig = rs.get(
+                "original_max_position_embeddings",
+                cfg.max_position_embeddings,
+            )
+            use_long = cfg.max_position_embeddings > orig
+            ext = np.asarray(
+                rs["long_factor"] if use_long else rs["short_factor"],
+                np.float64,
+            )
+            inv_freq = inv_freq / ext
+        elif rope_type in ("default", "dynamic", "mrope"):
+            # dynamic recomputation not needed: serving contexts are bounded
+            # by max_position_embeddings at startup
             pass
     return inv_freq.astype(np.float32)
+
+
+def rope_attention_scale(cfg) -> float:
+    """Extra attention-logit multiplier some rope scalings require.
+
+    YaRN scales cos/sin by mscale = 0.1*ln(factor)+1 (applied to BOTH q and
+    k in HF, i.e. logits scale by mscale^2); folding it into sm_scale is
+    equivalent and free. longrope similarly uses
+    sqrt(1 + ln(factor)/ln(orig)). Default 1.0."""
+    rs = cfg.rope_scaling
+    if not rs:
+        return 1.0
+    rope_type = rs.get("rope_type", rs.get("type", "default"))
+    if rope_type == "yarn":
+        if rs.get("attention_factor") is not None:
+            return float(rs["attention_factor"]) ** 2
+        return float(0.1 * np.log(rs["factor"]) + 1.0) ** 2
+    if rope_type == "longrope":
+        orig = rs.get(
+            "original_max_position_embeddings", cfg.max_position_embeddings
+        )
+        factor = cfg.max_position_embeddings / max(orig, 1)
+        if factor <= 1.0:
+            return 1.0
+        return 1.0 + np.log(factor) / np.log(orig)
+    return 1.0
 
 
 def apply_rope(

@@ -42,7 +42,11 @@ class LlamaForCausalLM:
     def __init__(self, cfg: ModelConfig):
         self.cfg = cfg
         self.inv_freq = compute_inv_freq(cfg)
-        self.sm_scale = 1.0 / float(np.sqrt(cfg.head_dim))
+        from scratchpad_tpu.models.common import rope_attention_scale
+
+        self.sm_scale = float(
+            rope_attention_scale(cfg) / np.sqrt(cfg.head_dim)
+        )
         # attention impls; the executor may swap in Pallas kernels
         self.decode_attention = decode_attention_xla
         self.extend_attention = extend_attention_xla
