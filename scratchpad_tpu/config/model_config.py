@@ -50,6 +50,19 @@ class ModelConfig:
     num_experts_per_tok: int = 0
     moe_intermediate_size: Optional[int] = None
     norm_topk_prob: bool = False
+    # DeepSeek-style MoE extensions
+    n_shared_experts: int = 0
+    first_k_dense_replace: int = 0
+    routed_scaling_factor: float = 1.0
+    topk_method: str = "greedy"  # greedy | group_limited_greedy
+    n_group: int = 1
+    topk_group: int = 1
+    # MLA (multi-head latent attention, DeepSeek V2/V3)
+    q_lora_rank: Optional[int] = None
+    kv_lora_rank: Optional[int] = None
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0
     # bookkeeping
     model_path: Optional[str] = None
     dtype: str = "bfloat16"
@@ -65,6 +78,10 @@ class ModelConfig:
         return self.num_key_value_heads
 
     @property
+    def is_mla(self) -> bool:
+        return bool(self.kv_lora_rank)
+
+    @property
     def context_len(self) -> int:
         return self.max_position_embeddings
 
@@ -75,6 +92,11 @@ class ModelConfig:
         field_names = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in cfg.items() if k in field_names}
         kwargs["architecture"] = arch
+        # HF field-name variants
+        if "n_routed_experts" in cfg and cfg["n_routed_experts"]:
+            kwargs["num_experts"] = cfg["n_routed_experts"]
+        if cfg.get("n_shared_experts") is None:
+            kwargs.pop("n_shared_experts", None)
         # HF variants of softcap naming (Gemma2)
         if "final_logit_softcapping" in cfg:
             kwargs["logit_softcap"] = cfg["final_logit_softcapping"]

@@ -262,6 +262,12 @@ class ModelRunner:
             if self.attention_backend in ("pallas", "ragged", "ragged_tp")
             else cfg.head_dim
         )
+        if cfg.is_mla:
+            # latent cache: one [c_kv | k_rope] vector per token per layer
+            assert self.args.kv_cache_dtype not in ("int8", "fp8"), (
+                "quantized KV not supported for MLA yet"
+            )
+            cache_head_dim = self.model.mla_latent_dim
         self.kv_config = KVCacheConfig(
             num_layers=cfg.num_hidden_layers,
             num_pages=num_pages,
@@ -275,6 +281,7 @@ class ModelRunner:
                 if self.args.kv_cache_dtype == "fp8"
                 else jnp.int8
             ),
+            mla=cfg.is_mla,
         )
         self.kv_cache = create_kv_cache(self.kv_config, mesh)
 
@@ -368,6 +375,10 @@ class ModelRunner:
             if getattr(self, "attention_backend", "xla") in ("pallas", "ragged", "ragged_tp")
             else cfg.head_dim
         )
+        if cfg.is_mla:
+            return (
+                cfg.num_hidden_layers * self.model.mla_latent_dim * itemsize
+            )
         return 2 * cfg.num_hidden_layers * cfg.num_kv_heads * hd * itemsize
 
     # ------------------------------------------------- packed single-RPC path

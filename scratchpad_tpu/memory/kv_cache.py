@@ -48,6 +48,10 @@ class KVCacheConfig:
     dtype: Any = jnp.bfloat16
     quantized: bool = False  # low-bit values + per-row scales
     quant_dtype: Any = jnp.int8  # int8 | float8_e4m3fn
+    # MLA latent cache (reference: MLATokenToKVPool, memory/pool.py:427-474):
+    # ONE vector per token per layer holding [c_kv(kv_lora_rank), k_rope],
+    # i.e. head axis is 1 and head_dim is the latent width.
+    mla: bool = False
 
     @property
     def num_slots(self) -> int:
@@ -60,9 +64,10 @@ class KVCacheConfig:
 
     def bytes_per_token(self) -> int:
         itemsize = 1 if self.quantized else jnp.dtype(self.dtype).itemsize
-        per = 2 * self.num_layers * self.num_kv_heads * self.head_dim * itemsize
+        heads = 1 if self.mla else 2 * self.num_kv_heads
+        per = self.num_layers * heads * self.head_dim * itemsize
         if self.quantized:
-            per += 2 * self.num_layers * self.num_kv_heads * 4
+            per += self.num_layers * heads * 4
         return per
 
 
@@ -102,14 +107,17 @@ def create_kv_cache(
     shape = (
         cfg.total_pages,
         cfg.page_size,
-        2 * cfg.num_kv_heads,
+        1 if cfg.mla else 2 * cfg.num_kv_heads,
         cfg.head_dim,
     )
     store_dtype = cfg.quant_dtype if cfg.quantized else cfg.dtype
 
     if mesh is not None:
-        kv_sharding = NamedSharding(mesh, P(None, None, tp_axis, None))
-        scale_sharding = NamedSharding(mesh, P(None, None, tp_axis))
+        # MLA's latent cache has no head axis to shard — replicate it
+        # (MQA-style: every tp shard attends the full latent)
+        head_spec = None if cfg.mla else tp_axis
+        kv_sharding = NamedSharding(mesh, P(None, None, head_spec, None))
+        scale_sharding = NamedSharding(mesh, P(None, None, head_spec))
     else:
         kv_sharding = scale_sharding = None
 

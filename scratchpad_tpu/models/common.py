@@ -151,3 +151,23 @@ def apply_rope(
         [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
     )
     return out.astype(x.dtype)
+
+
+def apply_rope_interleaved(
+    x: jax.Array,  # [T, H, D]
+    positions: jax.Array,  # i32[T]
+    inv_freq: jax.Array,  # f32[D/2]
+    scale: float = 1.0,
+) -> jax.Array:
+    """Complex/adjacent-pair rope (DeepSeek convention): pairs
+    (x[2j], x[2j+1]) rotate by pos * inv_freq[j]; HF multiplies freqs_cis by
+    an attention scaling factor, folded here via ``scale`` on cos/sin."""
+    ang = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    cos = (jnp.cos(ang) * scale)[:, None, :]  # [T, 1, D/2]
+    sin = (jnp.sin(ang) * scale)[:, None, :]
+    xf = x.astype(jnp.float32)
+    x1, x2 = xf[..., 0::2], xf[..., 1::2]
+    o1 = x1 * cos - x2 * sin
+    o2 = x1 * sin + x2 * cos
+    out = jnp.stack([o1, o2], axis=-1).reshape(x.shape)
+    return out.astype(x.dtype)

@@ -76,3 +76,13 @@ def _ensure_builtin():
         _REGISTRY["ApertusForCausalLM"] = ApertusForCausalLM
     except ImportError:
         pass
+    try:
+        from scratchpad_tpu.models.deepseek import (
+            DeepseekV2ForCausalLM,
+            DeepseekV3ForCausalLM,
+        )
+
+        _REGISTRY["DeepseekV2ForCausalLM"] = DeepseekV2ForCausalLM
+        _REGISTRY["DeepseekV3ForCausalLM"] = DeepseekV3ForCausalLM
+    except ImportError:
+        pass
