@@ -63,6 +63,8 @@ class ModelConfig:
     qk_nope_head_dim: int = 0
     qk_rope_head_dim: int = 0
     v_head_dim: int = 0
+    # multimodal (VLM): vision_config dict + image token / feature options
+    multimodal: Optional[dict] = None
     # bookkeeping
     model_path: Optional[str] = None
     dtype: str = "bfloat16"
@@ -89,6 +91,21 @@ class ModelConfig:
     def from_hf_config(cls, cfg: dict[str, Any], **overrides) -> "ModelConfig":
         """Build from a parsed HF config.json dict, ignoring unknown keys."""
         arch = (cfg.get("architectures") or ["LlamaForCausalLM"])[0]
+        if "text_config" in cfg and isinstance(cfg["text_config"], dict):
+            # VLM configs (Llava-style) nest the LM config; flatten it and
+            # carry the vision half in `multimodal`
+            mm = {
+                k: cfg[k]
+                for k in (
+                    "vision_config",
+                    "image_token_index",
+                    "vision_feature_layer",
+                    "vision_feature_select_strategy",
+                    "projector_hidden_act",
+                )
+                if k in cfg
+            }
+            cfg = {**cfg["text_config"], "architectures": [arch], "multimodal": mm}
         field_names = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in cfg.items() if k in field_names}
         kwargs["architecture"] = arch

@@ -61,6 +61,11 @@ class Req:
     is_embedding: bool = False
     embedding: Any = None
 
+    # multimodal: prompt positions holding image-placeholder pseudo ids
+    # (negative, content-hashed) and their precomputed embeddings [n, H]
+    mm_positions: Optional[np.ndarray] = None
+    mm_features: Optional[np.ndarray] = None
+
     # stop/stream state
     finished_reason: Optional[FinishReason] = None
     eos_token_ids: frozenset[int] = frozenset()

@@ -511,6 +511,7 @@ class Scheduler:
             req_idx = np.arange(B, dtype=np.int32)
             seq_lens = positions + 1
             extend_lens = np.ones(B, np.int32)
+            input_embeds = None
         else:
             tokens_l, pos_l, loc_l, idx_l = [], [], [], []
             seq_lens = np.zeros(len(batch), np.int32)
@@ -527,6 +528,22 @@ class Scheduler:
             positions = np.concatenate(pos_l)
             out_loc = np.concatenate(loc_l)
             req_idx = np.concatenate(idx_l)
+            # multimodal rows: gather precomputed vision embeddings for any
+            # image-placeholder positions landing in this chunk
+            input_embeds = None
+            if np.any(tokens < 0):
+                H = self.model_config.hidden_size
+                input_embeds = np.zeros((len(tokens), H), np.float32)
+                off = 0
+                for r, chunk in zip(batch, chunk_lens):
+                    if r.mm_positions is not None:
+                        start = r.computed_len
+                        sel = (r.mm_positions >= start) & (
+                            r.mm_positions < start + chunk
+                        )
+                        rows = off + (r.mm_positions[sel] - start)
+                        input_embeds[rows] = r.mm_features[sel]
+                    off += chunk
 
         maxp = max(len(r.pages) for r in batch)
         page_table = np.zeros((len(batch), maxp), np.int32)
@@ -553,6 +570,7 @@ class Scheduler:
             active_adapters=active,
             adapter_slots=slots,
             return_top_logprobs=want_tops,
+            input_embeds=input_embeds,
         )
 
     def _build_topping_batch(self, batch: list[Req]):

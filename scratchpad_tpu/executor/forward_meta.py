@@ -57,6 +57,10 @@ class ForwardMeta:
     # each request row's position within that list (0 = zero adapter)
     active_adapters: Optional[jax.Array] = None  # i32[MAX_ACTIVE_TOPPINGS]
     adapter_slots: Optional[jax.Array] = None  # i32[B]
+    # multimodal: rows whose token id is NEGATIVE (image-placeholder pseudo
+    # ids, content-hashed for radix caching) take their embedding from here
+    # instead of the embedding table
+    input_embeds: Optional[jax.Array] = None  # f32[T, H]
     # embedding mode: models return pooled last-token hidden instead of logits
     capture_hidden: bool = False
     # scoring mode: models return the full [T, H] hidden sequence
@@ -88,6 +92,7 @@ jax.tree_util.register_dataclass(
         "last_token_idx",
         "active_adapters",
         "adapter_slots",
+        "input_embeds",
     ],
     meta_fields=["mode", "capture_hidden", "capture_all_hidden"],
 )

@@ -59,6 +59,8 @@ class WorkerBatch:
     # toppings: distinct adapter pool slots + per-request position in that list
     active_adapters: Optional[np.ndarray] = None  # i32[MAX_ACTIVE_TOPPINGS]
     adapter_slots: Optional[np.ndarray] = None  # i32[B_real]
+    # multimodal embedding overrides for negative-token rows
+    input_embeds: Optional[np.ndarray] = None  # f32[T_real, H]
 
 
 @dataclasses.dataclass
@@ -520,9 +522,23 @@ class ModelRunner:
             wb.vocab_bitmask is None
             and si.output_token_counts is None
             and wb.active_adapters is None
+            and wb.input_embeds is None
             and not wb.return_top_logprobs
             and not self._dp_shard
         )
+
+    def encode_images(self, pixel_values: np.ndarray) -> np.ndarray:
+        """Run the VLM's vision tower + projector: [N,C,S,S] -> [N,P,H]."""
+        if not hasattr(self.model, "encode_images"):
+            raise ValueError(
+                f"{self.model_config.architecture} is not a multimodal model"
+            )
+        if not hasattr(self, "_jit_encode_images"):
+            self._jit_encode_images = jax.jit(self.model.encode_images)
+        feats = self._jit_encode_images(
+            self.params, jnp.asarray(pixel_values, self._dtype())
+        )
+        return np.asarray(feats, np.float32)
 
     def attach_toppings(self, manager) -> None:
         """Merge the adapter pools into the model params pytree."""
@@ -775,6 +791,10 @@ class ModelRunner:
         adapter_slots = None
         if wb.active_adapters is not None:
             adapter_slots = pad1(wb.adapter_slots.astype(np.int32), B)
+        input_embeds = None
+        if wb.input_embeds is not None:
+            input_embeds = np.zeros((T, wb.input_embeds.shape[1]), np.float32)
+            input_embeds[:T_real] = wb.input_embeds
         meta = ForwardMeta(
             mode=wb.mode,
             tokens=tokens,
@@ -787,6 +807,7 @@ class ModelRunner:
             last_token_idx=last_idx,
             active_adapters=wb.active_adapters,
             adapter_slots=adapter_slots,
+            input_embeds=input_embeds,
         )
         si = wb.sampling_info
         V = self.model_config.vocab_size

@@ -203,6 +203,14 @@ class LlamaForCausalLM:
         inv_freq = jnp.asarray(self.inv_freq)
 
         x = jnp.take(params["embed"], meta.tokens, axis=0)  # [T, H]
+        if meta.input_embeds is not None:
+            # multimodal rows carry NEGATIVE placeholder ids; their embedding
+            # comes from the vision encoder (take() clips the negative index)
+            x = jnp.where(
+                (meta.tokens < 0)[:, None],
+                meta.input_embeds.astype(x.dtype),
+                x,
+            )
 
         if meta.mode == ForwardMode.DECODE:
             attend = self.decode_attention

@@ -77,6 +77,12 @@ def _ensure_builtin():
     except ImportError:
         pass
     try:
+        from scratchpad_tpu.models.llava import LlavaForConditionalGeneration
+
+        _REGISTRY["LlavaForConditionalGeneration"] = LlavaForConditionalGeneration
+    except ImportError:
+        pass
+    try:
         from scratchpad_tpu.models.deepseek import (
             DeepseekV2ForCausalLM,
             DeepseekV3ForCausalLM,

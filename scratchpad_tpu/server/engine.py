@@ -14,6 +14,8 @@ import time
 import uuid
 from typing import Any, Iterator, Optional, Union
 
+import numpy as np
+
 from scratchpad_tpu.config import ModelConfig, ServerArgs
 from scratchpad_tpu.config.model_config import get_preset
 from scratchpad_tpu.core.req import FinishReason, Req
@@ -138,11 +140,17 @@ class Engine:
         return_logprob: bool = False,
         rid: Optional[str] = None,
         topping: Optional[str] = None,
+        image_data=None,
     ) -> Req:
         sp = sampling_params or SamplingParams()
         if input_ids is None:
             assert prompt is not None and self.tokenizer is not None
             input_ids = self.tokenizer.encode(prompt)
+        mm_positions = mm_features = None
+        if image_data is not None:
+            input_ids, mm_positions, mm_features = self._prepare_multimodal(
+                list(input_ids), image_data
+            )
         topping_idx = 0
         if topping:
             topping_idx = self.toppings_manager.lookup(topping)
@@ -153,11 +161,76 @@ class Engine:
             eos_token_ids=self.eos_token_ids,
             return_logprob=return_logprob,
             topping_idx=topping_idx,
+            mm_positions=mm_positions,
+            mm_features=mm_features,
         )
         gk = sp.grammar_key()
         if gk is not None and self.grammar_backend is not None:
             req.grammar = self.grammar_backend.get_grammar(*gk)
         return req
+
+    def _prepare_multimodal(self, input_ids: list[int], image_data):
+        """Encode images and splice them into the prompt.
+
+        Analogue of the reference's image-processor + pad_input_ids scheme
+        (reference: scratchpad/managers/image_processor.py:281-479): each
+        ``<image>`` placeholder expands into num_image_tokens NEGATIVE pseudo
+        ids derived from the image content hash (distinct images never
+        radix-alias), and the projected vision features ride on the request
+        as embedding overrides for exactly those rows.
+        """
+        import hashlib
+
+        model = self.scheduler.runner.model
+        if not getattr(model, "is_multimodal", False):
+            raise ValueError(
+                f"{self.model_config.architecture} does not accept image_data"
+            )
+        px = np.asarray(image_data, np.float32)
+        if px.ndim == 3:
+            px = px[None]
+        assert px.ndim == 4, "image_data must be [N, C, H, W] pixel values"
+        feats = self.scheduler.runner.encode_images(px)  # [N, P, H]
+        N, Pn, H = feats.shape
+        img_tok = model.image_token_index
+        n_ph = sum(1 for t in input_ids if t == img_tok)
+        if n_ph == N * Pn:
+            expand = 1  # prompt arrived pre-expanded (HF-processor style)
+        elif n_ph == N:
+            expand = Pn
+        else:
+            raise ValueError(
+                f"prompt has {n_ph} image tokens for {N} images "
+                f"({Pn} patches each)"
+            )
+        hashes = [
+            int.from_bytes(
+                hashlib.blake2b(px[i].tobytes(), digest_size=8).digest(),
+                "little",
+            )
+            for i in range(N)
+        ]
+        out_ids: list[int] = []
+        positions: list[int] = []
+        consumed = 0  # image-token occurrences seen so far
+        for t in input_ids:
+            if t == img_tok:
+                if expand == 1:  # each occurrence = one patch
+                    img_i, patch0 = divmod(consumed, Pn)
+                else:  # each occurrence = one whole image
+                    img_i, patch0 = consumed, 0
+                for j in range(expand):
+                    pid = (hashes[img_i] + patch0 + j) % (2**30)
+                    positions.append(len(out_ids))
+                    out_ids.append(-1 - pid)
+                consumed += 1
+            else:
+                out_ids.append(t)
+        return (
+            out_ids,
+            np.asarray(positions, np.int64),
+            feats.reshape(N * Pn, H),
+        )
 
     # ------------------------------------------------------------ sync API
 
@@ -170,9 +243,12 @@ class Engine:
         ] = None,
         return_logprob: bool = False,
         topping: Optional[Union[str, list]] = None,
+        image_data=None,
     ) -> Union[GenerationOutput, list[GenerationOutput]]:
         """Blocking generation for one prompt or a batch
-        (reference: server/engine.py:68 generate)."""
+        (reference: server/engine.py:68 generate). ``image_data``: pixel
+        values [N, C, H, W] (or a per-prompt list of such) for VLM models;
+        prompts reference images via the model's image token."""
         batched = isinstance(prompt, list) or (
             input_ids is not None
             and len(input_ids) > 0
@@ -191,10 +267,17 @@ class Engine:
             else [sampling_params] * len(prompts)
         )
         tops = topping if isinstance(topping, list) else [topping] * len(prompts)
+        imgs = (
+            image_data
+            if isinstance(image_data, list)
+            else [image_data] * len(prompts)
+        )
         # parallel sampling (n > 1): pre-cache each prompt's prefix with a
         # zero-token warmup request, then expand into n stochastic clones
         # (reference: managers/tokenizer.py:321 _handle_batch_request)
         if any(s is not None and s.n > 1 for s in sps):
+            if any(im is not None for im in imgs):
+                raise NotImplementedError("n>1 with image_data not supported")
             warmups = []
             for p, i, s, t in zip(prompts, idss, sps, tops):
                 if s is not None and s.n > 1:
@@ -223,9 +306,11 @@ class Engine:
                     new[3].append(t)
             prompts, idss, sps, tops = new
             batched = True
+        if len(imgs) != len(prompts):  # n>1 expansion grew the lists
+            imgs = [None] * len(prompts)
         reqs = [
-            self._make_req(p, i, s, return_logprob, topping=t)
-            for p, i, s, t in zip(prompts, idss, sps, tops)
+            self._make_req(p, i, s, return_logprob, topping=t, image_data=im)
+            for p, i, s, t, im in zip(prompts, idss, sps, tops, imgs)
         ]
         for r in reqs:
             self.scheduler.add_request(r)
