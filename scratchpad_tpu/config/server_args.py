@@ -73,6 +73,8 @@ class ServerArgs:
     port: int = 3000
     served_model_name: Optional[str] = None
     chat_template: Optional[str] = None
+    # text form of the VLM image placeholder in chat prompts
+    mm_image_token: str = "<image>"
     api_key: Optional[str] = None
 
     # observability

@@ -136,10 +136,16 @@ class AsyncEngineRunner:
         sampling_params=None,
         rid: Optional[str] = None,
         return_logprob: bool = False,
+        image_data=None,
     ):
         """Async generator yielding ("delta", str) then ("done", output)."""
         req = self.engine._make_req(
-            prompt, input_ids, sampling_params, return_logprob, rid=rid
+            prompt,
+            input_ids,
+            sampling_params,
+            return_logprob,
+            rid=rid,
+            image_data=image_data,
         )
         st = _ReqState(asyncio.get_running_loop())
         self.submit_q.put((req, st))

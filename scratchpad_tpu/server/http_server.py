@@ -360,6 +360,38 @@ class ServerApp:
 
     # ------------------------------------------------------ chat completions
 
+    def _extract_images(self, messages: list[ChatMessage]):
+        """Flatten OpenAI content parts: image_url parts (data:/base64/local
+        path) become the model's image token in the text stream and their
+        pixel values are returned for the vision encoder."""
+        images = []
+        mm = getattr(self.engine.model_config, "multimodal", None) or {}
+        image_size = (mm.get("vision_config") or {}).get("image_size", 336)
+        for m in messages:
+            if not isinstance(m.content, list):
+                continue
+            texts = []
+            for part in m.content:
+                ptype = part.get("type")
+                if ptype == "text":
+                    texts.append(part.get("text", ""))
+                elif ptype in ("image_url", "image"):
+                    from scratchpad_tpu.multimodal import (
+                        decode_image,
+                        preprocess_clip,
+                    )
+
+                    url = part.get("image_url")
+                    if isinstance(url, dict):
+                        url = url.get("url")
+                    img = decode_image(url if url else part.get("image"))
+                    images.append(preprocess_clip(img, image_size))
+                    texts.append(self.args.mm_image_token)
+            m.content = "".join(texts)
+        import numpy as np
+
+        return np.stack(images) if images else None
+
     def _apply_chat_template(self, messages: list[ChatMessage]) -> str:
         tok = self.engine.tokenizer
         dicts = []
@@ -387,6 +419,10 @@ class ServerApp:
             return self._bad_request(str(e))
         if self.engine.tokenizer is None:
             return self._bad_request("no tokenizer loaded; chat API unavailable")
+        try:
+            image_data = self._extract_images(creq.messages)
+        except (ValueError, TypeError) as e:
+            return self._bad_request(str(e))
         prompt = self._apply_chat_template(creq.messages)
         max_tokens = creq.max_completion_tokens or creq.max_tokens or 512
         sp = _sampling_from(creq, max_tokens)
@@ -397,10 +433,14 @@ class ServerApp:
                 (creq.response_format.json_schema or {}).get("schema", {})
             )
         if creq.stream:
-            return await self._stream_chat(request, creq, prompt, sp)
+            return await self._stream_chat(
+                request, creq, prompt, sp, image_data=image_data
+            )
         outs = await asyncio.gather(
             *[
-                self.runner.generate_full(prompt=prompt, sampling_params=sp)
+                self.runner.generate_full(
+                    prompt=prompt, sampling_params=sp, image_data=image_data
+                )
                 for _ in range(creq.n)
             ]
         )
@@ -445,7 +485,7 @@ class ServerApp:
         )
         return web.json_response(resp.model_dump())
 
-    async def _stream_chat(self, request, creq, prompt, sp):
+    async def _stream_chat(self, request, creq, prompt, sp, image_data=None):
         resp = web.StreamResponse(
             headers={
                 "Content-Type": "text/event-stream",

@@ -1,0 +1,106 @@
+"""Image decoding/preprocessing + OpenAI chat content-part extraction."""
+
+import base64
+import io
+import types
+
+import numpy as np
+import pytest
+
+from scratchpad_tpu.multimodal import decode_image, preprocess_clip
+
+
+def make_png(w=40, h=30, color=(200, 30, 60)):
+    from PIL import Image
+
+    img = Image.new("RGB", (w, h), color)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+class TestDecodeImage:
+    def test_data_url(self):
+        b64 = base64.b64encode(make_png()).decode()
+        img = decode_image(f"data:image/png;base64,{b64}")
+        assert img.size == (40, 30)
+
+    def test_raw_base64(self):
+        img = decode_image(base64.b64encode(make_png()).decode())
+        assert img.size == (40, 30)
+
+    def test_local_path(self, tmp_path):
+        p = tmp_path / "x.png"
+        p.write_bytes(make_png())
+        assert decode_image(str(p)).size == (40, 30)
+
+    def test_remote_rejected(self):
+        with pytest.raises(ValueError, match="egress"):
+            decode_image("https://example.com/cat.png")
+
+    def test_garbage_rejected(self):
+        with pytest.raises(ValueError):
+            decode_image("not an image at all!!")
+
+
+class TestPreprocess:
+    def test_shape_and_normalization(self):
+        img = decode_image(base64.b64encode(make_png(100, 60)).decode())
+        x = preprocess_clip(img, 24)
+        assert x.shape == (3, 24, 24)
+        # solid color -> constant per channel, matches CLIP normalisation
+        from scratchpad_tpu.multimodal.image import CLIP_MEAN, CLIP_STD
+
+        want = (np.array([200, 30, 60]) / 255.0 - CLIP_MEAN) / CLIP_STD
+        np.testing.assert_allclose(x[:, 0, 0], want, atol=2e-2)
+
+    def test_upscales_small_images(self):
+        img = decode_image(base64.b64encode(make_png(8, 6)).decode())
+        assert preprocess_clip(img, 24).shape == (3, 24, 24)
+
+
+class TestChatExtraction:
+    def make_app(self):
+        from scratchpad_tpu.config import ServerArgs
+        from scratchpad_tpu.server.http_server import ServerApp
+
+        app = ServerApp.__new__(ServerApp)
+        app.args = ServerArgs(preset="tiny-debug", random_weights=True).resolve()
+        app.engine = types.SimpleNamespace(
+            model_config=types.SimpleNamespace(
+                multimodal={"vision_config": {"image_size": 24}}
+            )
+        )
+        return app
+
+    def test_extract_images_from_parts(self):
+        from scratchpad_tpu.server.openai_api.protocol import ChatMessage
+
+        app = self.make_app()
+        b64 = base64.b64encode(make_png()).decode()
+        msgs = [
+            ChatMessage(role="system", content="be brief"),
+            ChatMessage(
+                role="user",
+                content=[
+                    {"type": "text", "text": "what is this? "},
+                    {
+                        "type": "image_url",
+                        "image_url": {"url": f"data:image/png;base64,{b64}"},
+                    },
+                    {"type": "text", "text": " thanks"},
+                ],
+            ),
+        ]
+        px = app._extract_images(msgs)
+        assert px.shape == (1, 3, 24, 24)
+        assert msgs[1].content == "what is this? <image> thanks"
+        assert msgs[0].content == "be brief"  # plain strings untouched
+
+    def test_no_images_returns_none(self):
+        from scratchpad_tpu.server.openai_api.protocol import ChatMessage
+
+        app = self.make_app()
+        msgs = [ChatMessage(role="user", content=[{"type": "text", "text": "hi"}])]
+        assert app._extract_images(msgs) is None
+        assert msgs[0].content == "hi"
