@@ -175,7 +175,9 @@ class GrammarBackend:
                 schema = json.loads(value)
             pattern = schema_to_regex(schema)
         elif kind == "ebnf":
-            raise NotImplementedError("EBNF grammars not supported yet")
+            from scratchpad_tpu.constrained.ebnf import ebnf_to_regex
+
+            pattern = ebnf_to_regex(value)
         else:
             raise ValueError(f"unknown grammar kind {kind}")
         dfa = compile_regex(pattern)

@@ -1,0 +1,102 @@
+"""EBNF (GBNF subset) -> regex DFA compilation + e2e guided decoding."""
+
+import pytest
+
+from scratchpad_tpu.constrained.ebnf import ebnf_to_regex
+from scratchpad_tpu.constrained.regex_fsm import compile_regex
+
+
+def accepts(src, s):
+    dfa = compile_regex(ebnf_to_regex(src))
+    st = dfa.walk(dfa.initial, s)
+    return st >= 0 and dfa.is_accepting(st)
+
+
+class TestEbnfToRegex:
+    def test_literal_alternation(self):
+        g = 'root ::= "yes" | "no"'
+        assert accepts(g, "yes") and accepts(g, "no")
+        assert not accepts(g, "maybe") and not accepts(g, "ye")
+
+    def test_rule_refs_and_repetition(self):
+        g = """
+        # a comment
+        root ::= word ("," ws word)*
+        word ::= [a-z]+
+        ws   ::= [ \t]*
+        """
+        assert accepts(g, "a")
+        assert accepts(g, "abc, def,ghi")
+        assert not accepts(g, "abc,")
+        assert not accepts(g, "ABC")
+
+    def test_literal_escapes_and_metachars(self):
+        g = 'root ::= "a.b(c)*" "\\n"?'
+        assert accepts(g, "a.b(c)*")
+        assert accepts(g, "a.b(c)*\n")
+        assert not accepts(g, "aXb(c)*")
+
+    def test_bounded_repetition(self):
+        g = "root ::= [0-9]{2,4}"
+        assert accepts(g, "12") and accepts(g, "1234")
+        assert not accepts(g, "1") and not accepts(g, "12345")
+
+    def test_optional_and_plus(self):
+        g = 'root ::= "-"? [0-9]+'
+        assert accepts(g, "-12") and accepts(g, "7")
+        assert not accepts(g, "-") and not accepts(g, "")
+
+    def test_nested_groups(self):
+        g = 'root ::= ("a" | "b" ("c" | "d"))+'
+        for s in ("a", "bc", "bd", "abcbd"):
+            assert accepts(g, s), s
+        assert not accepts(g, "b")
+
+    def test_recursion_rejected(self):
+        g = 'root ::= "(" root ")" | "x"'
+        with pytest.raises(ValueError, match="recursive"):
+            ebnf_to_regex(g)
+
+    def test_indirect_recursion_rejected(self):
+        g = """
+        root ::= a
+        a ::= "x" b
+        b ::= a | "y"
+        """
+        with pytest.raises(ValueError, match="recursive"):
+            ebnf_to_regex(g)
+
+    def test_undefined_rule(self):
+        with pytest.raises(ValueError, match="not defined"):
+            ebnf_to_regex('root ::= missing "x"')
+
+    def test_missing_root(self):
+        with pytest.raises(ValueError, match="no 'root'"):
+            ebnf_to_regex('start ::= "x"')
+
+
+class TestEbnfE2E:
+    def test_guided_generation(self):
+        from tests.test_constrained import CharTokenizer
+        from scratchpad_tpu.config import ServerArgs
+        from scratchpad_tpu.sampling.sampling_params import SamplingParams
+        from scratchpad_tpu.server.engine import Engine
+
+        eng = Engine(
+            ServerArgs(
+                preset="tiny-debug",
+                random_weights=True,
+                dtype="float32",
+                page_size=4,
+                max_total_tokens=2048,
+            ),
+            tokenizer=CharTokenizer(),
+        )
+        sp = SamplingParams(
+            temperature=0.0,
+            max_new_tokens=16,
+            ebnf='root ::= answer "!"\nanswer ::= "yes" | "no" | "maybe"',
+        )
+        out = eng.generate(prompt="q: ok? a:", sampling_params=sp)
+        assert out.text in ("yes!", "no!", "maybe!"), out.text
+        eng.scheduler.check_memory_leak()
