@@ -67,6 +67,10 @@ class ServerArgs:
     # extra dispatch/fetch interleaving measured slower; revisit on local
     # hosts where it should hide host-side detokenize/stream work.
     enable_overlap: bool = False
+    # MoE expert parallelism: shard the expert axis over the mesh's tp axis
+    # (each device owns whole experts; one psum combines) instead of
+    # sharding every expert's ffw dim
+    enable_ep: bool = False
 
     # server
     host: str = "127.0.0.1"

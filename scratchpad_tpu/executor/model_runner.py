@@ -103,6 +103,8 @@ class ModelRunner:
         model_cls = get_model_class(cfg.architecture)
         self.model = model_cls(cfg)
         self.model.page_size = self.page_size
+        self.model.mesh = mesh
+        self.model.use_ep = bool(self.args.enable_ep and mesh is not None)
 
         # attention backend (reference: model_runner.py:453 init_attention_backend)
         # "auto": the unified ragged-paged-attention kernel on TPU (both

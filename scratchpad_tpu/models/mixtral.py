@@ -79,6 +79,16 @@ class MixtralForCausalLM:
 
     def param_specs(self, tp_axis: str = "tp") -> dict[str, Any]:
         t = tp_axis
+        # EP shards the EXPERT axis over the mesh (each device owns E/tp
+        # whole experts and psums contributions); default TP shards every
+        # expert's ffw dim instead. EP needs no collectives inside the
+        # expert matmuls and keeps each matmul full-width on the MXU.
+        if getattr(self, "use_ep", False):
+            we1 = we3 = P(None, t, None, None)
+            we2 = P(None, t, None, None)
+        else:
+            we1 = we3 = P(None, None, None, t)
+            we2 = P(None, None, t, None)
         specs = {
             "embed": P(t, None),
             "layers": {
@@ -89,11 +99,9 @@ class MixtralForCausalLM:
                 "wv": P(None, None, t),
                 "wo": P(None, t, None),
                 "router": P(None, None, None),
-                # experts TP-sharded on the ffw dim (EP = shard the E axis
-                # instead; planned with shard_map)
-                "w1": P(None, None, None, t),
-                "w3": P(None, None, None, t),
-                "w2": P(None, None, t, None),
+                "w1": we1,
+                "w3": we3,
+                "w2": we2,
             },
             "final_norm": P(None),
         }
@@ -173,11 +181,51 @@ class MixtralForCausalLM:
         w_full = jnp.zeros((h.shape[0], E), jnp.float32)
         for k in range(K):
             w_full = w_full + jax.nn.one_hot(topi[:, k], E) * topv[:, k : k + 1]
+        mesh = getattr(self, "mesh", None)
+        if (
+            getattr(self, "use_ep", False)
+            and mesh is not None
+            and mesh.shape.get("tp", 1) > 1
+            and E % mesh.shape["tp"] == 0
+        ):
+            return self._moe_ep(h, lp, w_full, mesh)
         y = jnp.zeros_like(h)
         for e in range(E):
             contrib = silu_mul(h @ lp["w1"][e], h @ lp["w3"][e]) @ lp["w2"][e]
             y = y + contrib * w_full[:, e : e + 1].astype(h.dtype)
         return y
+
+    def _moe_ep(self, h, lp, w_full, mesh):
+        """Expert-parallel execution: each tp shard owns E/tp whole experts,
+        runs the masked dense loop over its local experts for all tokens,
+        and the shards' partial sums combine with ONE psum (the XLA
+        analogue of the reference's all-to-all EP dispatch)."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as PS
+
+        tp = mesh.shape["tp"]
+        E_loc = self.cfg.num_experts // tp
+
+        def body(h_, wts, w1, w3, w2):
+            y = jnp.zeros_like(h_)
+            for e in range(E_loc):
+                contrib = silu_mul(h_ @ w1[e], h_ @ w3[e]) @ w2[e]
+                y = y + contrib * wts[:, e : e + 1].astype(h_.dtype)
+            return jax.lax.psum(y, "tp")
+
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(
+                PS(),  # tokens replicated
+                PS(None, "tp"),  # routing weights: expert axis sharded
+                PS("tp", None, None),
+                PS("tp", None, None),
+                PS("tp", None, None),
+            ),
+            out_specs=PS(),
+            check_vma=False,
+        )(h, w_full, lp["w1"], lp["w3"], lp["w2"])
 
     def __call__(self, params: dict, kv: KVCache, meta: ForwardMeta):
         cfg = self.cfg

@@ -72,3 +72,58 @@ def test_mixtral_greedy_parity():
         )
     theirs = hf_out[0, len(prompt) :].tolist()
     assert ours == theirs, f"{ours} vs {theirs}"
+
+
+def test_expert_parallel_matches_single_device():
+    """EP (experts sharded over tp, psum combine) == single-device greedy."""
+    import jax
+    from jax.sharding import Mesh
+
+    from scratchpad_tpu.sampling.sampling_params import SamplingParams
+    from scratchpad_tpu.server.engine import Engine
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs 2 devices")
+    cfg_kw = dict(
+        architecture="MixtralForCausalLM",
+        vocab_size=512,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        num_experts=4,
+        num_experts_per_tok=2,
+        tie_word_embeddings=False,
+    )
+    args_kw = dict(
+        random_weights=True,
+        dtype="float32",
+        page_size=4,
+        max_total_tokens=2048,
+    )
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(1, 500, n).tolist() for n in (11, 23)]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=6, ignore_eos=True)
+
+    ref_eng = Engine(ServerArgs(**args_kw), model_config=ModelConfig(**cfg_kw))
+    ref = [
+        o.output_ids
+        for o in ref_eng.generate(input_ids=prompts, sampling_params=[sp] * 2)
+    ]
+
+    mesh = Mesh(np.array(devs[:2]).reshape(1, 2), ("dp", "tp"))
+    eng = Engine(
+        ServerArgs(**args_kw, enable_ep=True),
+        mesh=mesh,
+        model_config=ModelConfig(**cfg_kw),
+    )
+    assert eng.scheduler.runner.model.use_ep
+    got = [
+        o.output_ids
+        for o in eng.generate(input_ids=prompts, sampling_params=[sp] * 2)
+    ]
+    assert got == ref
+    eng.scheduler.check_memory_leak()
