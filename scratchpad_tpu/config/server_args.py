@@ -67,6 +67,11 @@ class ServerArgs:
     # extra dispatch/fetch interleaving measured slower; revisit on local
     # hosts where it should hide host-side detokenize/stream work.
     enable_overlap: bool = False
+    # speculative decoding: None | "ngram" (prompt-lookup drafts verified in
+    # one extend pass; greedy requests only — sampled ones use plain decode)
+    speculative_algorithm: Optional[str] = None
+    speculative_num_draft_tokens: int = 4
+    speculative_ngram_max: int = 3  # longest suffix n-gram to match
     # MoE expert parallelism: shard the expert axis over the mesh's tp axis
     # (each device owns whole experts; one psum combines) instead of
     # sharding every expert's ffw dim
@@ -89,9 +94,24 @@ class ServerArgs:
 
     # misc
     random_seed: int = 0
+    # jax platform: auto (let jax pick) | cpu | tpu. "cpu" is the local
+    # debug/verification path (the JAX_PLATFORMS env var can be overridden
+    # by site customisations, so this goes through jax.config directly)
+    device: str = "auto"
 
     def resolve(self) -> "ServerArgs":
         """Materialise derived defaults; idempotent."""
+        if self.speculative_algorithm not in (None, "none", "ngram"):
+            raise ValueError(
+                f"unknown speculative_algorithm {self.speculative_algorithm!r}"
+                " (expected 'ngram')"
+            )
+        if self.speculative_algorithm == "none":
+            self.speculative_algorithm = None
+        if self.device != "auto":
+            import jax
+
+            jax.config.update("jax_platforms", self.device)
         if self.served_model_name is None:
             self.served_model_name = self.preset or self.model_path or "model"
         if self.tokenizer_path is None:
@@ -125,10 +145,15 @@ class ServerArgs:
                     default=f.default,
                 )
             else:
+                # annotations are strings (PEP 563); Optional[int] fields
+                # default to None, so inspect the annotation text
+                ann = str(f.type)
                 typ = str
-                if isinstance(f.default, int):
+                if "list" in ann:
+                    typ = str
+                elif "int" in ann or isinstance(f.default, int):
                     typ = int
-                elif isinstance(f.default, float):
+                elif "float" in ann or isinstance(f.default, float):
                     typ = float
                 parser.add_argument(name, type=typ, default=f.default)
 

@@ -86,6 +86,10 @@ class Scheduler:
         self.num_generated_tokens = 0
         self.num_prefill_tokens = 0
         self.num_retractions = 0
+        # speculative decoding acceptance stats (reference keeps the same
+        # counters for its spec plumbing, scheduler.py:1024-1035)
+        self.num_spec_steps = 0
+        self.num_spec_accepted = 0
         self.step_count = 0
 
     # ------------------------------------------------------------ public API
@@ -156,6 +160,11 @@ class Scheduler:
                 batch, chunk_lens, token_ids, logprobs, tops
             )
 
+        if self.args.speculative_algorithm == "ngram" and self._spec_ok(batch):
+            events = self._spec_decode_step(batch)
+            if events is not None:
+                return events
+
         wb = self._build_worker_batch(batch, mode, None)
         K = self._decode_window
         if self.args.enable_overlap and self._pipeline_ok(batch, wb):
@@ -176,6 +185,135 @@ class Scheduler:
             or r.sampling_params.needs_penalties()
             for r in batch
         )
+
+    # ------------------------------------------------- speculative decoding
+
+    def _spec_ok(self, batch: list[Req]) -> bool:
+        """ngram speculation preserves outputs only for pure greedy rows."""
+        return all(
+            r.sampling_params.temperature == 0.0
+            and r.grammar is None
+            and r.sampling_params.top_logprobs == 0
+            and not r.sampling_params.needs_penalties()
+            # the sampler masks EOS until min_new_tokens; raw argmax doesn't
+            and r.sampling_params.min_new_tokens <= len(r.output_ids)
+            for r in batch
+        )
+
+    def _propose_ngram(self, req: Req, k: int) -> list[int]:
+        """Prompt-lookup drafts: the longest recent suffix n-gram that
+        occurred earlier in the sequence proposes its continuation (the
+        draft-model-free speculator; the reference never implemented its
+        EAGLE stub — spec_info.py:4-24)."""
+        ctx = np.asarray(req.fill_ids, np.int64)
+        m = len(ctx)
+        for n in range(self.args.speculative_ngram_max, 0, -1):
+            if m <= n:
+                continue
+            suffix = ctx[-n:]
+            windows = np.lib.stride_tricks.sliding_window_view(ctx[:-1], n)
+            hits = np.nonzero(np.all(windows == suffix, axis=1))[0]
+            if len(hits):
+                start = int(hits[-1]) + n
+                cont = ctx[start : start + k]
+                if len(cont):
+                    return [int(t) for t in cont]
+        return []
+
+    def _spec_decode_step(self, batch: list[Req]) -> Optional[list[StepEvent]]:
+        """One ngram-speculative step: verify [last_token, drafts...] rows in
+        a single extend forward; accept the longest prefix matching the
+        greedy chain. Rejected rows' KV slots sit past computed_len and are
+        overwritten by later steps. Returns None when no request drafted
+        anything (caller falls back to the fused decode window)."""
+        k = self.args.speculative_num_draft_tokens
+        drafts = [self._propose_ngram(r, k) for r in batch]
+        if not any(drafts):
+            return None
+        ps = self.page_size
+        # ensure page coverage for 1 + len(draft) tokens (trim on pressure)
+        for i, (r, d) in enumerate(zip(batch, drafts)):
+            while d:
+                need = -(-(r.computed_len + 1 + len(d)) // ps) - len(r.pages)
+                if need <= 0:
+                    break
+                pages = self._alloc_pages(need)
+                if pages is not None:
+                    r.pages = np.concatenate([r.pages, pages])
+                    self.req_slots.write_pages(r.req_slot, 0, r.pages)
+                    break
+                d.pop()  # trim drafts rather than retract mid-batch
+            drafts[i] = d
+
+        tokens_l, pos_l, loc_l, idx_l = [], [], [], []
+        B = len(batch)
+        seq_lens = np.zeros(B, np.int32)
+        extend_lens = np.zeros(B, np.int32)
+        for i, (r, d) in enumerate(zip(batch, drafts)):
+            row = [r.output_ids[-1]] + d
+            start, end = r.computed_len, r.computed_len + len(row)
+            tokens_l.append(np.asarray(row, np.int32))
+            pos_l.append(np.arange(start, end, dtype=np.int32))
+            p = np.arange(start, end)
+            loc_l.append((r.pages[p // ps] * ps + p % ps).astype(np.int32))
+            idx_l.append(np.full(len(row), i, np.int32))
+            seq_lens[i] = end
+            extend_lens[i] = len(row)
+        from scratchpad_tpu.executor.model_runner import WorkerBatch
+        from scratchpad_tpu.sampling.batch_info import SamplingBatchInfo
+
+        maxp = max(len(r.pages) for r in batch)
+        page_table = np.zeros((B, maxp), np.int32)
+        for i, r in enumerate(batch):
+            page_table[i, : len(r.pages)] = r.pages
+        wb = WorkerBatch(
+            mode=ForwardMode.EXTEND,
+            tokens=np.concatenate(tokens_l),
+            positions=np.concatenate(pos_l),
+            out_cache_loc=np.concatenate(loc_l),
+            req_indices=np.concatenate(idx_l),
+            page_table=page_table,
+            seq_lens=seq_lens,
+            extend_lens=extend_lens,
+            sampling_info=SamplingBatchInfo.from_reqs(
+                batch, B, self.model_config.vocab_size
+            ),
+        )
+        ids, lps = self.runner.run_spec_verify(wb)
+
+        events: list[StepEvent] = []
+        finished: list[Req] = []
+        off = 0
+        for r, d in zip(batch, drafts):
+            L = 1 + len(d)
+            row_ids = ids[off : off + L]
+            row_lps = lps[off : off + L]
+            off += L
+            accepted: list[int] = []
+            consumed = 1  # rows whose KV is now valid
+            j = 0
+            while True:
+                tok = int(row_ids[j])
+                accepted.append(tok)
+                r.output_ids.append(tok)
+                if r.return_logprob:
+                    r.output_token_logprobs.append(float(row_lps[j]))
+                r.check_finished()
+                if r.finished() or j >= len(d) or d[j] != tok:
+                    break
+                j += 1
+                consumed += 1
+            r.computed_len += consumed
+            self.num_spec_accepted += len(accepted) - 1
+            self.num_spec_steps += 1
+            self.num_generated_tokens += len(accepted)
+            if r.finished():
+                finished.append(r)
+            events.append(StepEvent(r, accepted, r.finished()))
+        for r in finished:
+            self.running.remove(r)
+            self._finish_req(r)
+        return events
 
     def _try_alloc_decode_pages(self, horizon: int) -> bool:
         """Allocate pages covering ``horizon`` more tokens per running req

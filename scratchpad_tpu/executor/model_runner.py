@@ -890,6 +890,48 @@ class ModelRunner:
         lps = jax.lax.map(chunk_fn, (hp, tp)).reshape(-1)[:T]
         return kv, lps  # [T] logprob of token t+1 given prefix..t
 
+    def _spec_verify_impl(self, params, kv, meta):
+        """Greedy speculative verification: one extend forward over
+        [last_token, draft_1..draft_k] rows per request, returning the
+        greedy continuation at EVERY row (reference stubs this —
+        spec_info.py:4-24; here it's a working ngram/prompt-lookup
+        verifier). Gemma's logit softcap is monotonic, so argmax is
+        unaffected; chosen logprobs are pre-softcap."""
+        meta = dataclasses.replace(meta, capture_all_hidden=True)
+        kv, h = self.model(params, kv, meta)  # [T, H]
+        head = (
+            params["embed"]
+            if self.model_config.tie_word_embeddings
+            else params["lm_head"]
+        )
+
+        def chunk_fn(hc):
+            logits = (hc @ head.T).astype(jnp.float32)  # [C, V]
+            ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            lse = jax.nn.logsumexp(logits, axis=-1)
+            chosen = jnp.take_along_axis(logits, ids[:, None], axis=-1)[:, 0]
+            return ids, chosen - lse
+
+        T = h.shape[0]
+        C = 128
+        pad = (-T) % C
+        hp = jnp.pad(h, [(0, pad), (0, 0)]).reshape(-1, C, h.shape[1])
+        ids, lps = jax.lax.map(chunk_fn, hp)
+        return kv, ids.reshape(-1)[:T], lps.reshape(-1)[:T]
+
+    def run_spec_verify(self, wb: WorkerBatch):
+        """Returns (greedy_ids[T_real], chosen_logprobs[T_real])."""
+        if not hasattr(self, "_jit_spec_verify"):
+            self._jit_spec_verify = jax.jit(
+                self._spec_verify_impl, donate_argnums=(1,)
+            )
+        meta, _ = self._pad_to_buckets(wb)
+        self.kv_cache, ids, lps = self._jit_spec_verify(
+            self.params, self.kv_cache, meta
+        )
+        T_real = len(wb.tokens)
+        return np.asarray(ids)[:T_real], np.asarray(lps)[:T_real]
+
     def run_score(self, wb: WorkerBatch) -> np.ndarray:
         """Teacher-forcing logprobs for one extend batch; returns [T_real]."""
         T_real = len(wb.tokens)

@@ -146,6 +146,8 @@ class ServerApp:
                 "radix_evictable_pages": sched.tree_cache.evictable_pages,
                 "generated_tokens": sched.num_generated_tokens,
                 "retractions": sched.num_retractions,
+                "spec_steps": sched.num_spec_steps,
+                "spec_accepted_tokens": sched.num_spec_accepted,
                 "args": {
                     k: v
                     for k, v in dataclasses.asdict(self.args).items()
