@@ -91,21 +91,27 @@ class ModelConfig:
     def from_hf_config(cls, cfg: dict[str, Any], **overrides) -> "ModelConfig":
         """Build from a parsed HF config.json dict, ignoring unknown keys."""
         arch = (cfg.get("architectures") or ["LlamaForCausalLM"])[0]
+        _MM_KEYS = (
+            "vision_config",
+            "image_token_index",
+            "image_token_id",
+            "vision_start_token_id",
+            "video_token_id",
+            "vision_feature_layer",
+            "vision_feature_select_strategy",
+            "projector_hidden_act",
+            "image_size",
+        )
         if "text_config" in cfg and isinstance(cfg["text_config"], dict):
             # VLM configs (Llava-style) nest the LM config; flatten it and
             # carry the vision half in `multimodal`
-            mm = {
-                k: cfg[k]
-                for k in (
-                    "vision_config",
-                    "image_token_index",
-                    "vision_feature_layer",
-                    "vision_feature_select_strategy",
-                    "projector_hidden_act",
-                )
-                if k in cfg
-            }
+            mm = {k: cfg[k] for k in _MM_KEYS if k in cfg}
             cfg = {**cfg["text_config"], "architectures": [arch], "multimodal": mm}
+        elif "vision_config" in cfg and isinstance(cfg["vision_config"], dict):
+            # flat VLM configs (Qwen2-VL checkpoint format): text fields at
+            # top level, vision half + token ids moved into `multimodal`
+            mm = {k: cfg[k] for k in _MM_KEYS if k in cfg}
+            cfg = {**cfg, "architectures": [arch], "multimodal": mm}
         field_names = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in cfg.items() if k in field_names}
         kwargs["architecture"] = arch
@@ -174,6 +180,23 @@ PRESETS: dict[str, dict[str, Any]] = {
         num_hidden_layers=36, num_attention_heads=32, num_key_value_heads=8,
         head_dim=128, max_position_embeddings=40960, rms_norm_eps=1e-6,
         rope_theta=1000000.0, use_qk_norm=True,
+    ),
+    "qwen2-vl-2b": dict(
+        architecture="Qwen2VLForConditionalGeneration",
+        vocab_size=151936, hidden_size=1536, intermediate_size=8960,
+        num_hidden_layers=28, num_attention_heads=12, num_key_value_heads=2,
+        head_dim=128, max_position_embeddings=32768, rms_norm_eps=1e-6,
+        rope_theta=1000000.0, tie_word_embeddings=True,
+        rope_scaling={"type": "mrope", "mrope_section": [16, 24, 24]},
+        multimodal=dict(
+            vision_config=dict(
+                embed_dim=1280, depth=32, num_heads=16, mlp_ratio=4,
+                in_channels=3, patch_size=14, spatial_merge_size=2,
+                temporal_patch_size=2, hidden_size=1536,
+            ),
+            image_token_id=151655, vision_start_token_id=151652,
+            image_size=448,
+        ),
     ),
     "tiny-debug": dict(
         architecture="LlamaForCausalLM",

@@ -65,6 +65,10 @@ class Req:
     # (negative, content-hashed) and their precomputed embeddings [n, H]
     mm_positions: Optional[np.ndarray] = None
     mm_features: Optional[np.ndarray] = None
+    # multimodal rope (Qwen2-VL): [3, len(prompt)] position table for image
+    # prompts and the scalar shift for every token past the prompt
+    mrope_table: Optional[np.ndarray] = None
+    mrope_delta: int = 0
 
     # stop/stream state
     finished_reason: Optional[FinishReason] = None

@@ -266,6 +266,9 @@ class Scheduler:
         page_table = np.zeros((B, maxp), np.int32)
         for i, r in enumerate(batch):
             page_table[i, : len(r.pages)] = r.pages
+        rope_delta = None
+        if any(r.mrope_delta for r in batch):
+            rope_delta = np.array([r.mrope_delta for r in batch], np.int32)
         wb = WorkerBatch(
             mode=ForwardMode.EXTEND,
             tokens=np.concatenate(tokens_l),
@@ -278,6 +281,7 @@ class Scheduler:
             sampling_info=SamplingBatchInfo.from_reqs(
                 batch, B, self.model_config.vocab_size
             ),
+            rope_delta=rope_delta,
         )
         ids, lps = self.runner.run_spec_verify(wb)
 
@@ -379,6 +383,9 @@ class Scheduler:
         for i, r in enumerate(batch):
             page_table[i, : len(r.pages)] = r.pages
         sinfo = SamplingBatchInfo.from_reqs(batch, B, self.model_config.vocab_size)
+        rope_delta = None
+        if any(r.mrope_delta for r in batch):
+            rope_delta = np.array([r.mrope_delta for r in batch], np.int32)
         return WorkerBatch(
             mode=ForwardMode.DECODE,
             tokens=np.zeros(B, np.int32),  # overridden by prev_tokens
@@ -389,6 +396,7 @@ class Scheduler:
             seq_lens=positions + 1,
             extend_lens=np.ones(B, np.int32),
             sampling_info=sinfo,
+            rope_delta=rope_delta,
         )
 
     # ------------------------------------------------------------ batch build
@@ -650,6 +658,7 @@ class Scheduler:
             seq_lens = positions + 1
             extend_lens = np.ones(B, np.int32)
             input_embeds = None
+            mrope_positions = None
         else:
             tokens_l, pos_l, loc_l, idx_l = [], [], [], []
             seq_lens = np.zeros(len(batch), np.int32)
@@ -682,6 +691,21 @@ class Scheduler:
                         rows = off + (r.mm_positions[sel] - start)
                         input_embeds[rows] = r.mm_features[sel]
                     off += chunk
+            # multimodal rope: full 3-component positions whenever any row
+            # of the batch belongs to an image prompt (text rows broadcast)
+            mrope_positions = None
+            if any(r.mrope_table is not None for r in batch):
+                mrope_positions = np.concatenate(
+                    [
+                        self._mrope_rows(r, r.computed_len, r.computed_len + c)
+                        for r, c in zip(batch, chunk_lens)
+                    ],
+                    axis=1,
+                )
+
+        rope_delta = None
+        if mrope_positions is None and any(r.mrope_delta for r in batch):
+            rope_delta = np.array([r.mrope_delta for r in batch], np.int32)
 
         maxp = max(len(r.pages) for r in batch)
         page_table = np.zeros((len(batch), maxp), np.int32)
@@ -709,7 +733,25 @@ class Scheduler:
             adapter_slots=slots,
             return_top_logprobs=want_tops,
             input_embeds=input_embeds,
+            mrope_positions=mrope_positions,
+            rope_delta=rope_delta,
         )
+
+    @staticmethod
+    def _mrope_rows(r: Req, start: int, end: int) -> np.ndarray:
+        """[3, end-start] rope positions for one request's token range:
+        table lookup inside the prompt, scalar-shifted 1-D beyond it."""
+        p = np.arange(start, end)
+        out = np.empty((3, end - start), np.int32)
+        tab = r.mrope_table
+        if tab is None:
+            out[:] = p[None, :] + r.mrope_delta
+            return out
+        w = tab.shape[1]
+        within = p < w
+        out[:, within] = tab[:, p[within]]
+        out[:, ~within] = p[~within] + r.mrope_delta
+        return out
 
     def _build_topping_batch(self, batch: list[Req]):
         """Distinct adapter slots in the batch + per-request positions

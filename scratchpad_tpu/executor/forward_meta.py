@@ -61,6 +61,11 @@ class ForwardMeta:
     # ids, content-hashed for radix caching) take their embedding from here
     # instead of the embedding table
     input_embeds: Optional[jax.Array] = None  # f32[T, H]
+    # multimodal rope (Qwen2-VL): 3-component (t, h, w) positions for
+    # extend rows containing image spans, and/or a per-request scalar shift
+    # (rope position = positions + rope_delta; components equal => plain rope)
+    mrope_positions: Optional[jax.Array] = None  # i32[3, T]
+    rope_delta: Optional[jax.Array] = None  # i32[B]
     # embedding mode: models return pooled last-token hidden instead of logits
     capture_hidden: bool = False
     # scoring mode: models return the full [T, H] hidden sequence
@@ -93,6 +98,8 @@ jax.tree_util.register_dataclass(
         "active_adapters",
         "adapter_slots",
         "input_embeds",
+        "mrope_positions",
+        "rope_delta",
     ],
     meta_fields=["mode", "capture_hidden", "capture_all_hidden"],
 )

@@ -61,6 +61,10 @@ class WorkerBatch:
     adapter_slots: Optional[np.ndarray] = None  # i32[B_real]
     # multimodal embedding overrides for negative-token rows
     input_embeds: Optional[np.ndarray] = None  # f32[T_real, H]
+    # multimodal rope (Qwen2-VL): full 3-component positions (extend with
+    # images) and/or per-request scalar rope shift (decode after images)
+    mrope_positions: Optional[np.ndarray] = None  # i32[3, T_real]
+    rope_delta: Optional[np.ndarray] = None  # i32[B_real]
 
 
 @dataclasses.dataclass
@@ -525,6 +529,8 @@ class ModelRunner:
             and si.output_token_counts is None
             and wb.active_adapters is None
             and wb.input_embeds is None
+            and wb.mrope_positions is None
+            and wb.rope_delta is None
             and not wb.return_top_logprobs
             and not self._dp_shard
         )
@@ -675,6 +681,7 @@ class ModelRunner:
                 last_token_idx=jnp.arange(B, dtype=jnp.int32),
                 active_adapters=meta.active_adapters,
                 adapter_slots=meta.adapter_slots,
+                rope_delta=meta.rope_delta,
             )
             kv, logits = self.model(params, kv, step_meta)
             sinfo_k = sinfo
@@ -797,6 +804,13 @@ class ModelRunner:
         if wb.input_embeds is not None:
             input_embeds = np.zeros((T, wb.input_embeds.shape[1]), np.float32)
             input_embeds[:T_real] = wb.input_embeds
+        mrope_positions = None
+        if wb.mrope_positions is not None:
+            mrope_positions = np.zeros((3, T), np.int32)
+            mrope_positions[:, :T_real] = wb.mrope_positions
+        rope_delta = None
+        if wb.rope_delta is not None:
+            rope_delta = pad1(wb.rope_delta.astype(np.int32), B)
         meta = ForwardMeta(
             mode=wb.mode,
             tokens=tokens,
@@ -810,6 +824,8 @@ class ModelRunner:
             active_adapters=wb.active_adapters,
             adapter_slots=adapter_slots,
             input_embeds=input_embeds,
+            mrope_positions=mrope_positions,
+            rope_delta=rope_delta,
         )
         si = wb.sampling_info
         V = self.model_config.vocab_size

@@ -153,6 +153,44 @@ def apply_rope(
     return out.astype(x.dtype)
 
 
+def mrope_channel_components(mrope_section: list[int], head_dim: int) -> np.ndarray:
+    """Per-FULL-channel component index (0=t, 1=h, 2=w) for multimodal rope.
+
+    HF splits the *doubled* cos/sin (cat(freqs, freqs), size head_dim) into
+    chunks of the section list repeated twice, assigning components
+    round-robin — so the pattern has period head_dim/2 and rotate-half pairs
+    (j, j+head_dim/2) share a component (reference equivalent:
+    scratchpad/nn/layers/rotary_embedding.py:723 MRotaryEmbedding; HF
+    qwen2_vl.apply_multimodal_rotary_pos_emb)."""
+    comp = np.zeros(head_dim, np.int32)
+    o = 0
+    for i, s in enumerate(list(mrope_section) * 2):
+        comp[o : o + s] = i % 3
+        o += s
+    assert o == head_dim, (mrope_section, head_dim)
+    return comp
+
+
+def apply_mrope(
+    x: jax.Array,  # [T, H, D]
+    mpos: jax.Array,  # i32[3, T] (t, h, w) positions
+    inv_freq: jax.Array,  # f32[D/2]
+    comp: jax.Array,  # i32[D] channel -> component map
+) -> jax.Array:
+    """Multimodal 3-D rope (Qwen2-VL). Equals apply_rope when the three
+    position components are identical (pure-text rows)."""
+    D = x.shape[-1]
+    inv_full = jnp.concatenate([inv_freq, inv_freq])  # [D]
+    pos_c = mpos.astype(jnp.float32)[comp, :]  # [D, T]
+    ang = pos_c.T * inv_full[None, :]  # [T, D]
+    cos = jnp.cos(ang)[:, None, :]
+    sin = jnp.sin(ang)[:, None, :]
+    xf = x.astype(jnp.float32)
+    x1, x2 = jnp.split(xf, 2, axis=-1)
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    return (xf * cos + rot * sin).astype(x.dtype)
+
+
 def apply_rope_interleaved(
     x: jax.Array,  # [T, H, D]
     positions: jax.Array,  # i32[T]

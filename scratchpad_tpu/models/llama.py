@@ -42,6 +42,14 @@ class LlamaForCausalLM:
     def __init__(self, cfg: ModelConfig):
         self.cfg = cfg
         self.inv_freq = compute_inv_freq(cfg)
+        # multimodal 3-D rope (Qwen2-VL): channel->component map, or None
+        self.mrope_comp = None
+        if cfg.rope_scaling and cfg.rope_scaling.get("mrope_section"):
+            from scratchpad_tpu.models.common import mrope_channel_components
+
+            self.mrope_comp = mrope_channel_components(
+                cfg.rope_scaling["mrope_section"], cfg.head_dim
+            )
         from scratchpad_tpu.models.common import rope_attention_scale
 
         self.sm_scale = float(
@@ -263,8 +271,20 @@ class LlamaForCausalLM:
             if cfg.use_qk_norm:
                 q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
                 kn = rms_norm(kn, lp["k_norm"], cfg.rms_norm_eps)
-            q = apply_rope(q, meta.positions, inv_freq)
-            kn = apply_rope(kn, meta.positions, inv_freq)
+            if self.mrope_comp is not None and meta.mrope_positions is not None:
+                from scratchpad_tpu.models.common import apply_mrope
+
+                comp = jnp.asarray(self.mrope_comp)
+                q = apply_mrope(q, meta.mrope_positions, inv_freq, comp)
+                kn = apply_mrope(kn, meta.mrope_positions, inv_freq, comp)
+            else:
+                rpos = meta.positions
+                if meta.rope_delta is not None:
+                    # all three mrope components equal beyond the prompt, so
+                    # plain rope at a shifted position is exact
+                    rpos = rpos + meta.rope_delta[meta.req_indices]
+                q = apply_rope(q, rpos, inv_freq)
+                kn = apply_rope(kn, rpos, inv_freq)
             kv_c = write_kv(kv_c, kn, vn, lidx, meta.out_cache_loc)
             attn = attend(
                 q,

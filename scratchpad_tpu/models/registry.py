@@ -83,6 +83,16 @@ def _ensure_builtin():
     except ImportError:
         pass
     try:
+        from scratchpad_tpu.models.qwen2_vl import (
+            Qwen2VLForConditionalGeneration,
+        )
+
+        _REGISTRY["Qwen2VLForConditionalGeneration"] = (
+            Qwen2VLForConditionalGeneration
+        )
+    except ImportError:
+        pass
+    try:
         from scratchpad_tpu.models.deepseek import (
             DeepseekV2ForCausalLM,
             DeepseekV3ForCausalLM,

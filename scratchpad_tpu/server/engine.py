@@ -147,10 +147,15 @@ class Engine:
             assert prompt is not None and self.tokenizer is not None
             input_ids = self.tokenizer.encode(prompt)
         mm_positions = mm_features = None
+        mrope_table, mrope_delta = None, 0
         if image_data is not None:
-            input_ids, mm_positions, mm_features = self._prepare_multimodal(
-                list(input_ids), image_data
-            )
+            (
+                input_ids,
+                mm_positions,
+                mm_features,
+                mrope_table,
+                mrope_delta,
+            ) = self._prepare_multimodal(list(input_ids), image_data)
         topping_idx = 0
         if topping:
             topping_idx = self.toppings_manager.lookup(topping)
@@ -163,11 +168,27 @@ class Engine:
             topping_idx=topping_idx,
             mm_positions=mm_positions,
             mm_features=mm_features,
+            mrope_table=mrope_table,
+            mrope_delta=mrope_delta,
         )
         gk = sp.grammar_key()
         if gk is not None and self.grammar_backend is not None:
             req.grammar = self.grammar_backend.get_grammar(*gk)
         return req
+
+    def preprocess_image(self, img) -> np.ndarray:
+        """PIL image -> normalized [3, S, S] pixels at the model's expected
+        resolution (fixed per engine; the reference's dynamic-resolution HF
+        processors are replaced by one static size for XLA shape stability)."""
+        from scratchpad_tpu.multimodal import preprocess_clip
+
+        model = self.scheduler.runner.model
+        mm = getattr(self.model_config, "multimodal", None) or {}
+        if getattr(model, "uses_mrope", False):  # Qwen2-VL fixed square
+            return preprocess_clip(img, model.vision.image_size)
+        return preprocess_clip(
+            img, (mm.get("vision_config") or {}).get("image_size", 336)
+        )
 
     def _prepare_multimodal(self, input_ids: list[int], image_data):
         """Encode images and splice them into the prompt.
@@ -190,6 +211,13 @@ class Engine:
         if px.ndim == 3:
             px = px[None]
         assert px.ndim == 4, "image_data must be [N, C, H, W] pixel values"
+        expected = getattr(getattr(model, "vision", None), "image_size", None)
+        if expected is not None and px.shape[2:] != (expected, expected):
+            raise ValueError(
+                f"image_data is {px.shape[2]}x{px.shape[3]} but "
+                f"{self.model_config.architecture} expects "
+                f"{expected}x{expected} pixels (use Engine.preprocess_image)"
+            )
         feats = self.scheduler.runner.encode_images(px)  # [N, P, H]
         N, Pn, H = feats.shape
         img_tok = model.image_token_index
@@ -212,13 +240,17 @@ class Engine:
         ]
         out_ids: list[int] = []
         positions: list[int] = []
+        spans: list[tuple[int, int]] = []  # (start_row, n_tokens) per image
         consumed = 0  # image-token occurrences seen so far
         for t in input_ids:
             if t == img_tok:
                 if expand == 1:  # each occurrence = one patch
                     img_i, patch0 = divmod(consumed, Pn)
+                    if patch0 == 0:
+                        spans.append((len(out_ids), Pn))
                 else:  # each occurrence = one whole image
                     img_i, patch0 = consumed, 0
+                    spans.append((len(out_ids), Pn))
                 for j in range(expand):
                     pid = (hashes[img_i] + patch0 + j) % (2**30)
                     positions.append(len(out_ids))
@@ -226,10 +258,15 @@ class Engine:
                 consumed += 1
             else:
                 out_ids.append(t)
+        mrope_table, mrope_delta = None, 0
+        if getattr(model, "uses_mrope", False):
+            mrope_table, mrope_delta = model.compute_mrope(out_ids, spans)
         return (
             out_ids,
             np.asarray(positions, np.int64),
             feats.reshape(N * Pn, H),
+            mrope_table,
+            mrope_delta,
         )
 
     # ------------------------------------------------------------ sync API
@@ -333,9 +370,12 @@ class Engine:
         prompt: Optional[str] = None,
         input_ids: Optional[list[int]] = None,
         sampling_params: Optional[SamplingParams] = None,
+        image_data=None,
     ) -> Iterator[dict]:
         """Streaming generation for a single request; yields text deltas."""
-        req = self._make_req(prompt, input_ids, sampling_params)
+        req = self._make_req(
+            prompt, input_ids, sampling_params, image_data=image_data
+        )
         self.scheduler.add_request(req)
         while not req.finished():
             events = self.scheduler.step()

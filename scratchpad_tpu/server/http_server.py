@@ -367,8 +367,6 @@ class ServerApp:
         path) become the model's image token in the text stream and their
         pixel values are returned for the vision encoder."""
         images = []
-        mm = getattr(self.engine.model_config, "multimodal", None) or {}
-        image_size = (mm.get("vision_config") or {}).get("image_size", 336)
         for m in messages:
             if not isinstance(m.content, list):
                 continue
@@ -378,16 +376,13 @@ class ServerApp:
                 if ptype == "text":
                     texts.append(part.get("text", ""))
                 elif ptype in ("image_url", "image"):
-                    from scratchpad_tpu.multimodal import (
-                        decode_image,
-                        preprocess_clip,
-                    )
+                    from scratchpad_tpu.multimodal import decode_image
 
                     url = part.get("image_url")
                     if isinstance(url, dict):
                         url = url.get("url")
                     img = decode_image(url if url else part.get("image"))
-                    images.append(preprocess_clip(img, image_size))
+                    images.append(self.engine.preprocess_image(img))
                     texts.append(self.args.mm_image_token)
             m.content = "".join(texts)
         import numpy as np

@@ -69,7 +69,8 @@ class TestChatExtraction:
         app.engine = types.SimpleNamespace(
             model_config=types.SimpleNamespace(
                 multimodal={"vision_config": {"image_size": 24}}
-            )
+            ),
+            preprocess_image=lambda img: preprocess_clip(img, 24),
         )
         return app
 
