@@ -67,11 +67,16 @@ class ServerArgs:
     # extra dispatch/fetch interleaving measured slower; revisit on local
     # hosts where it should hide host-side detokenize/stream work.
     enable_overlap: bool = False
-    # speculative decoding: None | "ngram" (prompt-lookup drafts verified in
-    # one extend pass; greedy requests only — sampled ones use plain decode)
+    # speculative decoding: None | "ngram" (prompt-lookup drafts) | "draft"
+    # (a small draft model proposes, fused k-step window; its KV pool shares
+    # the target's page geometry so the radix cache covers both). Drafts are
+    # verified in one target extend pass; greedy requests only — sampled
+    # ones use plain decode.
     speculative_algorithm: Optional[str] = None
     speculative_num_draft_tokens: int = 4
     speculative_ngram_max: int = 3  # longest suffix n-gram to match
+    speculative_draft_preset: Optional[str] = None
+    speculative_draft_model_path: Optional[str] = None
     # MoE expert parallelism: shard the expert axis over the mesh's tp axis
     # (each device owns whole experts; one psum combines) instead of
     # sharding every expert's ffw dim
@@ -101,13 +106,20 @@ class ServerArgs:
 
     def resolve(self) -> "ServerArgs":
         """Materialise derived defaults; idempotent."""
-        if self.speculative_algorithm not in (None, "none", "ngram"):
+        if self.speculative_algorithm not in (None, "none", "ngram", "draft"):
             raise ValueError(
                 f"unknown speculative_algorithm {self.speculative_algorithm!r}"
-                " (expected 'ngram')"
+                " (expected 'ngram' or 'draft')"
             )
         if self.speculative_algorithm == "none":
             self.speculative_algorithm = None
+        if self.speculative_algorithm == "draft" and not (
+            self.speculative_draft_preset or self.speculative_draft_model_path
+        ):
+            raise ValueError(
+                "speculative_algorithm='draft' needs speculative_draft_preset"
+                " or speculative_draft_model_path"
+            )
         if self.device != "auto":
             import jax
 

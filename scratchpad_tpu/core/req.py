@@ -69,6 +69,10 @@ class Req:
     # prompts and the scalar shift for every token past the prompt
     mrope_table: Optional[np.ndarray] = None
     mrope_delta: int = 0
+    # draft-model speculation: positions [0, draft_len) hold valid KV in the
+    # DRAFT runner's pool (invariant: == computed_len right after any draft
+    # forward; lags behind after plain decode windows, caught up on demand)
+    draft_len: int = 0
 
     # stop/stream state
     finished_reason: Optional[FinishReason] = None
@@ -142,6 +146,7 @@ class Req:
         self.num_tree_pages = 0
         self.cached_prefix_len = 0
         self.computed_len = 0
+        self.draft_len = 0
         self.last_node = None
         self.req_slot = None
         self.retract_count += 1

@@ -61,6 +61,12 @@ class Scheduler:
         self.allocator = self.runner.page_allocator
         self.req_slots = self.runner.req_slots
 
+        # draft-model speculation: a second runner whose KV pool mirrors the
+        # target's page geometry, so page tables / radix pages serve both
+        self.draft_runner: Optional[ModelRunner] = None
+        if self.args.speculative_algorithm == "draft":
+            self.draft_runner = self._build_draft_runner(mesh)
+
         self.tree_cache = TreeCacheGroup(
             self.page_size, disable=self.args.disable_radix_cache
         )
@@ -156,11 +162,16 @@ class Scheduler:
                 emb = self.runner.run_embed(wb)
                 return self._process_embed_result(batch, chunk_lens, emb)
             token_ids, logprobs, tops = self.runner.run_extend(wb)
+            if self.draft_runner is not None:
+                # mirror the extend so the draft's KV tracks the target's
+                self.draft_runner.run_kv_only(wb)
+                for r, chunk in zip(batch, chunk_lens):
+                    r.draft_len = r.computed_len + chunk
             return self._process_extend_result(
                 batch, chunk_lens, token_ids, logprobs, tops
             )
 
-        if self.args.speculative_algorithm == "ngram" and self._spec_ok(batch):
+        if self.args.speculative_algorithm is not None and self._spec_ok(batch):
             events = self._spec_decode_step(batch)
             if events is not None:
                 return events
@@ -187,6 +198,90 @@ class Scheduler:
         )
 
     # ------------------------------------------------- speculative decoding
+
+    def _build_draft_runner(self, mesh) -> ModelRunner:
+        from scratchpad_tpu.config.model_config import get_preset
+
+        a = self.args
+        if getattr(
+            self.runner.model, "is_multimodal", False
+        ):
+            raise ValueError("draft-model speculation requires a text model")
+        if a.speculative_draft_preset:
+            dcfg = get_preset(a.speculative_draft_preset, dtype=a.dtype)
+            if a.speculative_draft_model_path:
+                dcfg.model_path = a.speculative_draft_model_path
+        else:
+            dcfg = ModelConfig.from_pretrained(
+                a.speculative_draft_model_path, dtype=a.dtype
+            )
+        dcfg.max_position_embeddings = self.model_config.max_position_embeddings
+        dargs = dataclasses.replace(
+            a,
+            max_total_tokens=self.runner.max_total_num_tokens,
+            quantization=None,
+            kv_cache_dtype="auto",
+            speculative_algorithm=None,
+        )
+        runner = ModelRunner(dcfg, dargs, mesh)
+        assert (
+            runner.page_allocator.num_pages == self.allocator.num_pages
+        ), "draft KV pool must mirror the target's page geometry"
+        return runner
+
+    def _propose_draft(self, batch: list[Req], k: int):
+        """Run the draft model for k fused greedy steps; returns per-request
+        draft lists (all length k), or None to fall back to plain decode."""
+        while k > 0 and not self._try_alloc_decode_pages(k + 1):
+            k //= 2  # page pressure: shorter speculation beats retraction
+        if k == 0:
+            return None
+        lag = [r for r in batch if r.draft_len < r.computed_len]
+        if lag:
+            self._draft_catch_up(lag)
+        wb = self._build_worker_batch(batch, ForwardMode.DECODE, None)
+        out = self.draft_runner.decode_multi(wb, k)
+        ids = np.asarray(out.next_token_ids)[:, : len(batch)]  # [k, B]
+        for r in batch:
+            r.draft_len = r.computed_len + k
+        return [[int(t) for t in ids[:, i]] for i in range(len(batch))]
+
+    def _draft_catch_up(self, lag: list[Req]) -> None:
+        """Extend the draft model over tokens it has not seen (generated by
+        plain decode windows while speculation was inapplicable)."""
+        ps = self.page_size
+        tokens_l, pos_l, loc_l, idx_l = [], [], [], []
+        seq_lens = np.zeros(len(lag), np.int32)
+        extend_lens = np.zeros(len(lag), np.int32)
+        for i, r in enumerate(lag):
+            start, end = r.draft_len, r.computed_len
+            tokens_l.append(np.asarray(r.fill_ids[start:end], np.int32))
+            pos_l.append(np.arange(start, end, dtype=np.int32))
+            p = np.arange(start, end)
+            loc_l.append((r.pages[p // ps] * ps + p % ps).astype(np.int32))
+            idx_l.append(np.full(end - start, i, np.int32))
+            seq_lens[i] = end
+            extend_lens[i] = end - start
+        maxp = max(len(r.pages) for r in lag)
+        page_table = np.zeros((len(lag), maxp), np.int32)
+        for i, r in enumerate(lag):
+            page_table[i, : len(r.pages)] = r.pages
+        wb = WorkerBatch(
+            mode=ForwardMode.EXTEND,
+            tokens=np.concatenate(tokens_l),
+            positions=np.concatenate(pos_l),
+            out_cache_loc=np.concatenate(loc_l),
+            req_indices=np.concatenate(idx_l),
+            page_table=page_table,
+            seq_lens=seq_lens,
+            extend_lens=extend_lens,
+            sampling_info=SamplingBatchInfo.from_reqs(
+                lag, len(lag), self.model_config.vocab_size
+            ),
+        )
+        self.draft_runner.run_kv_only(wb)
+        for r in lag:
+            r.draft_len = r.computed_len
 
     def _spec_ok(self, batch: list[Req]) -> bool:
         """ngram speculation preserves outputs only for pure greedy rows."""
@@ -227,7 +322,12 @@ class Scheduler:
         overwritten by later steps. Returns None when no request drafted
         anything (caller falls back to the fused decode window)."""
         k = self.args.speculative_num_draft_tokens
-        drafts = [self._propose_ngram(r, k) for r in batch]
+        if self.args.speculative_algorithm == "draft":
+            drafts = self._propose_draft(batch, k)
+            if drafts is None:
+                return None
+        else:
+            drafts = [self._propose_ngram(r, k) for r in batch]
         if not any(drafts):
             return None
         ps = self.page_size
@@ -308,6 +408,12 @@ class Scheduler:
                 j += 1
                 consumed += 1
             r.computed_len += consumed
+            if self.draft_runner is not None:
+                # draft KV covers the window it just ran ([p0, p0+k), set in
+                # _propose_draft); on FULL acceptance the target advances one
+                # position past that (the bonus token), so cap at coverage —
+                # the gap is caught up before the next draft window
+                r.draft_len = min(r.draft_len, r.computed_len)
             self.num_spec_accepted += len(accepted) - 1
             self.num_spec_steps += 1
             self.num_generated_tokens += len(accepted)
@@ -994,6 +1100,24 @@ class Scheduler:
             self.chunked_req = None
 
     # ---------------------------------------------------------------- debug
+
+    def resize_kv_pool(self, new_num_tokens: int) -> int:
+        """Runtime KV-pool grow/shrink (reference: SystemController pool
+        control, managers/controller.py:11 + scheduler handling). Requires an
+        idle engine; flushes the radix cache because the layer->page fold
+        renumbers with the page count."""
+        if self.has_work():
+            raise RuntimeError("cannot resize KV pool while requests are in flight")
+        self.tree_cache.reset()
+        tokens = self.runner.resize_kv_pool(new_num_tokens)
+        self.allocator = self.runner.page_allocator
+        if self.draft_runner is not None:
+            self.draft_runner.resize_kv_pool(tokens)
+            assert (
+                self.draft_runner.page_allocator.num_pages
+                == self.allocator.num_pages
+            )
+        return tokens
 
     def check_memory_leak(self) -> None:
         """Idle-time invariant: all pages back in free list or tree

@@ -948,6 +948,58 @@ class ModelRunner:
         T_real = len(wb.tokens)
         return np.asarray(ids)[:T_real], np.asarray(lps)[:T_real]
 
+    def resize_kv_pool(self, new_num_tokens: int) -> int:
+        """Reallocate the paged KV cache for ``new_num_tokens`` tokens.
+
+        TPU-native equivalent of the reference's runtime pool control
+        (reference: managers/structs.py:251 MemoryPoolControlReqInput,
+        memory/het_pool.py:13-120 expand/shrink): the combined cache array is
+        rebuilt at the new page count. The layer->page fold renumbers with
+        the page count, so callers must have flushed all cached KV first.
+        Steps touching the new shape recompile (cached thereafter)."""
+        ps = self.page_size
+        new_pages = new_num_tokens // ps + 1
+        if new_pages < 2:
+            raise ValueError("KV pool must hold at least one page")
+        from scratchpad_tpu.memory.kv_cache import create_kv_cache
+        from scratchpad_tpu.memory.page_allocator import PageAllocator
+
+        self.kv_cache = None  # release before allocating the replacement
+        self.kv_config = dataclasses.replace(
+            self.kv_config, num_pages=new_pages
+        )
+        self.kv_cache = create_kv_cache(self.kv_config, self.mesh)
+        self.page_allocator = PageAllocator(new_pages, ps)
+        dump = self.page_allocator.alloc(1)
+        assert dump is not None and dump[0] == 0
+        self.max_running_requests = min(
+            self.args.max_running_requests, new_pages - 1
+        )
+        self.max_total_num_tokens = (new_pages - 1) * ps
+        logger.info(
+            "KV pool resized: %d pages x %d tokens (%.2f GiB)",
+            new_pages - 1,
+            ps,
+            new_pages * ps * self.kv_config.bytes_per_token() / 2**30,
+        )
+        return self.max_total_num_tokens
+
+    def run_kv_only(self, wb: WorkerBatch) -> None:
+        """Forward an extend batch purely to populate the KV cache (used to
+        keep a speculative DRAFT model's cache in sync with accepted tokens;
+        the reference never implemented its draft worker —
+        model_executor/speculative/spec_info.py:4-24)."""
+        if not hasattr(self, "_jit_kv_only"):
+
+            def _impl(params, kv, meta):
+                meta = dataclasses.replace(meta, capture_hidden=True)
+                kv, _ = self.model(params, kv, meta)
+                return kv
+
+            self._jit_kv_only = jax.jit(_impl, donate_argnums=(1,))
+        meta, _ = self._pad_to_buckets(wb)
+        self.kv_cache = self._jit_kv_only(self.params, self.kv_cache, meta)
+
     def run_score(self, wb: WorkerBatch) -> np.ndarray:
         """Teacher-forcing logprobs for one extend batch; returns [T_real]."""
         T_real = len(wb.tokens)

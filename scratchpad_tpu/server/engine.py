@@ -115,9 +115,11 @@ class Engine:
     # -------------------------------------------------------------- requests
 
     def register_topping(self, name: str, adapter_path: str = None, state=None,
-                         scaling: float = 1.0) -> int:
-        """Register a LoRA adapter for per-request serving
-        (reference: RegisterToppingsReqInput, managers/structs.py:611)."""
+                         scaling: float = 1.0, delta_state=None) -> int:
+        """Register a LoRA adapter — or, via ``delta_state``, a full-rank
+        quantized weight-delta adapter — for per-request serving
+        (reference: RegisterToppingsReqInput, managers/structs.py:611;
+        delta kind: toppings_manager.py:462 _load_delta)."""
         if getattr(self, "toppings_manager", None) is None:
             from scratchpad_tpu.toppings import ToppingsManager
 
@@ -125,7 +127,9 @@ class Engine:
 
             dt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[self.args.dtype]
             self.toppings_manager = ToppingsManager(self.model_config, dtype=dt)
-        if state is not None:
+        if delta_state is not None:
+            idx = self.toppings_manager.register_delta(name, delta_state, scaling)
+        elif state is not None:
             idx = self.toppings_manager.register_state(name, state, scaling)
         else:
             idx = self.toppings_manager.register(name, adapter_path)
@@ -574,6 +578,12 @@ class Engine:
         self.scheduler.tree_cache.reset()
         self.scheduler.allocator.clear()
         self.scheduler.allocator.alloc(1)  # re-reserve dump page
+
+    def resize_kv_pool(self, new_num_tokens: int) -> int:
+        """Grow/shrink the KV pool at runtime; returns the new token
+        capacity (reference: SystemController /memory_pool/increase)."""
+        self.scheduler.drain()
+        return self.scheduler.resize_kv_pool(new_num_tokens)
 
     def shutdown(self) -> None:
         pass

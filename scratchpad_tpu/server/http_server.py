@@ -93,6 +93,7 @@ class ServerApp:
         r.add_post("/v1/completions", self.completions)
         r.add_post("/v1/chat/completions", self.chat_completions)
         r.add_post("/flush_cache", self.flush_cache)
+        r.add_post("/memory_pool", self.memory_pool)
         r.add_post("/abort_request", self.abort_request)
         r.add_post("/start_profile", self.start_profile)
         r.add_post("/stop_profile", self.stop_profile)
@@ -163,6 +164,23 @@ class ServerApp:
             )
         self.engine.flush_cache()
         return web.json_response({"status": "ok"})
+
+    async def memory_pool(self, request) -> web.Response:
+        """Runtime KV-pool grow/shrink (reference: /memory_pool/increase,
+        server/controller/controller.py:24-97)."""
+        body = await request.json()
+        tokens = body.get("max_total_tokens")
+        if not isinstance(tokens, int) or tokens <= 0:
+            return self._bad_request("max_total_tokens (positive int) required")
+        if self.engine.scheduler.has_work():
+            return web.json_response({"status": "busy"}, status=409)
+        try:
+            new = self.engine.resize_kv_pool(tokens)
+        except (RuntimeError, ValueError) as e:
+            return web.json_response(
+                {"status": "error", "message": str(e)}, status=409
+            )
+        return web.json_response({"status": "ok", "max_total_tokens": new})
 
     async def abort_request(self, request) -> web.Response:
         body = await request.json()

@@ -75,7 +75,14 @@ class ToppingsManager:
             t: np.zeros((max_adapters, L, max_rank, dout), np.float32)
             for t, (din, dout) in dims.items()
         }
+        self._dims = dims
         self._scaling = np.zeros(max_adapters, np.float32)
+        # delta adapters (full-rank quantized weight diffs, the reference's
+        # second topping kind — triteia compressed deltas, nn/toppings/
+        # topping_module.py DeltaAdapter + ldmm/sbmm apply): int8 values with
+        # per-output-channel scales, pools allocated on first registration
+        self._host_dq: Optional[dict[str, np.ndarray]] = None
+        self._host_ds: Optional[dict[str, np.ndarray]] = None
         self.name_to_idx: dict[str, int] = {}
         self._next = 1
         self._device_pools: Optional[dict] = None
@@ -124,6 +131,66 @@ class ToppingsManager:
         logger.info("registered topping %r -> slot %d (%d tensors)", name, idx, loaded)
         return idx
 
+    def register_delta(
+        self, name: str, state: dict[str, np.ndarray], scaling: float = 1.0
+    ) -> int:
+        """Register a full-rank weight-delta adapter (W_tuned - W_base per
+        projection), stored int8 with per-output-channel scales
+        (reference: toppings_manager.py:462 _load_delta; the reference packs
+        triteia int4+sparse — here int8 planes feed the MXU directly).
+
+        ``state`` maps HF weight names (model.layers.{i}.<proj>.weight) to
+        delta matrices in HF [out, in] orientation.
+        """
+        if self._host_dq is None:
+            L = self.cfg.num_hidden_layers
+            self._host_dq = {
+                t: np.zeros((self.max_adapters, L, din, dout), np.int8)
+                for t, (din, dout) in self._dims.items()
+            }
+            self._host_ds = {
+                t: np.zeros((self.max_adapters, L, dout), np.float32)
+                for t, (din, dout) in self._dims.items()
+            }
+        if name in self.name_to_idx:
+            idx = self.name_to_idx[name]
+        else:
+            assert self._next < self.max_adapters, "topping pool full"
+            idx = self._next
+            self._next += 1
+            self.name_to_idx[name] = idx
+        loaded = 0
+        for key, w in state.items():
+            if not key.endswith(".weight") or ".layers." not in key:
+                continue
+            rest = key.split(".layers.", 1)[1]
+            layer_s, tail = rest.split(".", 1)
+            target = None
+            for hf_name, t in TARGET_MAP.items():
+                if tail.startswith(f"self_attn.{hf_name}.") or tail.startswith(
+                    f"mlp.{hf_name}."
+                ):
+                    target = t
+                    break
+            if target is None:
+                continue
+            d = np.asarray(w, np.float32).T  # [in, out]
+            amax = np.abs(d).max(axis=0)  # per output channel
+            scale = np.where(amax > 0, amax / 127.0, 1.0)
+            q = np.clip(np.round(d / scale), -127, 127).astype(np.int8)
+            self._host_dq[target][idx, int(layer_s)] = q
+            self._host_ds[target][idx, int(layer_s)] = scale
+            loaded += 1
+        self._scaling[idx] = scaling
+        self._device_pools = None
+        logger.info(
+            "registered delta topping %r -> slot %d (%d tensors)",
+            name,
+            idx,
+            loaded,
+        )
+        return idx
+
     @staticmethod
     def _load_adapter_state(path: str) -> dict[str, np.ndarray]:
         from safetensors import safe_open
@@ -167,6 +234,13 @@ class ToppingsManager:
                 },
                 "scaling": jnp.asarray(self._scaling, jnp.float32),
             }
+            if self._host_dq is not None:
+                self._device_pools["dq"] = {
+                    t: jnp.asarray(v) for t, v in self._host_dq.items()
+                }
+                self._device_pools["ds"] = {
+                    t: jnp.asarray(v) for t, v in self._host_ds.items()
+                }
         return self._device_pools
 
     def lookup(self, name: Optional[str]) -> int:
@@ -191,10 +265,17 @@ def apply_topping(
     A = pools["a"][target]
     Bp = pools["b"][target]
     scaling = pools["scaling"]
+    dq = pools.get("dq")
     for j in range(1, MAX_ACTIVE_TOPPINGS):
         aid = active_adapters[j]
         Aj = A[aid, layer_idx]  # [In, r]
         Bj = Bp[aid, layer_idx]  # [r, Out]
         contrib = ((x @ Aj) @ Bj) * scaling[aid].astype(x.dtype)
+        if dq is not None:
+            # full-rank delta: int8 [In, Out] dequantized by per-out-channel
+            # scales; slot stays all-zero for pure-LoRA adapters
+            dw = dq[target][aid, layer_idx].astype(x.dtype)
+            ds = pools["ds"][target][aid, layer_idx].astype(x.dtype)
+            contrib = contrib + (x @ dw) * ds * scaling[aid].astype(x.dtype)
         out = out + jnp.where((token_slot == j)[:, None], contrib, 0)
     return out

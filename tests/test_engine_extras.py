@@ -160,3 +160,33 @@ def test_sessions(engine):
     ref = engine.generate(input_ids=full, sampling_params=sp)
     assert ref.output_ids == out2.output_ids
     engine.close_session(sid)
+
+
+def test_resize_kv_pool():
+    """Runtime KV-pool grow/shrink with identical outputs across sizes."""
+    eng = Engine(
+        ServerArgs(
+            preset="tiny-debug",
+            random_weights=True,
+            dtype="float32",
+            page_size=4,
+            max_total_tokens=1024,
+        )
+    )
+    sp = SamplingParams(temperature=0.0, max_new_tokens=8, ignore_eos=True)
+    p = prompt(15, seed=9)
+    before = eng.generate(input_ids=p, sampling_params=sp)
+    assert eng.scheduler.allocator.num_pages == 1024 // 4 + 1
+
+    new = eng.resize_kv_pool(4096)  # grow
+    assert new == 4096
+    assert eng.scheduler.allocator.num_pages == 4096 // 4 + 1
+    grown = eng.generate(input_ids=p, sampling_params=sp)
+    assert grown.output_ids == before.output_ids
+    assert grown.cached_tokens == 0  # resize flushed the radix cache
+
+    new = eng.resize_kv_pool(512)  # shrink
+    assert new == 512
+    shrunk = eng.generate(input_ids=p, sampling_params=sp)
+    assert shrunk.output_ids == before.output_ids
+    eng.scheduler.check_memory_leak()

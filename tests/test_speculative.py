@@ -80,6 +80,74 @@ def test_spec_acceptance_on_forced_repetition():
     sched.check_memory_leak()
 
 
+def test_draft_model_same_weights_accepts_everything():
+    """Draft == target (same seed/config): every draft must be accepted."""
+    eng = make_engine(
+        speculative_algorithm="draft", speculative_draft_preset="tiny-debug"
+    )
+    # identical init: same preset + same random seed -> same weights
+    sp = SamplingParams(temperature=0.0, max_new_tokens=24, ignore_eos=True)
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(1, 500, 13).tolist()
+    out = eng.generate(input_ids=prompt, sampling_params=sp)
+    assert len(out.output_ids) == 24
+    sched = eng.scheduler
+    assert sched.num_spec_steps > 0
+    k = eng.args.speculative_num_draft_tokens
+    # perfect drafts: k accepted per verify (+1 bonus) on every step except
+    # the last, which the max_new_tokens cap may truncate mid-row
+    assert sched.num_spec_accepted >= (sched.num_spec_steps - 1) * k, (
+        sched.num_spec_steps,
+        sched.num_spec_accepted,
+    )
+    sched.check_memory_leak()
+
+
+def test_draft_model_matches_plain_greedy():
+    """A WRONG draft (different weights) must still give exact greedy
+    output — only throughput, never content, may change."""
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(1, 500, n).tolist() for n in (11, 29)]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=20, ignore_eos=True)
+
+    ref_eng = make_engine()
+    ref = [
+        o.output_ids
+        for o in ref_eng.generate(input_ids=prompts, sampling_params=[sp] * 2)
+    ]
+    eng = make_engine(
+        speculative_algorithm="draft", speculative_draft_preset="tiny-debug"
+    )
+    # make the draft disagree with the target: perturb its weights
+    import jax
+
+    dr = eng.scheduler.draft_runner
+    dr.params = jax.tree.map(lambda x: x * 1.25, dr.params)
+    got = [
+        o.output_ids
+        for o in eng.generate(input_ids=prompts, sampling_params=[sp] * 2)
+    ]
+    assert got == ref
+    eng.scheduler.check_memory_leak()
+
+
+def test_draft_model_after_plain_decode_catches_up():
+    """min_new_tokens forces plain decode first; the draft must catch up
+    its KV before speculating, and output must equal plain greedy."""
+    eng = make_engine(
+        speculative_algorithm="draft", speculative_draft_preset="tiny-debug"
+    )
+    sp = SamplingParams(
+        temperature=0.0, max_new_tokens=20, min_new_tokens=6, ignore_eos=True
+    )
+    prompt = [9, 10, 11, 12, 13]
+    out = eng.generate(input_ids=prompt, sampling_params=sp)
+    ref = make_engine().generate(input_ids=prompt, sampling_params=sp)
+    assert out.output_ids == ref.output_ids
+    assert eng.scheduler.num_spec_steps > 0  # did speculate after catch-up
+    eng.scheduler.check_memory_leak()
+
+
 def test_spec_respects_stop_and_sampled_fallback():
     eng = make_engine(speculative_algorithm="ngram")
     # stop token mid-stream truncates accepted drafts

@@ -120,3 +120,75 @@ class TestToppings:
         )
         assert [o.output_ids for o in outs] == solo
         eng.scheduler.check_memory_leak()
+
+
+def make_delta_state(cfg, seed, scale=0.002, targets=("q_proj", "gate_proj")):
+    """HF-named full-rank weight deltas, crafted exactly int8-representable
+    (per-out-channel max |q| = 127) so quantized serving is bit-exact."""
+    rng = np.random.default_rng(seed)
+    dims = {
+        "q_proj": (cfg.hidden_size, cfg.num_attention_heads * cfg.head_dim),
+        "gate_proj": (cfg.hidden_size, cfg.intermediate_size),
+    }
+    state = {}
+    for l in range(cfg.num_hidden_layers):
+        for t in targets:
+            din, dout = dims[t]
+            q = rng.integers(-127, 128, (dout, din)).astype(np.float32)
+            q[:, 0] = 127  # pin per-channel amax so scale == `scale` exactly
+            mod = "self_attn" if t == "q_proj" else "mlp"
+            state[f"model.layers.{l}.{mod}.{t}.weight"] = q * scale
+    return state
+
+
+class TestDeltaToppings:
+    def test_delta_adapter_matches_merged(self, base_engine):
+        eng = base_engine
+        cfg = eng.model_config
+        state = make_delta_state(cfg, seed=30)
+        eng.register_topping("dl1", delta_state=state, scaling=1.0)
+        p = prompt(12, seed=3)
+        sp = SamplingParams(temperature=0.0, max_new_tokens=6)
+
+        base_out = eng.generate(input_ids=p, sampling_params=sp)
+        delta_out = eng.generate(input_ids=p, sampling_params=sp, topping="dl1")
+        assert delta_out.output_ids != base_out.output_ids
+
+        # reference: serve W_base + delta merged densely
+        layers = dict(eng.scheduler.runner.params["layers"])
+        for key, w in state.items():
+            l = int(key.split(".layers.")[1].split(".")[0])
+            t = "wq" if "q_proj" in key else "gate"
+            layers[t] = layers[t].at[l].add(jnp.asarray(w.T, layers[t].dtype))
+        merged = {**eng.scheduler.runner.params, "layers": layers}
+        merged.pop("toppings", None)
+        args = ServerArgs(
+            preset="tiny-debug", random_weights=True, dtype="float32",
+            page_size=4, max_total_tokens=2048,
+        )
+        from scratchpad_tpu.core.scheduler import Scheduler
+        from scratchpad_tpu.executor.model_runner import ModelRunner
+
+        runner = ModelRunner(cfg, args, params=merged)
+        ref_eng = Engine(args, model_config=cfg)
+        ref_eng.scheduler = Scheduler(cfg, args, runner=runner)
+        ref_out = ref_eng.generate(input_ids=p, sampling_params=sp)
+        assert delta_out.output_ids == ref_out.output_ids
+
+    def test_mixed_lora_delta_batch(self, base_engine):
+        """One batch mixing no-adapter, LoRA and delta rows: each must match
+        its solo run (mask isolation across adapter kinds)."""
+        eng = base_engine
+        sp = SamplingParams(temperature=0.0, max_new_tokens=5)
+        prompts = [prompt(9, seed=40 + i) for i in range(3)]
+        toppings = [None, "ad1", "dl1"]
+        solo = [
+            eng.generate(input_ids=p, sampling_params=sp, topping=t).output_ids
+            for p, t in zip(prompts, toppings)
+        ]
+        eng.flush_cache()
+        outs = eng.generate(
+            input_ids=prompts, sampling_params=[sp] * 3, topping=toppings
+        )
+        assert [o.output_ids for o in outs] == solo
+        eng.scheduler.check_memory_leak()
