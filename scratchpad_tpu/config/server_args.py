@@ -42,6 +42,15 @@ class ServerArgs:
     page_size: int = 16  # tokens per KV page (TPU DMA granularity)
     mem_fraction_static: float = 0.85
     disable_radix_cache: bool = False
+    # CPU parameter offload: decoder layer groups live in host memory and
+    # stream through the device double-buffered (capacity over throughput;
+    # reference: memory/param_offload.py ParameterOffloadManager)
+    enable_param_offload: bool = False
+    param_offload_groups: int = 4
+    # host KV tier: radix-evicted pages offload to a CPU arena of this many
+    # tokens and promote back on prefix hits (0 = off; reference:
+    # memory/het_pool.py heterogeneous pool)
+    host_kv_cache_tokens: int = 0
 
     # parallelism
     tp_size: int = 1
@@ -119,6 +128,15 @@ class ServerArgs:
             raise ValueError(
                 "speculative_algorithm='draft' needs speculative_draft_preset"
                 " or speculative_draft_model_path"
+            )
+        if self.enable_param_offload and self.speculative_algorithm:
+            raise ValueError(
+                "enable_param_offload is incompatible with speculative decoding"
+            )
+        if self.host_kv_cache_tokens and self.speculative_algorithm == "draft":
+            raise ValueError(
+                "host_kv_cache_tokens is incompatible with draft-model "
+                "speculation (promoted pages have no draft-model KV)"
             )
         if self.device != "auto":
             import jax

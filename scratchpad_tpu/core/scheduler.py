@@ -70,6 +70,16 @@ class Scheduler:
         self.tree_cache = TreeCacheGroup(
             self.page_size, disable=self.args.disable_radix_cache
         )
+        # host KV tier: evicted radix pages offload to CPU memory and promote
+        # back on later prefix hits (reference: memory/het_pool.py two-tier)
+        self.host_tier = None
+        if self.args.host_kv_cache_tokens > 0:
+            from scratchpad_tpu.memory.host_kv_tier import HostKVTier
+
+            self.host_tier = HostKVTier(
+                self.runner, self.args.host_kv_cache_tokens
+            )
+            self.tree_cache.set_evict_hook(self.host_tier.on_evict)
         self.policy = SchedulePolicy(self.args.schedule_policy, self.tree_cache)
 
         self.waiting: list[Req] = []
@@ -538,6 +548,8 @@ class Scheduler:
         round trips (the CUDA-graph/overlap analogue); short windows keep
         admission latency low when work is waiting."""
         w = self.args.decode_window_size
+        if getattr(self.runner, "param_offload", False):
+            return 1  # host-resident layers stream once per dispatch
         if self.waiting or self.chunked_req is not None:
             w = min(w, 4)
         if any(r.grammar is not None for r in self.running):
@@ -601,6 +613,7 @@ class Scheduler:
                 and len(active_toppings) >= MAX_ACTIVE_TOPPINGS - 1
             ):
                 continue  # adapter budget full; retry next round
+            self._promote_host_prefix(req)
             res = adder.add_one_req(req)
             if adder.can_run_list and adder.can_run_list[-1] is req:
                 admitted.append(req)
@@ -1100,6 +1113,33 @@ class Scheduler:
             self.chunked_req = None
 
     # ---------------------------------------------------------------- debug
+
+    def _promote_host_prefix(self, req: Req) -> None:
+        """Before admission: pull any host-tier continuation of the request's
+        device-cached prefix back into fresh device pages and re-insert it,
+        so the admission match sees the full prefix (h2d copy instead of a
+        prefill recompute)."""
+        tier = self.host_tier
+        if tier is None:
+            return
+        tree = self.tree_cache.for_req(req)
+        m = tree.match_prefix(req.origin_input_ids)
+        slots = tier.match(req.topping_idx, req.origin_input_ids, m.num_pages)
+        if not slots:
+            return
+        kv, scale = tier.load(slots)  # copy out before any further eviction
+        tree.inc_lock_ref(m.last_node)  # _alloc_pages may evict; protect match
+        pages = self._alloc_pages(len(slots))
+        tree.dec_lock_ref(m.last_node)
+        if pages is None:
+            return
+        self.runner.scatter_pages(pages, kv, scale)
+        total = m.num_pages + len(slots)
+        key = req.origin_input_ids[: total * self.page_size]
+        all_pages = np.concatenate([m.page_ids, pages]).astype(np.int32)
+        dup = tree.insert(key, all_pages)
+        assert dup == m.num_pages, (dup, m.num_pages)
+        logger.debug("promoted %d host-tier pages for %s", len(slots), req.rid)
 
     def resize_kv_pool(self, new_num_tokens: int) -> int:
         """Runtime KV-pool grow/shrink (reference: SystemController pool

@@ -336,6 +336,12 @@ class ModelRunner:
         )
         self._base_key = jax.random.PRNGKey(self.args.random_seed + 1)
         self._step_counter = 0
+        # CPU parameter offload (reference: memory/param_offload.py:155
+        # ParameterOffloadManager + prefetch worker): decoder layer groups
+        # live in host memory and stream through the device double-buffered
+        self.param_offload = bool(self.args.enable_param_offload)
+        if self.param_offload:
+            self._init_param_offload()
         # data-parallel batch sharding: when the mesh has a dp axis, batch
         # rows (and flat tokens) are sharded across it; XLA partitions the
         # whole step accordingly
@@ -533,6 +539,7 @@ class ModelRunner:
             and wb.rope_delta is None
             and not wb.return_top_logprobs
             and not self._dp_shard
+            and not self.param_offload
         )
 
     def encode_images(self, pixel_values: np.ndarray) -> np.ndarray:
@@ -559,6 +566,13 @@ class ModelRunner:
     def run_extend(self, wb: WorkerBatch):
         """One extend step; returns (ids[B_real], logprobs[B_real], tops)."""
         B_real = len(wb.seq_lens)
+        if self.param_offload:
+            out = self._offload_forward_and_sample(wb)
+            return (
+                np.asarray(out.next_token_ids)[:B_real],
+                np.asarray(out.chosen_logprobs)[:B_real],
+                None,
+            )
         if wb.return_top_logprobs:
             meta, sinfo = self._pad_to_buckets(wb)
             self._rng, step_rng = jax.random.split(self._rng)
@@ -591,6 +605,14 @@ class ModelRunner:
         """K fused decode steps; returns (ids[K, B_real], logprobs[K, B_real],
         tops) where tops is None or ([K?, B, k], [K?, B, k]) top logprobs."""
         B_real = len(wb.seq_lens)
+        if self.param_offload:
+            assert num_steps == 1, "param offload forces single-step windows"
+            out = self._offload_forward_and_sample(wb)
+            return (
+                np.asarray(out.next_token_ids)[None, :B_real],
+                np.asarray(out.chosen_logprobs)[None, :B_real],
+                None,
+            )
         if wb.return_top_logprobs:
             assert num_steps == 1, "top-logprobs forces single-step windows"
             meta, sinfo = self._pad_to_buckets(wb)
@@ -864,6 +886,7 @@ class ModelRunner:
         return kv, emb
 
     def run_embed(self, wb: WorkerBatch) -> np.ndarray:
+        self._no_offload("embeddings")
         """Extend pass returning L2-normalised last-token hidden states
         (reference: scratchpad/nn/models/llama/llama_embedding.py)."""
         B_real = len(wb.seq_lens)
@@ -936,6 +959,7 @@ class ModelRunner:
         return kv, ids.reshape(-1)[:T], lps.reshape(-1)[:T]
 
     def run_spec_verify(self, wb: WorkerBatch):
+        self._no_offload("speculative verification")
         """Returns (greedy_ids[T_real], chosen_logprobs[T_real])."""
         if not hasattr(self, "_jit_spec_verify"):
             self._jit_spec_verify = jax.jit(
@@ -947,6 +971,147 @@ class ModelRunner:
         )
         T_real = len(wb.tokens)
         return np.asarray(ids)[:T_real], np.asarray(lps)[:T_real]
+
+    # ------------------------------------------------------ parameter offload
+
+    def _no_offload(self, what: str) -> None:
+        if self.param_offload:
+            raise NotImplementedError(
+                f"{what} is not supported with enable_param_offload"
+            )
+
+    def _init_param_offload(self) -> None:
+        """Move the stacked decoder weights to host memory in groups.
+
+        TPU-native rework of the reference's ParameterOffloadManager
+        (reference: memory/param_offload.py:155-587): instead of module
+        hooks + a prefetch thread, the per-group forward streams group g+1
+        to the device (async jax.device_put = the prefetch) while group g
+        computes. Device peak holds <= 2 groups instead of all layers.
+        Throughput trades for capacity exactly as in the reference; decode
+        windows collapse to single steps."""
+        from scratchpad_tpu.models.llama import LlamaForCausalLM
+
+        if type(self.model).__call__ is not LlamaForCausalLM.__call__:
+            raise ValueError(
+                "enable_param_offload supports the stacked-decoder "
+                "(Llama-family) forward only"
+            )
+        if self.mesh is not None:
+            raise ValueError("enable_param_offload is single-device for now")
+        G = max(2, self.args.param_offload_groups)
+        L = self.model_config.num_hidden_layers
+        bounds = np.linspace(0, L, G + 1).astype(int)
+        layers = self.params.pop("layers")
+        cpu = jax.devices("cpu")[0]
+        self._offload_groups = []
+        self._offload_ids = []
+        for g in range(G):
+            s, e = int(bounds[g]), int(bounds[g + 1])
+            if s == e:
+                continue
+            self._offload_groups.append(
+                jax.tree.map(lambda a: jax.device_put(a[s:e], cpu), layers)
+            )
+            self._offload_ids.append(jnp.arange(s, e, dtype=jnp.int32))
+        del layers
+        self._offload_device = jax.devices()[0]
+        self._jit_ol_embed = jax.jit(self.model.embed_tokens)
+        self._jit_ol_group = jax.jit(
+            self.model.layers_forward, donate_argnames=("kv",)
+        )
+
+        def _finish_sample(params, x, meta, sinfo, rng):
+            logits = self.model.finish(params, x, meta)
+            ids, logprobs = sample(logits, sinfo, rng)
+            chosen = jnp.take_along_axis(logprobs, ids[:, None], axis=-1)[:, 0]
+            return ids, chosen
+
+        self._jit_ol_finish = jax.jit(_finish_sample)
+        logger.info(
+            "param offload: %d decoder groups in host memory",
+            len(self._offload_groups),
+        )
+
+    def _offload_forward_and_sample(self, wb: WorkerBatch) -> StepOutput:
+        """One step with host-resident layers streamed group by group; the
+        next group's transfer (async device_put) overlaps this group's
+        compute — the prefetch-worker analogue."""
+        if wb.return_top_logprobs:
+            raise NotImplementedError(
+                "top_logprobs with enable_param_offload not supported"
+            )
+        meta, sinfo = self._pad_to_buckets(wb)
+        self._rng, rng = jax.random.split(self._rng)
+        x = self._jit_ol_embed(self.params, meta)
+        kv = self.kv_cache
+        self.kv_cache = None
+        G = len(self._offload_groups)
+        nxt = jax.device_put(self._offload_groups[0], self._offload_device)
+        for g in range(G):
+            cur = nxt
+            if g + 1 < G:
+                nxt = jax.device_put(
+                    self._offload_groups[g + 1], self._offload_device
+                )
+            x, kv = self._jit_ol_group(
+                self.params, cur, self._offload_ids[g], x, kv, meta
+            )
+        self.kv_cache = kv
+        ids, chosen = self._jit_ol_finish(self.params, x, meta, sinfo, rng)
+        return StepOutput(
+            next_token_ids=ids,
+            chosen_logprobs=chosen,
+            batch_size=len(wb.seq_lens),
+        )
+
+    # ----------------------------------------------------- host KV tier I/O
+
+    def gather_pages(self, page_ids: np.ndarray):
+        """Fetch logical pages (all layers) to host: ([n, L, ps, KH, D],
+        scales or None). Used by the CPU KV tier on radix eviction."""
+        n = len(page_ids)
+        L = self.kv_config.num_layers
+        P = self.kv_config.num_pages
+        g = (
+            np.arange(L, dtype=np.int64)[:, None] * P
+            + np.asarray(page_ids, np.int64)[None, :]
+        ).reshape(-1)
+        kv = np.asarray(self.kv_cache.kv[g])
+        kv = kv.reshape((L, n) + kv.shape[1:]).swapaxes(0, 1)
+        scale = None
+        if self.kv_cache.scale is not None:
+            scale = np.asarray(self.kv_cache.scale[g])
+            scale = scale.reshape((L, n) + scale.shape[1:]).swapaxes(0, 1)
+        return kv, scale
+
+    def scatter_pages(self, page_ids: np.ndarray, kv: np.ndarray, scale) -> None:
+        """Write host-tier pages back into the device cache at new page ids."""
+        n = len(page_ids)
+        L = self.kv_config.num_layers
+        P = self.kv_config.num_pages
+        g = (
+            np.arange(L, dtype=np.int64)[:, None] * P
+            + np.asarray(page_ids, np.int64)[None, :]
+        ).reshape(-1)
+        kvv = np.ascontiguousarray(kv.swapaxes(0, 1)).reshape(
+            (L * n,) + kv.shape[2:]
+        )
+        if not hasattr(self, "_jit_scatter_pages"):
+            self._jit_scatter_pages = jax.jit(
+                lambda buf, idx, vals: buf.at[idx].set(vals),
+                donate_argnums=(0,),
+            )
+        new_kv = self._jit_scatter_pages(self.kv_cache.kv, g, kvv)
+        new_scale = self.kv_cache.scale
+        if scale is not None:
+            sv = np.ascontiguousarray(scale.swapaxes(0, 1)).reshape(
+                (L * n,) + scale.shape[2:]
+            )
+            new_scale = self._jit_scatter_pages(self.kv_cache.scale, g, sv)
+        self.kv_cache = dataclasses.replace(
+            self.kv_cache, kv=new_kv, scale=new_scale
+        )
 
     def resize_kv_pool(self, new_num_tokens: int) -> int:
         """Reallocate the paged KV cache for ``new_num_tokens`` tokens.
@@ -985,6 +1150,7 @@ class ModelRunner:
         return self.max_total_num_tokens
 
     def run_kv_only(self, wb: WorkerBatch) -> None:
+        self._no_offload("draft KV mirroring")
         """Forward an extend batch purely to populate the KV cache (used to
         keep a speculative DRAFT model's cache in sync with accepted tokens;
         the reference never implemented its draft worker —
@@ -1001,6 +1167,7 @@ class ModelRunner:
         self.kv_cache = self._jit_kv_only(self.params, self.kv_cache, meta)
 
     def run_score(self, wb: WorkerBatch) -> np.ndarray:
+        self._no_offload("sequence scoring")
         """Teacher-forcing logprobs for one extend batch; returns [T_real]."""
         T_real = len(wb.tokens)
         meta, _ = self._pad_to_buckets(wb)
@@ -1013,6 +1180,7 @@ class ModelRunner:
     # ---------------------------------------------------------- weight update
 
     def update_weights(self, state: dict) -> tuple[bool, str]:
+        self._no_offload("in-place weight update")
         """In-place weight swap with rollback on failure
         (reference: model_runner.py:236-323 update_weights). The caller must
         flush the radix cache afterwards — cached KV belongs to old weights."""
@@ -1046,6 +1214,8 @@ class ModelRunner:
         path (CUDA-graph capture analogue)."""
         t0 = time.monotonic()
         windows = sorted({1, 4, self.args.decode_window_size})
+        if self.param_offload:
+            windows = [1]  # offload streams layers once per single-step dispatch
         n = 0
         for bs in self.args.decode_bs_buckets:
             if bs > self.max_running_requests:

@@ -69,6 +69,9 @@ class RadixCache:
     def __init__(self, page_size: int, disable: bool = False):
         self.page_size = page_size
         self.disable = disable
+        # optional host-tier hook: on_evict(full_prefix_tokens, page_ids)
+        # runs before a node's pages are freed (memory/host_kv_tier.py)
+        self.on_evict = None
         self.reset()
 
     def reset(self) -> None:
@@ -220,6 +223,8 @@ class RadixCache:
             node = heapq.heappop(leaves)
             if node is self.root:
                 break
+            if self.on_evict is not None:
+                self.on_evict(self._full_key(node), node.value)
             free_fn(node.value)
             evicted += len(node.value)
             self._evictable_pages -= len(node.value)
@@ -228,6 +233,18 @@ class RadixCache:
             if parent is not self.root and not parent.children and parent.lock_ref == 0:
                 heapq.heappush(leaves, parent)
         return evicted
+
+    def _full_key(self, node: TreeNode) -> list[int]:
+        """Token prefix root->node (for the host-tier trie key)."""
+        parts = []
+        n = node
+        while n is not None and n is not self.root:
+            parts.append(n.key)
+            n = n.parent
+        out: list[int] = []
+        for k in reversed(parts):
+            out.extend(k)
+        return out
 
     # ------------------------------------------------------------------ stats
 

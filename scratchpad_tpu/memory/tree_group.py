@@ -19,14 +19,31 @@ class TreeCacheGroup:
         self.page_size = page_size
         self.disable = disable
         self._trees: dict[int, RadixCache] = {}
+        self._evict_hook = None  # (adapter, tokens, pages) -> None
         self.get(0)
+
+    def set_evict_hook(self, hook) -> None:
+        """Install a host-tier offload hook on every (current and future)
+        adapter tree; hook(adapter_idx, full_prefix_tokens, page_ids)."""
+        self._evict_hook = hook
+        for idx, tree in self._trees.items():
+            if hasattr(tree, "on_evict"):
+                tree.on_evict = (
+                    lambda toks, pages, _a=idx: hook(_a, toks, pages)
+                )
 
     def get(self, topping_idx: int = 0):
         if topping_idx not in self._trees:
             if self.disable:
                 self._trees[topping_idx] = ChunkCache(self.page_size)
             else:
-                self._trees[topping_idx] = RadixCache(self.page_size)
+                tree = RadixCache(self.page_size)
+                if self._evict_hook is not None:
+                    hook = self._evict_hook
+                    tree.on_evict = (
+                        lambda toks, pages, _a=topping_idx: hook(_a, toks, pages)
+                    )
+                self._trees[topping_idx] = tree
         return self._trees[topping_idx]
 
     def for_req(self, req):

@@ -201,15 +201,7 @@ class LlamaForCausalLM:
 
     # ---------------------------------------------------------------- forward
 
-    def __call__(
-        self, params: dict, kv: KVCache, meta: ForwardMeta
-    ) -> tuple[KVCache, jax.Array]:
-        cfg = self.cfg
-        L = cfg.num_hidden_layers
-        Hq, Hkv, D = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
-        T = meta.num_tokens
-        inv_freq = jnp.asarray(self.inv_freq)
-
+    def embed_tokens(self, params: dict, meta: ForwardMeta) -> jax.Array:
         x = jnp.take(params["embed"], meta.tokens, axis=0)  # [T, H]
         if meta.input_embeds is not None:
             # multimodal rows carry NEGATIVE placeholder ids; their embedding
@@ -219,6 +211,56 @@ class LlamaForCausalLM:
                 meta.input_embeds.astype(x.dtype),
                 x,
             )
+        return x
+
+    def finish(
+        self, params: dict, x: jax.Array, meta: ForwardMeta
+    ) -> jax.Array:
+        """Final norm + LM head (or hidden-state capture)."""
+        cfg = self.cfg
+        h = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        if getattr(meta, "capture_all_hidden", False):
+            return h  # [T, H] for sequence scoring
+        last = jnp.take(h, meta.last_token_idx, axis=0)  # [B, H]
+        if getattr(meta, "capture_hidden", False):
+            return last
+        head = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
+        logits = (last @ head.T).astype(jnp.float32)  # [B, V]
+        if cfg.logit_softcap:
+            logits = cfg.logit_softcap * jnp.tanh(logits / cfg.logit_softcap)
+        return logits
+
+    def __call__(
+        self, params: dict, kv: KVCache, meta: ForwardMeta
+    ) -> tuple[KVCache, jax.Array]:
+        cfg = self.cfg
+        L = cfg.num_hidden_layers
+        x = self.embed_tokens(params, meta)
+        x, kv_out = self.layers_forward(
+            params,
+            params["layers"],
+            jnp.arange(L, dtype=jnp.int32),
+            x,
+            kv,
+            meta,
+        )
+        return kv_out, self.finish(params, x, meta)
+
+    def layers_forward(
+        self,
+        params: dict,
+        layer_stack: dict,
+        layer_ids: jax.Array,
+        x: jax.Array,
+        kv: KVCache,
+        meta: ForwardMeta,
+    ) -> tuple[jax.Array, KVCache]:
+        """Scan the decoder over ``layer_stack`` (all layers, or one
+        offload group with global ``layer_ids``)."""
+        cfg = self.cfg
+        Hq, Hkv, D = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
+        T = meta.num_tokens
+        inv_freq = jnp.asarray(self.inv_freq)
 
         if meta.mode == ForwardMode.DECODE:
             attend = self.decode_attention
@@ -309,20 +351,9 @@ class LlamaForCausalLM:
         (x, kv_out), _ = jax.lax.scan(
             body,
             (x, kv),
-            (params["layers"], jnp.arange(L, dtype=jnp.int32)),
+            (layer_stack, layer_ids),
         )
-
-        h = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-        if getattr(meta, "capture_all_hidden", False):
-            return kv_out, h  # [T, H] for sequence scoring
-        last = jnp.take(h, meta.last_token_idx, axis=0)  # [B, H]
-        if getattr(meta, "capture_hidden", False):
-            return kv_out, last
-        head = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
-        logits = (last @ head.T).astype(jnp.float32)  # [B, V]
-        if cfg.logit_softcap:
-            logits = cfg.logit_softcap * jnp.tanh(logits / cfg.logit_softcap)
-        return kv_out, logits
+        return x, kv_out
 
     # set by the executor before jit (page size is static per engine)
     page_size: int = 16

@@ -578,6 +578,8 @@ class Engine:
         self.scheduler.tree_cache.reset()
         self.scheduler.allocator.clear()
         self.scheduler.allocator.alloc(1)  # re-reserve dump page
+        if self.scheduler.host_tier is not None:
+            self.scheduler.host_tier.reset()
 
     def resize_kv_pool(self, new_num_tokens: int) -> int:
         """Grow/shrink the KV pool at runtime; returns the new token

@@ -149,6 +149,12 @@ class ServerApp:
                 "retractions": sched.num_retractions,
                 "spec_steps": sched.num_spec_steps,
                 "spec_accepted_tokens": sched.num_spec_accepted,
+                "host_kv_stored_pages": (
+                    sched.host_tier.stored_pages if sched.host_tier else 0
+                ),
+                "host_kv_restored_pages": (
+                    sched.host_tier.restored_pages if sched.host_tier else 0
+                ),
                 "args": {
                     k: v
                     for k, v in dataclasses.asdict(self.args).items()

@@ -190,3 +190,30 @@ def test_resize_kv_pool():
     shrunk = eng.generate(input_ids=p, sampling_params=sp)
     assert shrunk.output_ids == before.output_ids
     eng.scheduler.check_memory_leak()
+
+
+def test_param_offload_matches_resident():
+    """Host-streamed decoder groups must produce identical greedy output."""
+    common = dict(
+        preset="tiny-debug",
+        random_weights=True,
+        dtype="float32",
+        page_size=4,
+        max_total_tokens=2048,
+    )
+    ref = Engine(ServerArgs(**common))
+    off = Engine(
+        ServerArgs(**common, enable_param_offload=True, param_offload_groups=2)
+    )
+    assert off.scheduler.runner.param_offload
+    assert "layers" not in off.scheduler.runner.params
+    sp = SamplingParams(temperature=0.0, max_new_tokens=12, ignore_eos=True)
+    ps = [prompt(18, seed=11), prompt(7, seed=12)]
+    a = [o.output_ids for o in ref.generate(input_ids=ps, sampling_params=[sp] * 2)]
+    b = [o.output_ids for o in off.generate(input_ids=ps, sampling_params=[sp] * 2)]
+    assert a == b
+    # sampled requests run too (same non-packed path)
+    sp2 = SamplingParams(temperature=0.8, max_new_tokens=6, ignore_eos=True)
+    out = off.generate(input_ids=prompt(9, seed=13), sampling_params=sp2)
+    assert len(out.output_ids) == 6
+    off.scheduler.check_memory_leak()

@@ -159,3 +159,54 @@ class TestRadixCache:
             # every inserted seq still fully matchable
             got = c.match_prefix(seq)
             assert got.num_pages == len(seq) // self.PS
+
+
+class TestHostKVTier:
+    def _engine(self, host_tokens):
+        from scratchpad_tpu.config import ServerArgs
+        from scratchpad_tpu.server.engine import Engine
+
+        return Engine(
+            ServerArgs(
+                preset="tiny-debug",
+                random_weights=True,
+                dtype="float32",
+                page_size=4,
+                max_total_tokens=256,  # 64 pages: small enough to evict
+                host_kv_cache_tokens=host_tokens,
+            )
+        )
+
+    def test_evicted_prefix_promotes_back(self):
+        from scratchpad_tpu.sampling.sampling_params import SamplingParams
+
+        rng = np.random.default_rng(0)
+        eng = self._engine(4096)
+        sp = SamplingParams(temperature=0.0, max_new_tokens=4, ignore_eos=True)
+        pa = rng.integers(1, 500, 96).tolist()
+        first = eng.generate(input_ids=pa, sampling_params=sp)
+
+        # force eviction of pa's pages with other long prompts
+        for seed in range(3):
+            filler = np.random.default_rng(10 + seed).integers(1, 500, 96)
+            eng.generate(input_ids=filler.tolist(), sampling_params=sp)
+        tier = eng.scheduler.host_tier
+        assert tier.stored_pages > 0  # something offloaded to host
+
+        again = eng.generate(input_ids=pa, sampling_params=sp)
+        assert tier.restored_pages > 0  # host pages promoted back
+        assert again.cached_tokens > 0  # admission saw the restored prefix
+        assert again.output_ids == first.output_ids
+        eng.scheduler.check_memory_leak()
+
+    def test_disabled_tier_unchanged(self):
+        from scratchpad_tpu.sampling.sampling_params import SamplingParams
+
+        eng = self._engine(0)
+        assert eng.scheduler.host_tier is None
+        sp = SamplingParams(temperature=0.0, max_new_tokens=4, ignore_eos=True)
+        out = eng.generate(
+            input_ids=list(range(1, 40)), sampling_params=sp
+        )
+        assert len(out.output_ids) == 4
+        eng.scheduler.check_memory_leak()
