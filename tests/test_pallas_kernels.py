@@ -138,3 +138,65 @@ def test_ragged_reference_matches_xla_decode():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
     )
+
+
+class TestRingAttention:
+    """Sequence-parallel ring attention vs dense causal reference."""
+
+    def _mesh(self, n=8):
+        import jax
+        from jax.sharding import Mesh
+
+        devs = jax.devices("cpu")[:n]
+        return Mesh(np.array(devs), ("sp",))
+
+    @pytest.mark.parametrize("Hq,Hkv", [(4, 4), (8, 2)])
+    def test_matches_dense_causal(self, Hq, Hkv):
+        import jax.numpy as jnp
+        from scratchpad_tpu.ops.attention.ring import sp_ring_attention
+
+        T, D = 64, 16
+        rng = np.random.default_rng(0)
+        q = rng.standard_normal((T, Hq, D)).astype(np.float32)
+        k = rng.standard_normal((T, Hkv, D)).astype(np.float32)
+        v = rng.standard_normal((T, Hkv, D)).astype(np.float32)
+        scale = D**-0.5
+
+        mesh = self._mesh()
+        out = np.asarray(
+            sp_ring_attention(mesh, jnp.asarray(q), jnp.asarray(k),
+                              jnp.asarray(v), scale)
+        )
+
+        # dense reference
+        G = Hq // Hkv
+        kf = np.repeat(k, G, axis=1)
+        vf = np.repeat(v, G, axis=1)
+        s = np.einsum("qhd,khd->hqk", q, kf) * scale
+        mask = np.tril(np.ones((T, T), bool))
+        s = np.where(mask[None], s, -np.inf)
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        ref = np.einsum("hqk,khd->qhd", p, vf)
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+    def test_long_sequence_many_blocks(self):
+        import jax.numpy as jnp
+        from scratchpad_tpu.ops.attention.ring import sp_ring_attention
+
+        T, Hq, D = 256, 2, 8
+        rng = np.random.default_rng(1)
+        q = rng.standard_normal((T, Hq, D)).astype(np.float32)
+        k = rng.standard_normal((T, Hq, D)).astype(np.float32)
+        v = rng.standard_normal((T, Hq, D)).astype(np.float32)
+        mesh = self._mesh()
+        out = np.asarray(
+            sp_ring_attention(mesh, jnp.asarray(q), jnp.asarray(k),
+                              jnp.asarray(v), D**-0.5)
+        )
+        s = np.einsum("qhd,khd->hqk", q, k) * D**-0.5
+        s = np.where(np.tril(np.ones((T, T), bool))[None], s, -np.inf)
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        ref = np.einsum("hqk,khd->qhd", p, v)
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
