@@ -115,46 +115,128 @@ def _tokenize(src: str) -> list[_Tok]:
     return toks
 
 
-class _RuleParser:
-    """Per-rule parser producing a regex string with rule refs inlined."""
+class _Cut(Exception):
+    """A rule reference hit the recursion-depth bound; the enclosing
+    alternative (or optional/star group) absorbs the cut."""
 
-    def __init__(self, rules: dict[str, list[_Tok]], cache: dict[str, str]):
+
+class _RuleParser:
+    """Per-rule parser producing a regex string with rule refs inlined.
+
+    Recursive rules unroll to ``max_depth`` nestings: at the bound, the
+    self-referencing ALTERNATIVE is dropped (keeping the base cases) and
+    self-references under ``*``/``?``/``{0,..}`` become empty — the
+    DFA-friendly approximation of xgrammar's pushdown automata (reference:
+    scratchpad/constrained/xgrammar_backend.py). max_depth=0 keeps the
+    strict non-recursive behavior (clear error on cycles)."""
+
+    def __init__(
+        self,
+        rules: dict[str, list[_Tok]],
+        cache: dict,
+        max_depth: int = 0,
+    ):
         self.rules = rules
-        self.cache = cache
+        self.cache = cache  # (name, nesting_count) -> regex
+        self.max_depth = max_depth
         self.stack: list[str] = []
 
     def expand(self, name: str) -> str:
-        if name in self.cache:
-            return self.cache[name]
-        if name in self.stack:
-            cycle = " -> ".join(self.stack + [name])
-            raise ValueError(
-                f"recursive EBNF rule ({cycle}): this engine compiles "
-                "grammars to a DFA and supports only non-recursive rules; "
-                "use json_schema for recursive JSON structures"
-            )
+        cnt = self.stack.count(name)
+        key = (name, cnt)
+        if key in self.cache:
+            return self.cache[key]
+        if cnt > 0 and cnt >= self.max_depth:
+            if self.max_depth == 0:
+                cycle = " -> ".join(self.stack + [name])
+                raise ValueError(
+                    f"recursive EBNF rule ({cycle}): this engine compiles "
+                    "grammars to a DFA; recursion unrolls to a bounded depth "
+                    "only when max_depth > 0 (auto by default), or use "
+                    "json_schema for recursive JSON structures"
+                )
+            raise _Cut(name)
         if name not in self.rules:
             raise ValueError(f"EBNF rule {name!r} is not defined")
         self.stack.append(name)
-        toks = self.rules[name]
-        regex = self._alternation(toks, [0])
+        try:
+            toks = self.rules[name]
+            regex = self._alternation(toks, [0])
+        finally:
+            self.stack.pop()
         if len(regex) > _MAX_EXPANSION:
             raise ValueError(f"EBNF rule {name!r} expands past the size bound")
-        self.stack.pop()
-        self.cache[name] = regex
+        self.cache[key] = regex
         return regex
 
-    def _alternation(self, toks, pos) -> str:
-        parts = [self._concat(toks, pos)]
-        while pos[0] < len(toks) and toks[pos[0]].kind == "|":
+    # -- syntactic skipping (no expansion) used to recover from a _Cut
+
+    @staticmethod
+    def _skip_to_alt(toks, pos) -> None:
+        depth = 0
+        while pos[0] < len(toks):
+            k = toks[pos[0]].kind
+            if k == "(":
+                depth += 1
+            elif k == ")":
+                if depth == 0:
+                    return
+                depth -= 1
+            elif k == "|" and depth == 0:
+                return
             pos[0] += 1
-            parts.append(self._concat(toks, pos))
+
+    @staticmethod
+    def _skip_atom(toks, pos) -> None:
+        k = toks[pos[0]].kind
+        pos[0] += 1
+        if k == "(":
+            depth = 1
+            while pos[0] < len(toks) and depth:
+                if toks[pos[0]].kind == "(":
+                    depth += 1
+                elif toks[pos[0]].kind == ")":
+                    depth -= 1
+                pos[0] += 1
+
+    def _alternation(self, toks, pos) -> str:
+        parts: list[str] = []
+        while True:
+            start = pos[0]
+            try:
+                parts.append(self._concat(toks, pos))
+            except _Cut:
+                pos[0] = start
+                self._skip_to_alt(toks, pos)  # drop this alternative
+            if pos[0] < len(toks) and toks[pos[0]].kind == "|":
+                pos[0] += 1
+                continue
+            break
+        if not parts:
+            raise _Cut("all alternatives recursed")
         return "|".join(parts) if len(parts) > 1 else parts[0]
 
     def _concat(self, toks, pos) -> str:
         out = []
         while pos[0] < len(toks) and toks[pos[0]].kind not in ("|", ")"):
-            out.append(self._postfix(toks, pos))
+            start = pos[0]
+            try:
+                out.append(self._postfix(toks, pos))
+            except _Cut:
+                pos[0] = start
+                self._skip_atom(toks, pos)
+                optional = False
+                while pos[0] < len(toks) and toks[pos[0]].kind in (
+                    "*", "+", "?", "bound",
+                ):
+                    t = toks[pos[0]]
+                    if t.kind in ("*", "?") or (
+                        t.kind == "bound" and t.val.startswith("{0")
+                    ):
+                        optional = True
+                    pos[0] += 1
+                if not optional:
+                    raise  # the whole concatenation requires the cut rule
         return "".join(out)
 
     def _postfix(self, toks, pos) -> str:
@@ -184,8 +266,24 @@ class _RuleParser:
         raise ValueError(f"unexpected token {t} in EBNF rule body")
 
 
-def ebnf_to_regex(src: str, root: str = "root") -> str:
-    """Compile a GBNF grammar source to one regex (non-recursive subset)."""
+def ebnf_to_regex(src: str, root: str = "root", max_depth=None) -> str:
+    """Compile a GBNF grammar source to one regex.
+
+    Non-recursive grammars compile exactly. Recursive rules unroll to a
+    bounded nesting depth (``max_depth``; default: the deepest of 6..1 whose
+    expansion fits the size bound) — structures nested deeper than the bound
+    are rejected by the DFA, which is the price of running without a
+    pushdown automaton (reference: xgrammar)."""
+    if max_depth is None:
+        last: Exception = ValueError("ebnf compile failed")
+        for d in (6, 5, 4, 3, 2, 1):
+            try:
+                return ebnf_to_regex(src, root, max_depth=d)
+            except ValueError as e:
+                if "size bound" not in str(e):
+                    raise
+                last = e
+        raise last
     toks = _tokenize(src)
     # split into rules at `name ::=` boundaries
     rules: dict[str, list[_Tok]] = {}
@@ -221,4 +319,9 @@ def ebnf_to_regex(src: str, root: str = "root") -> str:
             raise ValueError(f"expected 'name ::=' at token {toks[i]}")
     if root not in rules:
         raise ValueError(f"EBNF grammar has no {root!r} rule")
-    return _RuleParser(rules, {}).expand(root)
+    try:
+        return _RuleParser(rules, {}, max_depth=max_depth).expand(root)
+    except _Cut:
+        raise ValueError(
+            f"EBNF root rule {root!r} has no non-recursive base case"
+        ) from None

@@ -6,8 +6,8 @@ from scratchpad_tpu.constrained.ebnf import ebnf_to_regex
 from scratchpad_tpu.constrained.regex_fsm import compile_regex
 
 
-def accepts(src, s):
-    dfa = compile_regex(ebnf_to_regex(src))
+def accepts(src, s, max_depth=None):
+    dfa = compile_regex(ebnf_to_regex(src, max_depth=max_depth))
     st = dfa.walk(dfa.initial, s)
     return st >= 0 and dfa.is_accepting(st)
 
@@ -52,19 +52,41 @@ class TestEbnfToRegex:
             assert accepts(g, s), s
         assert not accepts(g, "b")
 
-    def test_recursion_rejected(self):
+    def test_recursion_unrolls_bounded(self):
         g = 'root ::= "(" root ")" | "x"'
+        # depth 3: up to 2 nesting levels around the base case survive
+        for s in ("x", "(x)", "((x))"):
+            assert accepts(g, s, max_depth=3), s
+        assert not accepts(g, "(((x)))", max_depth=3)
+        assert not accepts(g, "((x)", max_depth=3)
+        # strict mode keeps the old clear error
         with pytest.raises(ValueError, match="recursive"):
-            ebnf_to_regex(g)
+            ebnf_to_regex(g, max_depth=0)
 
-    def test_indirect_recursion_rejected(self):
+    def test_indirect_recursion_unrolls(self):
         g = """
         root ::= a
         a ::= "x" b
         b ::= a | "y"
         """
-        with pytest.raises(ValueError, match="recursive"):
-            ebnf_to_regex(g)
+        # a -> x b -> x a | x y: strings are x^n y
+        for s in ("xy", "xxy", "xxxy"):
+            assert accepts(g, s), s
+        assert not accepts(g, "x")
+
+    def test_recursive_list_with_star(self):
+        """Self-reference under * becomes empty at the bound, not a failure."""
+        g = """
+        root ::= item ("," item)*
+        item ::= "[" root "]" | [0-9]+
+        """
+        for s in ("1", "1,2", "[1,2]", "[1],[2,3]", "[[1]]"):
+            assert accepts(g, s), s
+        assert not accepts(g, "[1,")
+
+    def test_recursion_without_base_case(self):
+        with pytest.raises(ValueError, match="base case"):
+            ebnf_to_regex('root ::= "(" root ")"')
 
     def test_undefined_rule(self):
         with pytest.raises(ValueError, match="not defined"):
