@@ -47,10 +47,15 @@ def _ensure_builtin():
 
     _REGISTRY["LlamaForCausalLM"] = LlamaForCausalLM
     try:
-        from scratchpad_tpu.models.qwen import Qwen2ForCausalLM, Qwen3ForCausalLM
+        from scratchpad_tpu.models.qwen import (
+            Phi3ForCausalLM,
+            Qwen2ForCausalLM,
+            Qwen3ForCausalLM,
+        )
 
         _REGISTRY["Qwen2ForCausalLM"] = Qwen2ForCausalLM
         _REGISTRY["Qwen3ForCausalLM"] = Qwen3ForCausalLM
+        _REGISTRY["Phi3ForCausalLM"] = Phi3ForCausalLM
     except ImportError:
         pass
     try:
