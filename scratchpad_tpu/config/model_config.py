@@ -65,6 +65,8 @@ class ModelConfig:
     v_head_dim: int = 0
     # multimodal (VLM): vision_config dict + image token / feature options
     multimodal: Optional[dict] = None
+    # Mllama: decoder layer indices that are CROSS-attention layers
+    cross_attention_layers: Optional[list] = None
     # bookkeeping
     model_path: Optional[str] = None
     dtype: str = "bfloat16"

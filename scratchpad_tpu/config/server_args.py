@@ -51,6 +51,9 @@ class ServerArgs:
     # tokens and promote back on prefix hits (0 = off; reference:
     # memory/het_pool.py heterogeneous pool)
     host_kv_cache_tokens: int = 0
+    # cross-attention (Mllama): concurrent requests with an image (each
+    # holds one cross-KV slot)
+    cross_kv_slots: int = 16
 
     # parallelism
     tp_size: int = 1

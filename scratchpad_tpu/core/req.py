@@ -73,6 +73,10 @@ class Req:
     # DRAFT runner's pool (invariant: == computed_len right after any draft
     # forward; lags behind after plain decode windows, caught up on demand)
     draft_len: int = 0
+    # cross-attention (Mllama): projected vision states [S_img, H] and the
+    # assigned KVCache.cross slot (None until admission)
+    cross_states: Optional[np.ndarray] = None
+    cross_slot: Optional[int] = None
 
     # stop/stream state
     finished_reason: Optional[FinishReason] = None

@@ -82,6 +82,18 @@ class Scheduler:
             self.tree_cache.set_evict_hook(self.host_tier.on_evict)
         self.policy = SchedulePolicy(self.args.schedule_policy, self.tree_cache)
 
+        # cross-attention (Mllama): free list of KVCache.cross slots
+        # (slot 0 = scratch for requests without an image)
+        self.cross_slot_free: list[int] = []
+        if getattr(self.runner.model, "has_cross_attention", False):
+            n = self.runner.kv_config.cross_slots
+            self.cross_slot_free = list(range(n - 1, 0, -1))
+            if self.args.speculative_algorithm:
+                raise ValueError(
+                    "speculative decoding is not supported for cross-"
+                    "attention (Mllama) models yet"
+                )
+
         self.waiting: list[Req] = []
         self.running: list[Req] = []
         self.chunked_req: Optional[Req] = None
@@ -613,6 +625,10 @@ class Scheduler:
                 and len(active_toppings) >= MAX_ACTIVE_TOPPINGS - 1
             ):
                 continue  # adapter budget full; retry next round
+            if req.cross_states is not None and req.cross_slot is None:
+                if not self.cross_slot_free:
+                    continue  # all cross-KV slots busy; retry next round
+                req.cross_slot = self.cross_slot_free.pop()
             self._promote_host_prefix(req)
             res = adder.add_one_req(req)
             if adder.can_run_list and adder.can_run_list[-1] is req:
@@ -826,6 +842,23 @@ class Scheduler:
         if mrope_positions is None and any(r.mrope_delta for r in batch):
             rope_delta = np.array([r.mrope_delta for r in batch], np.int32)
 
+        cross_slots = cross_states = None
+        if getattr(self.runner.model, "has_cross_attention", False):
+            cross_slots = np.array(
+                [r.cross_slot or 0 for r in batch], np.int32
+            )
+            if mode != ForwardMode.DECODE and any(
+                r.cross_states is not None for r in batch
+            ):
+                S, H = next(
+                    r.cross_states.shape for r in batch
+                    if r.cross_states is not None
+                )
+                cross_states = np.zeros((len(batch), S, H), np.float32)
+                for i, r in enumerate(batch):
+                    if r.cross_states is not None:
+                        cross_states[i] = r.cross_states
+
         maxp = max(len(r.pages) for r in batch)
         page_table = np.zeros((len(batch), maxp), np.int32)
         for i, r in enumerate(batch):
@@ -854,6 +887,8 @@ class Scheduler:
             input_embeds=input_embeds,
             mrope_positions=mrope_positions,
             rope_delta=rope_delta,
+            cross_slots=cross_slots,
+            cross_states=cross_states,
         )
 
     @staticmethod
@@ -1073,6 +1108,9 @@ class Scheduler:
     def _release_req(self, req: Req, keep_outputs: bool) -> None:
         """Return KV pages + slot; insert finished KV into the radix tree
         (reference: radix_cache.py:145-178 cache_finished_req)."""
+        if req.cross_slot is not None:
+            self.cross_slot_free.append(req.cross_slot)
+            req.cross_slot = None
         ps = self.page_size
         if self.tree_cache.disable:
             if len(req.pages):

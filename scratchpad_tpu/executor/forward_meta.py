@@ -66,6 +66,11 @@ class ForwardMeta:
     # (rope position = positions + rope_delta; components equal => plain rope)
     mrope_positions: Optional[jax.Array] = None  # i32[3, T]
     rope_delta: Optional[jax.Array] = None  # i32[B]
+    # cross-attention (Mllama): per-request slot in KVCache.cross (0 = no
+    # image/scratch) and, on prefill chunks, the vision states to project
+    # and write into that slot
+    cross_slots: Optional[jax.Array] = None  # i32[B]
+    cross_states: Optional[jax.Array] = None  # f32[B, S_img, H]
     # embedding mode: models return pooled last-token hidden instead of logits
     capture_hidden: bool = False
     # scoring mode: models return the full [T, H] hidden sequence
@@ -100,6 +105,8 @@ jax.tree_util.register_dataclass(
         "input_embeds",
         "mrope_positions",
         "rope_delta",
+        "cross_slots",
+        "cross_states",
     ],
     meta_fields=["mode", "capture_hidden", "capture_all_hidden"],
 )

@@ -65,6 +65,9 @@ class WorkerBatch:
     # images) and/or per-request scalar rope shift (decode after images)
     mrope_positions: Optional[np.ndarray] = None  # i32[3, T_real]
     rope_delta: Optional[np.ndarray] = None  # i32[B_real]
+    # cross-attention (Mllama): slot per request + prefill vision states
+    cross_slots: Optional[np.ndarray] = None  # i32[B_real]
+    cross_states: Optional[np.ndarray] = None  # f32[B_real, S_img, H]
 
 
 @dataclasses.dataclass
@@ -276,8 +279,20 @@ class ModelRunner:
                 "quantized KV not supported for MLA yet"
             )
             cache_head_dim = self.model.mla_latent_dim
+        # cross-attention models keep paged KV only for SELF layers and a
+        # per-request slot buffer for cross K/V (Mllama)
+        num_kv_layers = getattr(
+            self.model, "num_kv_layers", cfg.num_hidden_layers
+        )
+        cross_kw = {}
+        if getattr(self.model, "has_cross_attention", False):
+            cross_kw = dict(
+                cross_layers=len(self.model.cross_idx),
+                cross_len=self.model.vision.num_patches,
+                cross_slots=self.args.cross_kv_slots + 1,  # +1 scratch slot 0
+            )
         self.kv_config = KVCacheConfig(
-            num_layers=cfg.num_hidden_layers,
+            num_layers=num_kv_layers,
             num_pages=num_pages,
             page_size=self.page_size,
             num_kv_heads=cfg.num_kv_heads,
@@ -290,6 +305,7 @@ class ModelRunner:
                 else jnp.int8
             ),
             mla=cfg.is_mla,
+            **cross_kw,
         )
         self.kv_cache = create_kv_cache(self.kv_config, mesh)
 
@@ -537,6 +553,7 @@ class ModelRunner:
             and wb.input_embeds is None
             and wb.mrope_positions is None
             and wb.rope_delta is None
+            and wb.cross_slots is None
             and not wb.return_top_logprobs
             and not self._dp_shard
             and not self.param_offload
@@ -554,6 +571,11 @@ class ModelRunner:
             self.params, jnp.asarray(pixel_values, self._dtype())
         )
         return np.asarray(feats, np.float32)
+
+    def image_token_embedding(self) -> np.ndarray:
+        """The learned <|image|> embedding row (Mllama placeholder)."""
+        idx = self.model.image_token_index
+        return np.asarray(self.params["embed"][idx], np.float32)
 
     def attach_toppings(self, manager) -> None:
         """Merge the adapter pools into the model params pytree."""
@@ -704,6 +726,7 @@ class ModelRunner:
                 active_adapters=meta.active_adapters,
                 adapter_slots=meta.adapter_slots,
                 rope_delta=meta.rope_delta,
+                cross_slots=meta.cross_slots,
             )
             kv, logits = self.model(params, kv, step_meta)
             sinfo_k = sinfo
@@ -833,6 +856,12 @@ class ModelRunner:
         rope_delta = None
         if wb.rope_delta is not None:
             rope_delta = pad1(wb.rope_delta.astype(np.int32), B)
+        cross_slots = cross_states = None
+        if wb.cross_slots is not None:
+            cross_slots = pad1(wb.cross_slots.astype(np.int32), B)
+        if wb.cross_states is not None:
+            cross_states = np.zeros((B,) + wb.cross_states.shape[1:], np.float32)
+            cross_states[: wb.cross_states.shape[0]] = wb.cross_states
         meta = ForwardMeta(
             mode=wb.mode,
             tokens=tokens,
@@ -848,6 +877,8 @@ class ModelRunner:
             input_embeds=input_embeds,
             mrope_positions=mrope_positions,
             rope_delta=rope_delta,
+            cross_slots=cross_slots,
+            cross_states=cross_states,
         )
         si = wb.sampling_info
         V = self.model_config.vocab_size

@@ -52,6 +52,12 @@ class KVCacheConfig:
     # ONE vector per token per layer holding [c_kv(kv_lora_rank), k_rope],
     # i.e. head axis is 1 and head_dim is the latent width.
     mla: bool = False
+    # cross-attention K/V slots (Mllama): [slots, cross_layers, S_img,
+    # 2*Hkv, D], written once per request at prefill, read every decode.
+    # slot 0 is the scratch row for requests without an image.
+    cross_layers: int = 0
+    cross_len: int = 0
+    cross_slots: int = 0
 
     @property
     def num_slots(self) -> int:
@@ -77,6 +83,8 @@ class KVCache:
 
     kv: jax.Array  # [total_pages, ps, 2*Hkv, D], K/V interleaved per head
     scale: Optional[jax.Array] = None  # [total_pages, ps, 2*Hkv] f32 (int8)
+    # per-request cross-attention K/V slots (Mllama)
+    cross: Optional[jax.Array] = None  # [slots, Lx, S_img, 2*Hkv, D]
     num_layers: int = 1  # static: pages are laid out layer-major
 
     @property
@@ -97,7 +105,7 @@ class KVCache:
 
 
 jax.tree_util.register_dataclass(
-    KVCache, data_fields=["kv", "scale"], meta_fields=["num_layers"]
+    KVCache, data_fields=["kv", "scale", "cross"], meta_fields=["num_layers"]
 )
 
 
@@ -130,4 +138,17 @@ def create_kv_cache(
     scale = None
     if cfg.quantized:
         scale = _zeros(shape[:-1], jnp.float32, scale_sharding)
-    return KVCache(kv=kv, scale=scale, num_layers=cfg.num_layers)
+    cross = None
+    if cfg.cross_layers:
+        cross = _zeros(
+            (
+                cfg.cross_slots,
+                cfg.cross_layers,
+                cfg.cross_len,
+                2 * cfg.num_kv_heads,
+                cfg.head_dim,
+            ),
+            cfg.dtype,
+            None,
+        )
+    return KVCache(kv=kv, scale=scale, cross=cross, num_layers=cfg.num_layers)

@@ -98,6 +98,12 @@ def _ensure_builtin():
     except ImportError:
         pass
     try:
+        from scratchpad_tpu.models.mllama import MllamaForCausalLM
+
+        _REGISTRY["MllamaForConditionalGeneration"] = MllamaForCausalLM
+    except ImportError:
+        pass
+    try:
         from scratchpad_tpu.models.deepseek import (
             DeepseekV2ForCausalLM,
             DeepseekV3ForCausalLM,

@@ -37,7 +37,9 @@ def write_latent(
     ps = kv.kv.shape[1]
     rows = layer_idx.astype(jnp.int32) * kv.slots_per_layer + loc
     new = kv.kv.at[rows // ps, rows % ps, 0].set(lat.astype(kv.kv.dtype))
-    return KVCache(kv=new, scale=kv.scale, num_layers=kv.num_layers)
+    import dataclasses
+
+    return dataclasses.replace(kv, kv=new)
 
 
 def _gather_latent(kv: KVCache, layer_idx, meta: ForwardMeta, page_size: int):

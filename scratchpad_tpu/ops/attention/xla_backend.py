@@ -71,7 +71,9 @@ def write_kv(
         upd, sc = _quantize_rows(upd, kv.kv.dtype)  # sc [T, 2Hkv]
         scale = scale.at[pg_idx, off_idx].set(sc)
     new_kv = kv.kv.at[pg_idx, off_idx].set(upd.astype(kv.kv.dtype))
-    return KVCache(kv=new_kv, scale=scale, num_layers=kv.num_layers)
+    import dataclasses
+
+    return dataclasses.replace(kv, kv=new_kv, scale=scale)
 
 
 def _gather_kv(kv: KVCache, layer_idx, meta: ForwardMeta, page_size: int, D: int):

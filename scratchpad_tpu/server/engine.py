@@ -152,6 +152,7 @@ class Engine:
             input_ids = self.tokenizer.encode(prompt)
         mm_positions = mm_features = None
         mrope_table, mrope_delta = None, 0
+        cross_states = None
         if image_data is not None:
             (
                 input_ids,
@@ -159,6 +160,7 @@ class Engine:
                 mm_features,
                 mrope_table,
                 mrope_delta,
+                cross_states,
             ) = self._prepare_multimodal(list(input_ids), image_data)
         topping_idx = 0
         if topping:
@@ -174,6 +176,7 @@ class Engine:
             mm_features=mm_features,
             mrope_table=mrope_table,
             mrope_delta=mrope_delta,
+            cross_states=cross_states,
         )
         gk = sp.grammar_key()
         if gk is not None and self.grammar_backend is not None:
@@ -223,6 +226,15 @@ class Engine:
                 f"{expected}x{expected} pixels (use Engine.preprocess_image)"
             )
         feats = self.scheduler.runner.encode_images(px)  # [N, P, H]
+        cross_states = None
+        if getattr(model, "has_cross_attention", False):
+            # Mllama: the image contributes CROSS-attention states, not
+            # embedded rows; the single placeholder row per image keeps the
+            # learned <|image|> embedding under a content-hashed pseudo id
+            assert px.shape[0] == 1, "one image per request for Mllama (v1)"
+            cross_states = np.asarray(feats[0], np.float32)  # [S_img, H]
+            emb = self.scheduler.runner.image_token_embedding()
+            feats = np.broadcast_to(emb, (1, 1, emb.shape[-1]))
         N, Pn, H = feats.shape
         img_tok = model.image_token_index
         n_ph = sum(1 for t in input_ids if t == img_tok)
@@ -271,6 +283,7 @@ class Engine:
             feats.reshape(N * Pn, H),
             mrope_table,
             mrope_delta,
+            cross_states,
         )
 
     # ------------------------------------------------------------ sync API

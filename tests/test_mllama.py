@@ -1,0 +1,203 @@
+"""Mllama (Llama-3.2 Vision): vision + cross-attention parity vs HF torch."""
+
+import numpy as np
+import pytest
+
+from scratchpad_tpu.config import ServerArgs
+from scratchpad_tpu.config.model_config import ModelConfig
+
+IMG_TOK = 500
+
+VISION_KW = dict(
+    hidden_size=32,
+    intermediate_size=64,
+    num_hidden_layers=3,
+    num_global_layers=2,
+    attention_heads=2,
+    image_size=32,
+    patch_size=8,  # 4x4 grid -> 17 patches with CLS
+    max_num_tiles=1,
+    supported_aspect_ratios=[[1, 1]],
+    intermediate_layers_indices=[0, 2],
+    vision_output_dim=96,
+)
+TEXT_KW = dict(
+    vocab_size=512,
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=5,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    cross_attention_layers=[2],
+    rope_theta=10000.0,
+    max_position_embeddings=512,
+    rms_norm_eps=1e-5,
+    tie_word_embeddings=False,
+)
+
+
+def our_config():
+    kw = dict(TEXT_KW)
+    cross = kw.pop("cross_attention_layers")
+    return ModelConfig(
+        architecture="MllamaForConditionalGeneration",
+        **kw,
+        head_dim=16,
+        cross_attention_layers=cross,
+        multimodal=dict(vision_config=dict(VISION_KW), image_token_index=IMG_TOK),
+    )
+
+
+def build_hf(seed=0):
+    torch = pytest.importorskip("torch")
+    from transformers import MllamaConfig
+    from transformers import MllamaForConditionalGeneration as HFMllama
+
+    tkw = dict(TEXT_KW)
+    tkw.update(pad_token_id=0, bos_token_id=1, eos_token_id=2)
+    tkw["rope_scaling"] = {"rope_type": "default"}
+    cfg = MllamaConfig(
+        vision_config=dict(VISION_KW),
+        text_config=tkw,
+        image_token_index=IMG_TOK,
+    )
+    cfg.text_config._attn_implementation = "eager"
+    cfg.vision_config._attn_implementation = "eager"
+    torch.manual_seed(seed)
+    return HFMllama(cfg).eval().to(torch.float32)
+
+
+def make_engine(hf=None, **kw):
+    from scratchpad_tpu.server.engine import Engine
+
+    args = ServerArgs(
+        max_total_tokens=2048,
+        page_size=4,
+        dtype="float32",
+        cross_kv_slots=4,
+        random_weights=hf is None,
+        **kw,
+    )
+    eng = Engine(args, model_config=our_config())
+    if hf is not None:
+        state = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        ok, msg = eng.scheduler.runner.update_weights(state)
+        assert ok, msg
+    return eng
+
+
+def hf_vision_inputs(px, torch):
+    return dict(
+        pixel_values=torch.tensor(px)[:, None, None],  # [B,1,1,C,S,S]
+        aspect_ratio_ids=torch.tensor([[1]] * px.shape[0]),
+        aspect_ratio_mask=torch.ones(px.shape[0], 1, 1, dtype=torch.long),
+    )
+
+
+def test_cross_states_match_hf():
+    """Vision tower + projector == HF get_image_features."""
+    torch = pytest.importorskip("torch")
+    hf = build_hf()
+    eng = make_engine(hf)
+    rng = np.random.default_rng(0)
+    px = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    ours = eng.scheduler.runner.encode_images(px)  # [2, 17, 64]
+    with torch.no_grad():
+        vi = hf_vision_inputs(px, torch)
+        theirs = hf.model.vision_model(**vi).last_hidden_state  # [2,1,1,17,96]
+        theirs = hf.model.multi_modal_projector(theirs[:, 0, 0]).numpy()
+    assert ours.shape == theirs.shape == (2, 17, 64)
+    np.testing.assert_allclose(ours, theirs, atol=3e-4, rtol=1e-3)
+
+
+def test_mllama_greedy_parity_with_image():
+    """Full generation parity. The image placeholder leads the prompt (the
+    official Llama-3.2-Vision template), so every token attends the image
+    in both implementations."""
+    torch = pytest.importorskip("torch")
+    hf = build_hf(seed=1)
+    eng = make_engine(hf)
+
+    from scratchpad_tpu.sampling.sampling_params import SamplingParams
+
+    rng = np.random.default_rng(2)
+    px = rng.standard_normal((1, 3, 32, 32)).astype(np.float32) * 0.5
+    prompt = [IMG_TOK, 7, 11, 13, 17, 19]
+    n_new = 8
+    sp = SamplingParams(temperature=0.0, max_new_tokens=n_new, ignore_eos=True)
+    out = eng.generate(input_ids=prompt, sampling_params=sp, image_data=px)
+
+    with torch.no_grad():
+        vi = hf_vision_inputs(px, torch)
+        hf_out = hf.generate(
+            input_ids=torch.tensor([prompt]),
+            cross_attention_mask=torch.ones(1, len(prompt), 1, 1, dtype=torch.long),
+            max_new_tokens=n_new,
+            do_sample=False,
+            temperature=None,
+            top_p=None,
+            top_k=None,
+            **vi,
+        )
+    theirs = hf_out[0, len(prompt):].tolist()
+    assert out.output_ids == theirs, f"{out.output_ids} vs {theirs}"
+    eng.scheduler.check_memory_leak()
+
+
+def test_mllama_text_only_matches_hf():
+    """No image: cross layers must be exact no-ops (HF skips them)."""
+    torch = pytest.importorskip("torch")
+    hf = build_hf(seed=2)
+    eng = make_engine(hf)
+    from scratchpad_tpu.sampling.sampling_params import SamplingParams
+
+    prompt = [5, 9, 2, 44, 17, 30, 8]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=8, ignore_eos=True)
+    out = eng.generate(input_ids=prompt, sampling_params=sp)
+    with torch.no_grad():
+        hf_out = hf.generate(
+            input_ids=torch.tensor([prompt]),
+            max_new_tokens=8,
+            do_sample=False,
+            temperature=None,
+            top_p=None,
+            top_k=None,
+        )
+    assert out.output_ids == hf_out[0, len(prompt):].tolist()
+    eng.scheduler.check_memory_leak()
+
+
+def test_mixed_image_text_batch_and_slot_reuse():
+    """Image + text requests in one batch; slots recycle across requests."""
+    eng = make_engine()  # random weights
+    # fresh-init cross gates are zero (tanh(0) -> images have no effect, as
+    # in HF); open them so image content influences the output
+    import jax.numpy as jnp
+
+    runner = eng.scheduler.runner
+    cl = dict(runner.params["cross_layers"])
+    cl["gate_attn"] = jnp.ones_like(cl["gate_attn"])
+    cl["gate_ffn"] = jnp.ones_like(cl["gate_ffn"])
+    runner.params = {**runner.params, "cross_layers": cl}
+    from scratchpad_tpu.sampling.sampling_params import SamplingParams
+
+    rng = np.random.default_rng(4)
+    sp = SamplingParams(temperature=0.0, max_new_tokens=5, ignore_eos=True)
+    px1 = rng.standard_normal((1, 3, 32, 32)).astype(np.float32)
+    px2 = rng.standard_normal((1, 3, 32, 32)).astype(np.float32)
+
+    solo_img = eng.generate(
+        input_ids=[IMG_TOK, 3, 4], sampling_params=sp, image_data=px1
+    )
+    eng.flush_cache()
+    outs = eng.generate(
+        input_ids=[[IMG_TOK, 3, 4], [9, 10, 11], [IMG_TOK, 3, 4]],
+        sampling_params=[sp] * 3,
+        image_data=[px1, None, px2],
+    )
+    assert outs[0].output_ids == solo_img.output_ids  # batch == solo
+    assert outs[0].output_ids != outs[2].output_ids  # image content matters
+    # all slots returned
+    n = eng.scheduler.runner.kv_config.cross_slots
+    assert sorted(eng.scheduler.cross_slot_free) == list(range(1, n))
+    eng.scheduler.check_memory_leak()
