@@ -118,10 +118,10 @@ class ServerArgs:
 
     def resolve(self) -> "ServerArgs":
         """Materialise derived defaults; idempotent."""
-        if self.speculative_algorithm not in (None, "none", "ngram", "draft"):
+        if self.speculative_algorithm not in (None, "none", "ngram", "draft", "eagle"):
             raise ValueError(
                 f"unknown speculative_algorithm {self.speculative_algorithm!r}"
-                " (expected 'ngram' or 'draft')"
+                " (expected ngram | draft | eagle)"
             )
         if self.speculative_algorithm == "none":
             self.speculative_algorithm = None

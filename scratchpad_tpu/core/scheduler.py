@@ -66,6 +66,16 @@ class Scheduler:
         self.draft_runner: Optional[ModelRunner] = None
         if self.args.speculative_algorithm == "draft":
             self.draft_runner = self._build_draft_runner(mesh)
+        # EAGLE: feature-conditioned 1-layer head sharing the target's
+        # embed/lm_head (reference stubs this: spec_info.py:4-24)
+        self.eagle = None
+        if self.args.speculative_algorithm == "eagle":
+            from scratchpad_tpu.executor.eagle import EagleRunner
+
+            assert not self.model_config.logit_softcap, (
+                "eagle: softcapped models unsupported"
+            )
+            self.eagle = EagleRunner(self.runner, self.args)
 
         self.tree_cache = TreeCacheGroup(
             self.page_size, disable=self.args.disable_radix_cache
@@ -183,7 +193,15 @@ class Scheduler:
             if batch[0].is_embedding:
                 emb = self.runner.run_embed(wb)
                 return self._process_embed_result(batch, chunk_lens, emb)
-            token_ids, logprobs, tops = self.runner.run_extend(wb)
+            if self.eagle is not None and not wb.return_top_logprobs:
+                token_ids, logprobs, h = self.runner.run_extend_with_hidden(wb)
+                tops = None
+                self._eagle_mirror_extend(batch, chunk_lens, h)
+            else:
+                token_ids, logprobs, tops = self.runner.run_extend(wb)
+                if self.eagle is not None:
+                    for r in batch:
+                        r.last_feature = None  # features not captured
             if self.draft_runner is not None:
                 # mirror the extend so the draft's KV tracks the target's
                 self.draft_runner.run_kv_only(wb)
@@ -199,6 +217,9 @@ class Scheduler:
                 return events
 
         wb = self._build_worker_batch(batch, mode, None)
+        if self.eagle is not None:
+            for r in batch:
+                r.last_feature = None  # plain decode: features not captured
         K = self._decode_window
         if self.args.enable_overlap and self._pipeline_ok(batch, wb):
             pending = self.runner.dispatch_decode_window(wb, K)
@@ -305,6 +326,86 @@ class Scheduler:
         for r in lag:
             r.draft_len = r.computed_len
 
+    def _eagle_mirror_extend(self, batch, chunk_lens, h) -> None:
+        """After a target extend with captured features, write the draft's
+        TRUE pairs (x_{p+1}, f_p) for the chunk (and the chunk boundary via
+        the stored last_feature)."""
+        ps = self.page_size
+        toks, pos, loc, ridx, feats = [], [], [], [], []
+        sub, seq, ext = [], [], []
+        off = 0
+        for r, chunk in zip(batch, chunk_lens):
+            if r.is_embedding:
+                off += chunk
+                continue
+            s0, e0 = r.computed_len, r.computed_len + chunk
+            pairs = []
+            if s0 > 0 and r.draft_len == s0 - 1 and r.last_feature is not None:
+                # chunk boundary pair carried over from the previous chunk
+                pairs.append((s0 - 1, int(r.fill_ids[s0]), r.last_feature))
+            # else (radix-prefix hit): the prefix pairs live in the SHARED
+            # pages (written when first computed); only position s0-1's pair
+            # is unknowable — one stale draft-KV row costs acceptance
+            # quality, never correctness (verification is exact)
+            for p in range(s0, e0 - 1):
+                pairs.append((p, int(r.fill_ids[p + 1]), h[off + (p - s0)]))
+            r.last_feature = h[off + (e0 - 1 - s0)]
+            if pairs:
+                bi = len(sub)
+                sub.append(r)
+                seq.append(pairs[-1][0] + 1)
+                ext.append(len(pairs))
+                for p, t, f in pairs:
+                    toks.append(t)
+                    pos.append(p)
+                    loc.append(int(r.pages[p // ps]) * ps + p % ps)
+                    ridx.append(bi)
+                    feats.append(f)
+            r.draft_len = e0 - 1
+            off += chunk
+        if not sub:
+            return
+        maxp = max(len(r.pages) for r in sub)
+        pt = np.zeros((len(sub), maxp), np.int32)
+        for i, r in enumerate(sub):
+            pt[i, : len(r.pages)] = r.pages
+        self.eagle.write_pairs(
+            dict(
+                tokens=np.asarray(toks, np.int32),
+                positions=np.asarray(pos, np.int32),
+                out_cache_loc=np.asarray(loc, np.int32),
+                req_indices=np.asarray(ridx, np.int32),
+                feats=np.asarray(feats, np.float32),
+                page_table=pt,
+                seq_lens=np.asarray(seq, np.int32),
+                extend_lens=np.asarray(ext, np.int32),
+            )
+        )
+
+    def _propose_eagle(self, batch: list[Req], k: int):
+        """k fused EAGLE draft steps; None -> fall back to plain decode."""
+        if any(
+            r.last_feature is None or r.draft_len != r.computed_len - 1
+            for r in batch
+        ):
+            return None
+        while k > 0 and not self._try_alloc_decode_pages(k + 1):
+            k //= 2
+        if k == 0:
+            return None
+        maxp = max(len(r.pages) for r in batch)
+        pt = np.zeros((len(batch), maxp), np.int32)
+        for i, r in enumerate(batch):
+            pt[i, : len(r.pages)] = r.pages
+        drafts = self.eagle.propose(
+            np.asarray([r.output_ids[-1] for r in batch], np.int32),
+            np.stack([r.last_feature for r in batch]),
+            np.asarray([r.computed_len for r in batch], np.int32),
+            pt,
+            k,
+        )  # [k, B]
+        return [[int(t) for t in drafts[:, i]] for i in range(len(batch))]
+
     def _spec_ok(self, batch: list[Req]) -> bool:
         """ngram speculation preserves outputs only for pure greedy rows."""
         return all(
@@ -346,6 +447,10 @@ class Scheduler:
         k = self.args.speculative_num_draft_tokens
         if self.args.speculative_algorithm == "draft":
             drafts = self._propose_draft(batch, k)
+            if drafts is None:
+                return None
+        elif self.args.speculative_algorithm == "eagle":
+            drafts = self._propose_eagle(batch, k)
             if drafts is None:
                 return None
         else:
@@ -405,7 +510,13 @@ class Scheduler:
             ),
             rope_delta=rope_delta,
         )
-        ids, lps = self.runner.run_spec_verify(wb)
+        if self.eagle is not None:
+            ids, lps, vh = self.runner.run_spec_verify_h(wb)
+        else:
+            ids, lps = self.runner.run_spec_verify(wb)
+            vh = None
+        e_toks, e_pos, e_loc, e_ridx, e_feats = [], [], [], [], []
+        e_sub, e_seq, e_ext = [], [], []
 
         events: list[StepEvent] = []
         finished: list[Req] = []
@@ -430,6 +541,28 @@ class Scheduler:
                 j += 1
                 consumed += 1
             r.computed_len += consumed
+            if vh is not None:
+                # stable draft KV: overwrite the accepted span with TRUE
+                # feature pairs from the verify pass
+                c_old = r.computed_len - consumed
+                pairs = [
+                    (p, int(r.fill_ids[p + 1]), vh[off - L + (p - c_old)])
+                    for p in range(c_old, r.computed_len - 1)
+                ]
+                r.last_feature = vh[off - L + consumed - 1]
+                ps_ = self.page_size
+                if pairs:
+                    bi = len(e_sub)
+                    e_sub.append(r)
+                    e_seq.append(pairs[-1][0] + 1)
+                    e_ext.append(len(pairs))
+                    for p, t, f in pairs:
+                        e_toks.append(t)
+                        e_pos.append(p)
+                        e_loc.append(int(r.pages[p // ps_]) * ps_ + p % ps_)
+                        e_ridx.append(bi)
+                        e_feats.append(f)
+                r.draft_len = r.computed_len - 1
             if self.draft_runner is not None:
                 # draft KV covers the window it just ran ([p0, p0+k), set in
                 # _propose_draft); on FULL acceptance the target advances one
@@ -442,6 +575,23 @@ class Scheduler:
             if r.finished():
                 finished.append(r)
             events.append(StepEvent(r, accepted, r.finished()))
+        if self.eagle is not None and e_sub:
+            maxp = max(len(r.pages) for r in e_sub)
+            pt = np.zeros((len(e_sub), maxp), np.int32)
+            for i, r in enumerate(e_sub):
+                pt[i, : len(r.pages)] = r.pages
+            self.eagle.write_pairs(
+                dict(
+                    tokens=np.asarray(e_toks, np.int32),
+                    positions=np.asarray(e_pos, np.int32),
+                    out_cache_loc=np.asarray(e_loc, np.int32),
+                    req_indices=np.asarray(e_ridx, np.int32),
+                    feats=np.asarray(e_feats, np.float32),
+                    page_table=pt,
+                    seq_lens=np.asarray(e_seq, np.int32),
+                    extend_lens=np.asarray(e_ext, np.int32),
+                )
+            )
         for r in finished:
             self.running.remove(r)
             self._finish_req(r)

@@ -989,6 +989,87 @@ class ModelRunner:
         ids, lps = jax.lax.map(chunk_fn, hp)
         return kv, ids.reshape(-1)[:T], lps.reshape(-1)[:T]
 
+    def run_spec_verify_h(self, wb: WorkerBatch):
+        """Like run_spec_verify but also returns the target features
+        (post-final-norm hidden rows) for EAGLE draft conditioning."""
+        self._no_offload("speculative verification")
+        if not hasattr(self, "_jit_spec_verify_h"):
+
+            def _impl(params, kv, meta):
+                meta2 = dataclasses.replace(meta, capture_all_hidden=True)
+                kv, h = self.model(params, kv, meta2)
+                head = (
+                    params["embed"]
+                    if self.model_config.tie_word_embeddings
+                    else params["lm_head"]
+                )
+
+                def chunk_fn(hc):
+                    logits = (hc @ head.T).astype(jnp.float32)
+                    ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    lse = jax.nn.logsumexp(logits, axis=-1)
+                    chosen = jnp.take_along_axis(
+                        logits, ids[:, None], axis=-1
+                    )[:, 0]
+                    return ids, chosen - lse
+
+                T = h.shape[0]
+                C = 128
+                pad = (-T) % C
+                hp = jnp.pad(h, [(0, pad), (0, 0)]).reshape(-1, C, h.shape[1])
+                ids, lps = jax.lax.map(chunk_fn, hp)
+                return kv, ids.reshape(-1)[:T], lps.reshape(-1)[:T], h
+
+            self._jit_spec_verify_h = jax.jit(_impl, donate_argnums=(1,))
+        meta, _ = self._pad_to_buckets(wb)
+        self.kv_cache, ids, lps, h = self._jit_spec_verify_h(
+            self.params, self.kv_cache, meta
+        )
+        T_real = len(wb.tokens)
+        return (
+            np.asarray(ids)[:T_real],
+            np.asarray(lps)[:T_real],
+            np.asarray(h, np.float32)[:T_real],
+        )
+
+    def run_extend_with_hidden(self, wb: WorkerBatch):
+        """Extend returning (ids, chosen_logprobs, features[T_real, H]) —
+        the EAGLE prefill path (features feed the draft's pair inputs)."""
+        self._no_offload("eagle extend")
+        assert not wb.return_top_logprobs
+        if not hasattr(self, "_jit_extend_h"):
+
+            def _impl(params, kv, meta, sinfo, rng):
+                meta2 = dataclasses.replace(meta, capture_all_hidden=True)
+                kv, h = self.model(params, kv, meta2)
+                head = (
+                    params["embed"]
+                    if self.model_config.tie_word_embeddings
+                    else params["lm_head"]
+                )
+                logits = (
+                    jnp.take(h, meta.last_token_idx, axis=0) @ head.T
+                ).astype(jnp.float32)
+                ids, logprobs = sample(logits, sinfo, rng)
+                chosen = jnp.take_along_axis(
+                    logprobs, ids[:, None], axis=-1
+                )[:, 0]
+                return kv, ids, chosen, h
+
+            self._jit_extend_h = jax.jit(_impl, donate_argnums=(1,))
+        B_real = len(wb.seq_lens)
+        T_real = len(wb.tokens)
+        meta, sinfo = self._pad_to_buckets(wb)
+        self._rng, step_rng = jax.random.split(self._rng)
+        self.kv_cache, ids, chosen, h = self._jit_extend_h(
+            self.params, self.kv_cache, meta, sinfo, step_rng
+        )
+        return (
+            np.asarray(ids)[:B_real],
+            np.asarray(chosen)[:B_real],
+            np.asarray(h, np.float32)[:T_real],
+        )
+
     def run_spec_verify(self, wb: WorkerBatch):
         self._no_offload("speculative verification")
         """Returns (greedy_ids[T_real], chosen_logprobs[T_real])."""

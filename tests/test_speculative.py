@@ -159,3 +159,78 @@ def test_spec_respects_stop_and_sampled_fallback():
     out2 = eng.generate(input_ids=[9, 10, 9, 10], sampling_params=sp2)
     assert len(out2.output_ids) == 8
     eng.scheduler.check_memory_leak()
+
+
+def test_eagle_matches_plain_greedy():
+    """Random EAGLE head (garbage drafts) must still give exact greedy
+    output — verification protects correctness for ANY draft quality."""
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(1, 500, n).tolist() for n in (9, 26)]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=16, ignore_eos=True)
+
+    ref = [
+        o.output_ids
+        for o in make_engine().generate(
+            input_ids=prompts, sampling_params=[sp] * 2
+        )
+    ]
+    eng = make_engine(speculative_algorithm="eagle")
+    got = [
+        o.output_ids
+        for o in eng.generate(input_ids=prompts, sampling_params=[sp] * 2)
+    ]
+    assert got == ref
+    assert eng.scheduler.num_spec_steps > 0  # eagle always proposes
+    eng.scheduler.check_memory_leak()
+
+
+def test_eagle_multi_turn_and_radix():
+    """Repeat prompts (radix hits) keep exactness; plain-decode fallback
+    after a sampled request doesn't corrupt later greedy runs."""
+    eng = make_engine(speculative_algorithm="eagle")
+    ref_eng = make_engine()
+    sp = SamplingParams(temperature=0.0, max_new_tokens=10, ignore_eos=True)
+    p = [7, 8, 9, 10, 11, 12, 13, 14]
+    a = eng.generate(input_ids=p, sampling_params=sp)
+    assert a.output_ids == ref_eng.generate(input_ids=p, sampling_params=sp).output_ids
+    # sampled request (bypasses speculation, drops features)
+    eng.generate(
+        input_ids=[3, 4, 5],
+        sampling_params=SamplingParams(
+            temperature=0.9, max_new_tokens=4, ignore_eos=True
+        ),
+    )
+    # radix-hit rerun still exact
+    b = eng.generate(input_ids=p, sampling_params=sp)
+    assert b.output_ids == a.output_ids
+    assert b.cached_tokens > 0
+    eng.scheduler.check_memory_leak()
+
+
+def test_eagle_head_import_format():
+    """Trained EAGLE-1 checkpoints (fc.weight + layers.0.*) import."""
+    import jax
+
+    from scratchpad_tpu.executor.eagle import EagleRunner
+
+    eng = make_engine(speculative_algorithm="eagle")
+    er = eng.scheduler.eagle
+    cfg = eng.model_config
+    H, D = cfg.hidden_size, cfg.head_dim
+    Hq, Hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    rng = np.random.default_rng(0)
+    state = {
+        "fc.weight": rng.standard_normal((H, 2 * H)).astype(np.float32),
+        "layers.0.self_attn.q_proj.weight": rng.standard_normal((Hq * D, H)).astype(np.float32),
+        "layers.0.self_attn.k_proj.weight": rng.standard_normal((Hkv * D, H)).astype(np.float32),
+        "layers.0.self_attn.v_proj.weight": rng.standard_normal((Hkv * D, H)).astype(np.float32),
+        "layers.0.self_attn.o_proj.weight": rng.standard_normal((H, Hq * D)).astype(np.float32),
+        "layers.0.mlp.gate_proj.weight": rng.standard_normal((cfg.intermediate_size, H)).astype(np.float32),
+        "layers.0.mlp.up_proj.weight": rng.standard_normal((cfg.intermediate_size, H)).astype(np.float32),
+        "layers.0.mlp.down_proj.weight": rng.standard_normal((H, cfg.intermediate_size)).astype(np.float32),
+        "layers.0.input_layernorm.weight": np.ones(H, np.float32),
+        "layers.0.post_attention_layernorm.weight": np.ones(H, np.float32),
+    }
+    params = er.convert_hf_state(state, jax.numpy.float32)
+    assert params["fc"].shape == (2 * H, H)
+    assert params["layers"]["wq"].shape == (1, H, Hq * D)
