@@ -89,6 +89,13 @@ class ServerArgs:
     speculative_ngram_max: int = 3  # longest suffix n-gram to match
     speculative_draft_preset: Optional[str] = None
     speculative_draft_model_path: Optional[str] = None
+    # sequence-parallel prefill: fresh long prompts (no cached prefix) run
+    # one unchunked ring-attention extend with the token axis sharded over
+    # the mesh's "sp" axis (beyond reference — SURVEY.md §2.7: the reference
+    # has no SP; long prompts are only chunked). Budget defaults to
+    # chunked_prefill_size * sp_size.
+    enable_sp_prefill: bool = False
+    sp_prefill_tokens: Optional[int] = None
     # MoE expert parallelism: shard the expert axis over the mesh's tp axis
     # (each device owns whole experts; one psum combines) instead of
     # sharding every expert's ffw dim

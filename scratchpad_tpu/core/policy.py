@@ -110,6 +110,8 @@ class PrefillAdder:
         max_prefill_tokens: int,
         chunked_prefill_size: int,
         max_batch_reqs: int,
+        sp_unchunked_limit: int = 0,
+        sp_eligible=None,
     ):
         self.tree_cache = tree_cache
         self.page_size = page_allocator.page_size
@@ -131,6 +133,11 @@ class PrefillAdder:
         self.can_run_list: list[Req] = []
         self.new_chunked_req: Optional[Req] = None
         self.log_input_tokens = 0
+        # sequence-parallel prefill: a fresh prompt (no cached prefix) up to
+        # this many tokens may run as ONE unchunked extend (the runner
+        # routes it through ring attention over the mesh "sp" axis)
+        self.sp_unchunked_limit = sp_unchunked_limit
+        self.sp_eligible = sp_eligible
 
     def budget_state(self) -> AddReqResult:
         if self.rem_total_tokens <= 0:
@@ -162,7 +169,15 @@ class PrefillAdder:
             req.sampling_params.max_new_tokens * self.new_token_ratio
         )
 
-        if input_len <= self.rem_input_tokens and input_len <= self.chunked_prefill_size:
+        chunk_limit = self.chunked_prefill_size
+        if (
+            self.sp_unchunked_limit
+            and prefix_tokens == 0
+            and input_len <= self.sp_unchunked_limit
+            and (self.sp_eligible is None or self.sp_eligible(req))
+        ):
+            chunk_limit = self.sp_unchunked_limit
+        if input_len <= self.rem_input_tokens and input_len <= chunk_limit:
             # whole remaining prompt fits this batch
             if input_len + decode_budget > self.rem_total_tokens:
                 return AddReqResult.NO_TOKEN

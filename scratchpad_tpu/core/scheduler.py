@@ -751,14 +751,29 @@ class Scheduler:
         embed_waiting = [r for r in self.waiting if r.is_embedding]
         candidates = embed_waiting if embed_waiting else self.waiting
         self.policy.calc_priority(candidates)
+        # sequence-parallel prefill budget: fresh prompts up to this length
+        # run unchunked (the runner shards the token axis over "sp")
+        sp_limit = 0
+        if (
+            getattr(self.runner, "sp_prefill_tokens", 0)
+            and self.args.speculative_algorithm is None
+        ):
+            sp_limit = self.runner.sp_prefill_tokens
         adder = PrefillAdder(
             self.tree_cache,
             self.allocator,
             self.running,
             self.new_token_ratio,
-            self.args.max_prefill_tokens,
+            max(self.args.max_prefill_tokens, sp_limit),
             self.args.chunked_prefill_size,
             self.runner.max_running_requests - len(self.running),
+            sp_unchunked_limit=sp_limit,
+            # sp prefills run solo (the runner requires a single-request
+            # extend), so only the batch's first admission may take the
+            # unchunked path
+            sp_eligible=lambda r: (
+                not adder.can_run_list and self._sp_req_eligible(r)
+            ),
         )
         admitted: list[Req] = []
         # cap distinct adapters across running + admitted
@@ -789,6 +804,14 @@ class Scheduler:
             if res != AddReqResult.CONTINUE:
                 break
             if adder.new_chunked_req is not None:
+                break
+            # an sp-sized unchunked admission fills the batch by itself
+            if (
+                admitted
+                and admitted[-1] is req
+                and len(req.origin_input_ids) - req.cached_prefix_len
+                > self.args.chunked_prefill_size
+            ):
                 break
 
         if not admitted:
@@ -826,6 +849,8 @@ class Scheduler:
             and self.running
             and not batch[0].is_embedding
             and not any(r.grammar is not None for r in self.running)
+            # sp prefills stay solo (single-request ring-attention extend)
+            and not any(c > self.args.chunked_prefill_size for c in chunk_lens)
         ):
             ps = self.page_size
             for r in self.running:
@@ -839,6 +864,21 @@ class Scheduler:
                 batch.append(r)
                 chunk_lens.append(1)
         return batch, chunk_lens
+
+    def _sp_req_eligible(self, req: Req) -> bool:
+        """May this request's fresh prompt run as ONE sequence-parallel
+        extend? Excludes every feature the packed sp step can't carry
+        (ModelRunner._packed_supported + ring-attention constraints)."""
+        return (
+            not req.is_embedding
+            and req.topping_idx == 0
+            and req.mm_positions is None
+            and req.mrope_table is None
+            and req.cross_states is None
+            and req.grammar is None
+            and req.sampling_params.top_logprobs == 0
+            and req.sampling_params.min_new_tokens == 0
+        )
 
     def _alloc_for_extend(self, req: Req, chunk: int) -> bool:
         """Ensure req slot + pages to hold KV for the next ``chunk`` tokens."""

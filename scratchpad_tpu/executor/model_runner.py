@@ -134,7 +134,7 @@ class ModelRunner:
             if (
                 backend == "ragged"
                 and dp == 1
-                and tp >= 1
+                and "tp" in mesh.axis_names
                 and cfg.num_kv_heads % tp == 0
             ):
                 backend = "ragged_tp"
@@ -342,7 +342,7 @@ class ModelRunner:
         )
         self._jit_packed_extend = jax.jit(
             self._packed_extend_impl,
-            static_argnames=("T", "B", "P"),
+            static_argnames=("T", "B", "P", "use_sp"),
             donate_argnames=("kv",),
         )
         self._jit_packed_decode = jax.jit(
@@ -366,6 +366,33 @@ class ModelRunner:
             and "dp" in mesh.axis_names
             and mesh.shape["dp"] > 1
         )
+        # sequence-parallel prefill (beyond reference — SURVEY.md §2.7):
+        # fresh unchunked long prompts run ring attention over the mesh's
+        # "sp" axis; everything else about the step (KV page writes,
+        # sampling) is unchanged, so decode continues off the same cache
+        self.sp_size = mesh.shape.get("sp", 1) if mesh is not None else 1
+        self.sp_prefill_tokens = 0
+        if (
+            self.args.enable_sp_prefill
+            and self.sp_size > 1
+            and not cfg.is_mla
+            and not getattr(self.model, "has_cross_attention", False)
+            and not cfg.attn_logit_softcap
+            and not cfg.sliding_window
+            and self.args.kv_cache_dtype not in ("int8", "fp8")
+        ):
+            from scratchpad_tpu.parallel import make_sp_extend_attention
+
+            self._sp_attend = make_sp_extend_attention(mesh)
+            self.sp_prefill_tokens = (
+                self.args.sp_prefill_tokens
+                or self.args.chunked_prefill_size * self.sp_size
+            )
+            # extend the prefill bucket ladder to cover sp-sized prompts
+            b = self.args.prefill_token_buckets[-1]
+            while b < self.sp_prefill_tokens:
+                b *= 2
+                self.args.prefill_token_buckets.append(b)
 
     def _dtype(self):
         return {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}[
@@ -511,15 +538,29 @@ class ModelRunner:
 
     @staticmethod
     def _pack_out(ids: jax.Array, chosen: jax.Array) -> jax.Array:
-        """Stack ids (bitcast to f32) with logprobs into one output buffer."""
+        """Stack ids with logprobs (bitcast to i32) into one INT output
+        buffer. Int lanes, not float: small token ids bitcast to f32 are
+        denormals, and XLA's flush-to-zero (observed in GSPMD/sp programs)
+        silently zeroes them; integer lanes are always exact."""
         return jnp.stack(
-            [jax.lax.bitcast_convert_type(ids, jnp.float32), chosen]
+            [ids, jax.lax.bitcast_convert_type(chosen, jnp.int32)]
         )
 
-    def _packed_extend_impl(self, params, kv, ints, floats, key, T, B, P):
+    def _packed_extend_impl(self, params, kv, ints, floats, key, T, B, P,
+                            use_sp=False):
         meta, sinfo = self._unpack(ints, floats, T, B, P, ForwardMode.EXTEND)
         step_key = jax.random.fold_in(key, ints[-1])
-        kv, logits = self.model(params, kv, meta)
+        if use_sp:
+            # trace-time swap: this jit variant's extend attention is the
+            # ring op over the mesh "sp" axis (parallel/sp.py)
+            prev = self.model.extend_attention
+            self.model.extend_attention = self._sp_attend
+            try:
+                kv, logits = self.model(params, kv, meta)
+            finally:
+                self.model.extend_attention = prev
+        else:
+            kv, logits = self.model(params, kv, meta)
         ids, logprobs = sample(logits, sinfo, step_key)
         chosen = jnp.take_along_axis(logprobs, ids[:, None], axis=-1)[:, 0]
         return kv, self._pack_out(ids, chosen)[:, None, :]
@@ -538,8 +579,8 @@ class ModelRunner:
         )
         out = jnp.stack(
             [
-                jax.lax.bitcast_convert_type(all_ids, jnp.float32),
-                all_chosen,
+                all_ids,
+                jax.lax.bitcast_convert_type(all_chosen, jnp.int32),
             ]
         )
         return kv, out, all_ids[-1]  # last samples stay on device for chaining
@@ -615,13 +656,28 @@ class ModelRunner:
                 None,
             )
         T, B, P = self._bucket_dims(wb)
+        use_sp = self._sp_extend_ok(wb, T)
         ints, floats = self._pack_host(wb, T, B, P)
         self.kv_cache, out = self._jit_packed_extend(
-            self.params, self.kv_cache, ints, floats, self._base_key, T, B, P
+            self.params, self.kv_cache, ints, floats, self._base_key, T, B, P,
+            use_sp=use_sp,
         )
         host = np.asarray(out)  # ONE fetch
-        ids = host[0, 0].view(np.int32)[:B_real]
-        return ids, host[1, 0, :B_real], None
+        ids = host[0, 0, :B_real]
+        return ids, host[1, 0, :B_real].view(np.float32), None
+
+    def _sp_extend_ok(self, wb: WorkerBatch, T_bucket: int) -> bool:
+        """Route this extend through sequence-parallel ring attention?
+        Scope: ONE fresh request (no cached prefix), long enough to matter,
+        padded T divisible by the sp axis (parallel/sp.py constraints)."""
+        return (
+            self.sp_prefill_tokens > 0
+            and len(wb.seq_lens) == 1
+            and int(wb.positions[0]) == 0
+            and int(wb.extend_lens[0]) == int(wb.seq_lens[0])
+            and len(wb.tokens) > self.args.chunked_prefill_size
+            and T_bucket % self.sp_size == 0
+        )
 
     def run_decode_window(self, wb: WorkerBatch, num_steps: int):
         """K fused decode steps; returns (ids[K, B_real], logprobs[K, B_real],
@@ -690,8 +746,8 @@ class ModelRunner:
     def fetch_decode_window(self, pending):
         out, _, B_real = pending
         host = np.asarray(out)  # ONE fetch
-        ids = host[0].view(np.int32)[:, :B_real]
-        return ids, host[1, :, :B_real], None
+        ids = host[0, :, :B_real]
+        return ids, host[1, :, :B_real].view(np.float32), None
 
     # ------------------------------------------------------------ multi-step
 

@@ -16,7 +16,7 @@ from typing import Any, Optional
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from scratchpad_tpu.utils import get_logger
 
@@ -54,7 +54,25 @@ def place_params(
     if mesh is None:
         return jax.tree.map(jax.device_put, params)
 
+    axes = set(mesh.axis_names)
+
+    def clean(spec):
+        """Drop spec axes the mesh doesn't have (e.g. "tp" specs on an
+        sp-only mesh) — those dims are simply replicated."""
+        if spec is None:
+            return None
+        parts = []
+        for p in spec:
+            if p is None:
+                parts.append(None)
+            elif isinstance(p, tuple):
+                kept = tuple(r for r in p if r in axes)
+                parts.append(kept if kept else None)
+            else:
+                parts.append(p if p in axes else None)
+        return PartitionSpec(*parts)
+
     def put(x, spec):
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, NamedSharding(mesh, clean(spec)))
 
     return jax.tree.map(put, params, specs)

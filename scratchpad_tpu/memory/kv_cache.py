@@ -122,8 +122,11 @@ def create_kv_cache(
 
     if mesh is not None:
         # MLA's latent cache has no head axis to shard — replicate it
-        # (MQA-style: every tp shard attends the full latent)
-        head_spec = None if cfg.mla else tp_axis
+        # (MQA-style: every tp shard attends the full latent). Meshes
+        # without a tp axis (e.g. sp-only) replicate too.
+        head_spec = (
+            None if (cfg.mla or tp_axis not in mesh.axis_names) else tp_axis
+        )
         kv_sharding = NamedSharding(mesh, P(None, None, head_spec, None))
         scale_sharding = NamedSharding(mesh, P(None, None, head_spec))
     else:

@@ -95,11 +95,13 @@ def _decode_kernel(
 
         arr = kv_buf[slot].reshape(CHUNK, 2 * Hkv, D)
         arr = arr.reshape(CHUNK, Hkv, 2, D).astype(jnp.float32)
-        k = arr[:, :, 0, :]  # [CHUNK, Hkv, D]
-        v = arr[:, :, 1, :]
-        # batch over heads: q [Hkv, G, D] x k [CHUNK, Hkv, D] -> [Hkv, G, CHUNK]
+        # head-major for the dots: Mosaic requires batch dims in the SAME
+        # position on both operands ("batch dims must be equal")
+        k = arr[:, :, 0, :].transpose(1, 0, 2)  # [Hkv, CHUNK, D]
+        v = arr[:, :, 1, :].transpose(1, 0, 2)
+        # batch over heads: q [Hkv, G, D] x k [Hkv, CHUNK, D] -> [Hkv, G, CHUNK]
         s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (1,))), preferred_element_type=jnp.float32
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
         if logit_cap is not None:
             s = logit_cap * jnp.tanh(s / logit_cap)
@@ -114,7 +116,7 @@ def _decode_kernel(
         p = jnp.exp(s - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((2,), (0,)), ((0,), (1,))), preferred_element_type=jnp.float32
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
         return m_new, l_new, acc_new
 

@@ -115,3 +115,75 @@ def test_sp_prefill_under_jit():
     kv, logits = jax.jit(model)(params, create_kv_cache(kvc), meta)
     assert np.asarray(logits).shape == (1, cfg.vocab_size)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+class TestSpServing:
+    """Serving-loop SP autodispatch: fresh long prompts prefill unchunked
+    through ring attention on an sp mesh, matching the chunked single-device
+    engine token-for-token."""
+
+    def _engine(self, mesh=None, **kw):
+        from scratchpad_tpu.config import ServerArgs
+        from scratchpad_tpu.server.engine import Engine
+
+        args = ServerArgs(
+            preset="tiny-debug",
+            random_weights=True,
+            dtype="float32",
+            page_size=4,
+            max_total_tokens=4096,
+            chunked_prefill_size=64,
+            max_prefill_tokens=256,
+            **kw,
+        )
+        return Engine(args, mesh=mesh)
+
+    def _mesh(self):
+        import jax
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) < 4:
+            pytest.skip("needs 4 devices")
+        return Mesh(np.array(devs[:4]), ("sp",))
+
+    def test_sp_serving_matches_single_device(self):
+        from scratchpad_tpu.sampling.sampling_params import SamplingParams
+
+        rng = np.random.default_rng(7)
+        # one long fresh prompt (> chunked_prefill_size) + two short ones
+        prompts = [
+            rng.integers(1, 500, 200).tolist(),
+            rng.integers(1, 500, 24).tolist(),
+            rng.integers(1, 500, 180).tolist(),
+        ]
+        sp = SamplingParams(temperature=0.0, max_new_tokens=6)
+        ref = [
+            o.output_ids
+            for o in self._engine().generate(
+                input_ids=prompts, sampling_params=[sp] * 3
+            )
+        ]
+        eng = self._engine(mesh=self._mesh(), enable_sp_prefill=True)
+        assert eng.scheduler.runner.sp_prefill_tokens >= 256
+        got = [
+            o.output_ids
+            for o in eng.generate(input_ids=prompts, sampling_params=[sp] * 3)
+        ]
+        assert got == ref
+        eng.scheduler.check_memory_leak()
+
+    def test_sp_prefix_hit_falls_back_to_chunking(self):
+        """A prompt with a cached radix prefix must not take the sp path
+        (ring attention assumes no prefix); it chunks as usual."""
+        from scratchpad_tpu.sampling.sampling_params import SamplingParams
+
+        rng = np.random.default_rng(8)
+        long_prompt = rng.integers(1, 500, 160).tolist()
+        sp = SamplingParams(temperature=0.0, max_new_tokens=4)
+        eng = self._engine(mesh=self._mesh(), enable_sp_prefill=True)
+        first = eng.generate(input_ids=[long_prompt], sampling_params=[sp])
+        # same prompt again: radix prefix hit -> chunked path
+        second = eng.generate(input_ids=[long_prompt], sampling_params=[sp])
+        assert first[0].output_ids == second[0].output_ids
+        eng.scheduler.check_memory_leak()
