@@ -132,6 +132,7 @@ class PrefillAdder:
             )
         self.can_run_list: list[Req] = []
         self.new_chunked_req: Optional[Req] = None
+        self.new_chunked_len = 0
         self.log_input_tokens = 0
         # sequence-parallel prefill: a fresh prompt (no cached prefix) up to
         # this many tokens may run as ONE unchunked extend (the runner
@@ -192,6 +193,9 @@ class PrefillAdder:
             self.rem_total_tokens -= chunk
             self.rem_input_tokens -= chunk
             self.new_chunked_req = req
+            # the batch build must use THIS chunk length: it may be smaller
+            # than chunked_prefill_size when rem_input_tokens ran low
+            self.new_chunked_len = chunk
         req.cached_prefix_len = prefix_tokens
         req.last_node = match.last_node
         req.pages = match.page_ids[:num_pages].copy()

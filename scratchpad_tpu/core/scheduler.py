@@ -824,7 +824,9 @@ class Scheduler:
             req.computed_len = req.cached_prefix_len
             chunk = req.extend_input_len
             if req is adder.new_chunked_req:
-                chunk = min(chunk, self.args.chunked_prefill_size)
+                # the admitted chunk, NOT chunked_prefill_size: the adder may
+                # have cut it shorter when rem_input_tokens ran low
+                chunk = min(chunk, adder.new_chunked_len)
                 chunk = max((chunk // self.page_size) * self.page_size, 1)
             if not self._alloc_for_extend(req, chunk):
                 # roll back admission for this req

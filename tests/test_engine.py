@@ -128,6 +128,20 @@ class TestChunkedPrefill:
         out2 = eng2.generate(input_ids=p, sampling_params=sp)
         assert out.output_ids == out2.output_ids
 
+    def test_chunk_respects_input_token_budget(self):
+        """When rem_input_tokens runs low, the admitted chunk is SHORTER
+        than chunked_prefill_size; the batch build must honor the admitted
+        length or the packed token buffer overflows its top bucket
+        (regression: 5 x 896-token prompts at max_prefill_tokens=4096)."""
+        eng = make_engine(chunked_prefill_size=64, max_prefill_tokens=96)
+        prompts = [prompt(56, seed=s) for s in (1, 2, 3)]
+        sp = SamplingParams(temperature=0.0, max_new_tokens=4)
+        outs = eng.generate(input_ids=prompts, sampling_params=[sp] * 3)
+        eng.scheduler.check_memory_leak()
+        ref = make_engine()
+        refs = ref.generate(input_ids=prompts, sampling_params=[sp] * 3)
+        assert [o.output_ids for o in outs] == [o.output_ids for o in refs]
+
     def test_chunked_with_concurrent(self):
         eng = make_engine(chunked_prefill_size=16)
         prompts = [prompt(n, seed=n) for n in (50, 7, 33)]
