@@ -1,0 +1,287 @@
+"""Block-diagonal paged GQA flash-decode kernel (decode v2).
+
+Replaces the per-(seq, head) serial inner loops that make both the bundled
+ragged-paged-attention kernel and the v1 in-repo kernel latency-bound at
+decode shapes (reference analogue: the 2-stage Triton flash-decode,
+scratchpad/nn/attention/triton_attn/decode_attention.py:12-608; see also
+the bundled kernel jax/experimental/pallas/ops/tpu/ragged_paged_attention).
+
+Decode is HBM-bound: the whole step should cost ~(live KV bytes / HBM BW).
+The TPU has ONE core, so grid parallelism buys nothing — the design goals
+are (a) large DMAs, (b) an unbroken DMA pipeline across sequences, and
+(c) tiny, relayout-free compute per chunk:
+
+- The paged cache [total_pages, ps, 2*Hkv, Dp] is viewed as
+  [total_pages, ps, 2*Hkv*Dp] (free reshape): one page slab [ps, LANES]
+  is (8,128)-tile aligned, so a single DMA moves all heads of a page.
+- Per sequence, pages stream in CHUNK_PAGES-sized double-buffered chunks;
+  when a sequence's last chunk is issued the NEXT sequence's first chunk
+  is prefetched (cursor parity carried across grid steps in SMEM), so the
+  DMA queue never drains at sequence boundaries.
+- Q is expanded in-kernel into a block-diagonal [Hq, LANES] matrix:
+  row h*G+g holds q_{h,g} in head h's K lanes and zeros elsewhere. Then
+  ONE dot against the raw chunk [CHUNK, LANES] yields all heads' scores
+  [Hq, CHUNK] — no strided loads, no transposes, no per-head loop. The
+  wasted MXU flops (x 2*Hkv) are free: decode is bandwidth-bound.
+- P@V is one dot back into [Hq, LANES]; each row's V block is selected at
+  the end with Dp-aligned lane slices (the K-block and cross-head columns
+  of the accumulator are simply never read).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from scratchpad_tpu.executor.forward_meta import ForwardMeta
+from scratchpad_tpu.memory.kv_cache import KVCache
+
+_NEG = -1e30
+
+
+def _gqa_decode_kernel(
+    # scalar prefetch
+    pt_ref,  # i32[B, P] global page ids (layer folded in, padded with 0)
+    len_ref,  # i32[B] kv lens (0 = padding row)
+    # inputs
+    q_ref,  # VMEM [1, Hq, Dp] this sequence's queries, pre-scaled
+    kv_hbm,  # ANY [Pg, ps, LANES]
+    # outputs
+    o_ref,  # VMEM [1, Hq, Dp]
+    # scratch
+    kv_buf,  # VMEM [2, CP, ps, LANES]
+    sems,  # DMA sems [2]
+    cursor,  # SMEM [1]: buffer parity of this program's first chunk
+    *,
+    page_size: int,
+    chunk_pages: int,
+    logit_cap: Optional[float],
+    sliding_window: Optional[int],
+):
+    b = pl.program_id(0)
+    B = pl.num_programs(0)
+    CP = chunk_pages
+    CHUNK = CP * page_size
+    Hq, Dp = q_ref.shape[1], q_ref.shape[2]
+    LANES = kv_buf.shape[-1]
+    H2 = LANES // Dp  # combined (K,V) head slots
+    G = Hq // (H2 // 2)
+
+    def nchunks(seq):
+        # every row owns >= 1 chunk so the prefetch chain stays uniform;
+        # padding rows stream the dump page and mask everything out
+        return jnp.maximum(pl.cdiv(len_ref[seq], CHUNK), 1)
+
+    def chunk_dmas(seq, c, slot):
+        out = []
+        for j in range(CP):
+            page = pt_ref[seq, c * CP + j]
+            out.append(
+                pltpu.make_async_copy(
+                    kv_hbm.at[page], kv_buf.at[slot, j], sems.at[slot]
+                )
+            )
+        return out
+
+    def start_chunk(seq, c, slot):
+        for dma in chunk_dmas(seq, c, slot):
+            dma.start()
+
+    def wait_chunk(seq, c, slot):
+        for dma in chunk_dmas(seq, c, slot):
+            dma.wait()
+
+    @pl.when(b == 0)
+    def _():
+        cursor[0] = 0
+        start_chunk(0, 0, 0)
+
+    slot0 = cursor[0]
+    seq_len = len_ref[b]
+    live = nchunks(b)
+
+    # block-diagonal Q: row r = h*G+g carries q_{h,g} in combined slot 2h
+    # (head h's K lanes), zeros elsewhere — lane l of the tiled copy holds
+    # q[r, l % Dp], which is exactly q[r, l - 2h*Dp] inside the kept block
+    q = q_ref[0].astype(jnp.float32)  # [Hq, Dp]
+    qt = jnp.concatenate([q] * H2, axis=1)  # [Hq, LANES]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Hq, LANES), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (Hq, LANES), 0)
+    q_bd = jnp.where(lane // Dp == 2 * (row // G), qt, 0.0)
+
+    def body(c, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(slot0 + c, 2)
+
+        # prefetch successor chunk: next chunk of this seq, else the next
+        # sequence's first chunk — the pipeline never drains mid-batch
+        last_of_seq = c + 1 >= live
+        nseq = jnp.where(last_of_seq, b + 1, b)
+        nc = jnp.where(last_of_seq, 0, c + 1)
+
+        @pl.when(nseq < B)
+        def _():
+            start_chunk(nseq, nc, jax.lax.rem(slot + 1, 2))
+
+        wait_chunk(b, c, slot)
+
+        buf = kv_buf[slot].reshape(CHUNK, LANES)  # free: leading-dim merge
+        s = jax.lax.dot_general(
+            q_bd,
+            buf.astype(jnp.float32),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Hq, CHUNK]
+        if logit_cap is not None:
+            s = logit_cap * jnp.tanh(s / logit_cap)
+        col = c * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (Hq, CHUNK), 1)
+        valid = col < seq_len
+        if sliding_window is not None:
+            valid &= col >= seq_len - sliding_window
+        s = jnp.where(valid, s, _NEG)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(buf.dtype),
+            buf,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Hq, LANES]
+        acc_new = acc * alpha + pv
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((Hq, 1), _NEG, jnp.float32)
+    l0 = jnp.zeros((Hq, 1), jnp.float32)
+    acc0 = jnp.zeros((Hq, LANES), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, live, body, (m0, l0, acc0))
+    cursor[0] = jax.lax.rem(slot0 + live, 2)
+
+    l_safe = jnp.where(l > 0, l, 1.0)
+    acc = acc / l_safe
+    # pick each row's own V block: rows h*G..h*G+G-1 read combined slot
+    # 2h+1; slices are Dp(>=128)-aligned so this is relayout-free
+    rows = jax.lax.broadcasted_iota(jnp.int32, (Hq, Dp), 0)
+    out = jnp.zeros((Hq, Dp), jnp.float32)
+    for j in range(1, H2, 2):
+        blk = acc[:, j * Dp : (j + 1) * Dp]
+        out += jnp.where(rows // G == j // 2, blk, 0.0)
+    out = jnp.where(seq_len > 0, out, 0.0)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "page_size",
+        "sm_scale",
+        "logit_cap",
+        "sliding_window",
+        "num_layers",
+    ),
+)
+def _gqa_decode_call(
+    q,  # [B, Hq, D]
+    kv_pages,  # [Pg, ps, 2Hkv, Dp]
+    layer_idx,
+    page_table,  # [B, P] per-layer page ids
+    seq_lens,  # [B]
+    *,
+    page_size,
+    sm_scale,
+    logit_cap,
+    sliding_window,
+    num_layers,
+):
+    B, Hq, D = q.shape
+    Pg, ps, H2, Dp = kv_pages.shape
+    LANES = H2 * Dp
+    Ptot = Pg // num_layers
+
+    CP = max(1, min(8, page_table.shape[1]))
+    P = page_table.shape[1]
+    P_pad = -(-P // CP) * CP
+    if P_pad != P:
+        page_table = jnp.pad(page_table, ((0, 0), (0, P_pad - P)))
+    pt_global = (page_table + layer_idx.astype(jnp.int32) * Ptot).astype(
+        jnp.int32
+    )
+
+    qs = q * jnp.asarray(sm_scale, q.dtype)
+    if Dp != D:
+        qs = jnp.pad(qs, [(0, 0), (0, 0), (0, Dp - D)])
+
+    kv_flat = kv_pages.reshape(Pg, ps, LANES)
+
+    kernel = functools.partial(
+        _gqa_decode_kernel,
+        page_size=page_size,
+        chunk_pages=CP,
+        logit_cap=logit_cap,
+        sliding_window=sliding_window,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Hq, Dp), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # kv pages stay in HBM
+        ],
+        out_specs=pl.BlockSpec((1, Hq, Dp), lambda b, *_: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, CP, ps, LANES), kv_pages.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Dp), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(
+        pt_global,
+        seq_lens.astype(jnp.int32),
+        qs,
+        kv_flat,
+    )
+    return out[..., :D]
+
+
+def decode_attention_gqa(
+    q: jax.Array,  # [B, Hq, D]
+    kv: KVCache,
+    layer_idx: jax.Array,
+    meta: ForwardMeta,
+    *,
+    page_size: int,
+    sm_scale: float,
+    logit_cap: Optional[float] = None,
+    sliding_window: Optional[int] = None,
+) -> jax.Array:
+    """Drop-in replacement for decode_attention_xla (same signature)."""
+    assert kv.kv.dtype not in (jnp.int8, jnp.float8_e4m3fn), (
+        "quantized KV uses the XLA backend"
+    )
+    return _gqa_decode_call(
+        q,
+        kv.kv,
+        jnp.asarray(layer_idx),
+        meta.page_table,
+        meta.seq_lens,
+        page_size=page_size,
+        sm_scale=sm_scale,
+        logit_cap=logit_cap,
+        sliding_window=sliding_window,
+        num_layers=kv.num_layers,
+    )

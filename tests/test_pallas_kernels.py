@@ -108,6 +108,92 @@ def test_decode_kernel_gqa_grouping():
     np.testing.assert_allclose(out[0, 3], 7.0, rtol=1e-6)
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("caps", [(None, None), (30.0, None), (None, 64)])
+def test_gqa_decode_v2_matches_xla(seed, caps):
+    from scratchpad_tpu.ops.attention.gqa_decode import decode_attention_gqa
+
+    logit_cap, sliding_window = caps
+    q, kv, meta = make_case(seed=seed)
+    kw = dict(
+        page_size=16,
+        sm_scale=0.125,
+        logit_cap=logit_cap,
+        sliding_window=sliding_window,
+    )
+    ref = decode_attention_xla(q, kv, jnp.int32(1), meta, **kw)
+    out = decode_attention_gqa(q, kv, jnp.int32(1), meta, **kw)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_gqa_decode_v2_padding_rows():
+    from scratchpad_tpu.ops.attention.gqa_decode import decode_attention_gqa
+
+    q, kv, meta = make_case(B=4)
+    seq = np.asarray(meta.seq_lens).copy()
+    seq[2:] = 0
+    meta = dataclasses.replace(meta, seq_lens=jnp.asarray(seq))
+    out = decode_attention_gqa(
+        q, kv, jnp.int32(0), meta, page_size=16, sm_scale=0.125
+    )
+    a = np.asarray(out)
+    assert np.isfinite(a).all()
+    assert np.abs(a[2:]).max() == 0.0
+
+
+def test_gqa_decode_v2_grouping():
+    from scratchpad_tpu.ops.attention.gqa_decode import decode_attention_gqa
+
+    B, Hq, Hkv, D, ps, P, L = 1, 4, 2, 64, 16, 8, 1
+    Ptot = 64
+    Dp = padded_head_dim(D)
+    kv_arr = np.ones((L * Ptot, ps, 2 * Hkv, Dp), np.float32)
+    kv_arr[:, :, 1, :] = 5.0  # v of head 0
+    kv_arr[:, :, 3, :] = 7.0  # v of head 1
+    cache = KVCache(kv=jnp.asarray(kv_arr), num_layers=L)
+    q = jnp.ones((B, Hq, D), jnp.float32)
+    meta = ForwardMeta(
+        mode=ForwardMode.DECODE,
+        tokens=jnp.zeros(B, jnp.int32),
+        positions=jnp.asarray([31]),
+        out_cache_loc=jnp.zeros(B, jnp.int32),
+        req_indices=jnp.arange(B, dtype=jnp.int32),
+        page_table=jnp.asarray([[1, 2, 0, 0, 0, 0, 0, 0]], jnp.int32),
+        seq_lens=jnp.asarray([32]),
+        extend_lens=jnp.ones(B, jnp.int32),
+        last_token_idx=jnp.arange(B, dtype=jnp.int32),
+    )
+    out = np.asarray(
+        decode_attention_gqa(
+            q, cache, jnp.int32(0), meta, page_size=ps, sm_scale=0.125
+        )
+    )
+    np.testing.assert_allclose(out[0, 0], 5.0, rtol=1e-6)
+    np.testing.assert_allclose(out[0, 1], 5.0, rtol=1e-6)
+    np.testing.assert_allclose(out[0, 2], 7.0, rtol=1e-6)
+    np.testing.assert_allclose(out[0, 3], 7.0, rtol=1e-6)
+
+
+def test_gqa_decode_v2_multi_layer_and_long():
+    """Layer folding + many chunks per sequence (exercises the DMA chain)."""
+    from scratchpad_tpu.ops.attention.gqa_decode import decode_attention_gqa
+
+    q, kv, meta = make_case(B=3, P=32, L=3, seed=7)
+    seq = np.asarray(meta.seq_lens).copy()
+    seq[0] = 32 * 16 - 1  # full table: 4 chunks of 8 pages
+    seq[1] = 17  # just over one page
+    meta = dataclasses.replace(meta, seq_lens=jnp.asarray(seq))
+    for layer in (0, 2):
+        kw = dict(page_size=16, sm_scale=0.125)
+        ref = decode_attention_xla(q, kv, jnp.int32(layer), meta, **kw)
+        out = decode_attention_gqa(q, kv, jnp.int32(layer), meta, **kw)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+
 def test_ragged_reference_matches_xla_decode():
     """The ragged kernel's jax reference impl must agree with our XLA
     backend given the same combined cache (validates layout + semantics)."""
