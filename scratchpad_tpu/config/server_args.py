@@ -55,9 +55,14 @@ class ServerArgs:
     # holds one cross-KV slot)
     cross_kv_slots: int = 16
 
-    # parallelism
+    # parallelism: when no explicit mesh is handed to Engine, a mesh with
+    # axes ("dp","pp","sp","tp") is built over the first
+    # dp*pp*sp*tp local devices (reference: server/args.py:46 tp_size/
+    # dp_size spawn per-rank processes; here one controller + one mesh)
     tp_size: int = 1
     dp_size: int = 1
+    pp_size: int = 1
+    sp_size: int = 1
     # decode/prefill compile buckets (CUDA-graph-ladder analogue,
     # reference: model_executor/cuda_graph_runner.py:92-128)
     decode_bs_buckets: Optional[list[int]] = None
@@ -96,6 +101,13 @@ class ServerArgs:
     # chunked_prefill_size * sp_size.
     enable_sp_prefill: bool = False
     sp_prefill_tokens: Optional[int] = None
+    # pipeline parallelism: partition the stacked decoder layers over the
+    # mesh's "pp" axis and run GPipe-style pipelined forwards (beyond
+    # reference — it builds PP groups but has no execution path,
+    # reference: distributed/parallel_state.py:984-999). Microbatches > 1
+    # split decode batches by rows to overlap the stages.
+    enable_pp: bool = False
+    pp_microbatches: int = 1
     # MoE expert parallelism: shard the expert axis over the mesh's tp axis
     # (each device owns whole experts; one psum combines) instead of
     # sharding every expert's ffw dim
@@ -152,6 +164,10 @@ class ServerArgs:
             import jax
 
             jax.config.update("jax_platforms", self.device)
+        if self.pp_size > 1:
+            self.enable_pp = True
+        if self.sp_size > 1:
+            self.enable_sp_prefill = True
         if self.served_model_name is None:
             self.served_model_name = self.preset or self.model_path or "model"
         if self.tokenizer_path is None:

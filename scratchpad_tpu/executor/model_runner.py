@@ -113,6 +113,35 @@ class ModelRunner:
         self.model.mesh = mesh
         self.model.use_ep = bool(self.args.enable_ep and mesh is not None)
 
+        # pipeline parallelism (parallel/pp.py): GPipe stages over a pure
+        # "pp" mesh; the stacked layer axis and the layer-major page axis
+        # shard per stage
+        self.pp_size = (
+            mesh.shape.get("pp", 1)
+            if mesh is not None and self.args.enable_pp
+            else 1
+        )
+        if self.pp_size > 1:
+            others = [
+                n for n in mesh.axis_names if n != "pp" and mesh.shape[n] > 1
+            ]
+            if others:
+                raise ValueError(
+                    f"enable_pp supports pp-only meshes; got extra axes {others}"
+                )
+            if not hasattr(self.model, "layers_forward"):
+                raise ValueError(
+                    "enable_pp supports the stacked-decoder (Llama-family) "
+                    "forward only"
+                )
+            if cfg.num_hidden_layers % self.pp_size != 0:
+                raise ValueError(
+                    f"num_hidden_layers {cfg.num_hidden_layers} must be "
+                    f"divisible by pp={self.pp_size}"
+                )
+            self.model.pp_mesh = mesh
+            self.model.pp_microbatches = self.args.pp_microbatches
+
         # attention backend (reference: model_runner.py:453 init_attention_backend)
         # "auto": the unified ragged-paged-attention kernel on TPU (both
         # extend and decode), the XLA gather backend on CPU. int8 KV and
@@ -233,7 +262,16 @@ class ModelRunner:
                     from scratchpad_tpu.ops.quant import quantize_model_params
 
                     self.params = quantize_model_params(self.params)
-            if mesh is not None:
+            if mesh is not None and self.pp_size > 1:
+                from scratchpad_tpu.parallel.pp import pp_param_specs
+
+                assert "layers_q" not in self.params, (
+                    "PP with quantized weights: not yet"
+                )
+                self.params = place_params(
+                    self.params, pp_param_specs(self.params), mesh
+                )
+            elif mesh is not None:
                 specs = self.model.param_specs()
                 if "layers_q" in self.params:
                     if self.args.quantization == "fp8":

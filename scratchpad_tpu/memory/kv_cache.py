@@ -127,8 +127,11 @@ def create_kv_cache(
         head_spec = (
             None if (cfg.mla or tp_axis not in mesh.axis_names) else tp_axis
         )
-        kv_sharding = NamedSharding(mesh, P(None, None, head_spec, None))
-        scale_sharding = NamedSharding(mesh, P(None, None, head_spec))
+        # pipeline parallelism: the layer-major global page axis shards
+        # exactly into per-stage layer blocks (parallel/pp.py)
+        page_spec = "pp" if "pp" in mesh.axis_names else None
+        kv_sharding = NamedSharding(mesh, P(page_spec, None, head_spec, None))
+        scale_sharding = NamedSharding(mesh, P(page_spec, None, head_spec))
     else:
         kv_sharding = scale_sharding = None
 

@@ -233,6 +233,12 @@ class LlamaForCausalLM:
     def __call__(
         self, params: dict, kv: KVCache, meta: ForwardMeta
     ) -> tuple[KVCache, jax.Array]:
+        if getattr(self, "pp_mesh", None) is not None:
+            from scratchpad_tpu.parallel.pp import pp_call
+
+            return pp_call(
+                self, params, kv, meta, self.pp_mesh, self.pp_microbatches
+            )
         cfg = self.cfg
         L = cfg.num_hidden_layers
         x = self.embed_tokens(params, meta)
@@ -357,3 +363,7 @@ class LlamaForCausalLM:
 
     # set by the executor before jit (page size is static per engine)
     page_size: int = 16
+    # pipeline parallelism: set by the executor when the mesh has a "pp"
+    # axis (parallel/pp.py pp_call takes over __call__)
+    pp_mesh = None
+    pp_microbatches: int = 1

@@ -80,6 +80,10 @@ class Engine:
         self.detokenizer = IncrementalDetokenizer(self.tokenizer)
 
         self.eos_token_ids: frozenset[int] = frozenset(self._find_eos_ids())
+        if mesh is None:
+            from scratchpad_tpu.parallel import mesh_from_args
+
+            mesh = mesh_from_args(self.args)
         self.scheduler = Scheduler(model_config, self.args, mesh=mesh)
         self.grammar_backend = None
         if self.tokenizer is not None and self.args.grammar_backend == "native":
