@@ -151,9 +151,9 @@ class ModelRunner:
             backend = "ragged" if jax.default_backend() != "cpu" else "xla"
         if not getattr(self.model, "supports_pallas_attention", True):
             backend = "xla"
-        if self.args.kv_cache_dtype in ("int8", "fp8") and backend == "ragged":
+        if self.args.kv_cache_dtype in ("int8", "fp8") and backend in ("ragged", "gqa"):
             backend = "xla"
-        if mesh is not None and backend in ("ragged", "pallas"):
+        if mesh is not None and backend in ("ragged", "pallas", "gqa"):
             # pallas_call doesn't auto-partition under pjit; the ragged
             # backend has a shard_map head-parallel wrapper for pure-TP
             # meshes (tp | num_kv_heads). dp>1 splits the flat ragged token
@@ -191,6 +191,21 @@ class ModelRunner:
             )
 
             self.model.decode_attention = decode_attention_pallas
+        elif backend == "gqa":
+            # decode v2: block-diagonal GQA flash-decode with a cross-
+            # sequence DMA pipeline (gqa_decode.py); extend still runs the
+            # ragged kernel on TPU (the v2 kernel is decode-only)
+            from scratchpad_tpu.ops.attention.gqa_decode import (
+                decode_attention_gqa,
+            )
+
+            self.model.decode_attention = decode_attention_gqa
+            if jax.default_backend() != "cpu":
+                from scratchpad_tpu.ops.attention.ragged_backend import (
+                    attention_ragged,
+                )
+
+                self.model.extend_attention = attention_ragged
         # else: keep the XLA reference backend
         self.attention_backend = backend
 
@@ -308,7 +323,7 @@ class ModelRunner:
         # the cache tight when XLA serves attention
         cache_head_dim = (
             padded_head_dim(cfg.head_dim)
-            if self.attention_backend in ("pallas", "ragged", "ragged_tp")
+            if self.attention_backend in ("pallas", "ragged", "ragged_tp", "gqa")
             else cfg.head_dim
         )
         if cfg.is_mla:
@@ -467,7 +482,7 @@ class ModelRunner:
         )
         hd = (
             padded_head_dim(cfg.head_dim)
-            if getattr(self, "attention_backend", "xla") in ("pallas", "ragged", "ragged_tp")
+            if getattr(self, "attention_backend", "xla") in ("pallas", "ragged", "ragged_tp", "gqa")
             else cfg.head_dim
         )
         if cfg.is_mla:

@@ -286,3 +286,35 @@ class TestRingAttention:
         p /= p.sum(-1, keepdims=True)
         ref = np.einsum("hqk,khd->qhd", p, v)
         np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_gqa_backend_engine_parity():
+    """attention_backend='gqa' serves end-to-end (decode v2 kernel wired
+    into the runner; extend stays XLA on CPU)."""
+    from scratchpad_tpu.config import ServerArgs
+    from scratchpad_tpu.sampling.sampling_params import SamplingParams
+    from scratchpad_tpu.server.engine import Engine
+
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(1, 500, n).tolist() for n in (9, 25, 14)]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=6)
+
+    def run(backend):
+        eng = Engine(
+            ServerArgs(
+                preset="tiny-debug",
+                random_weights=True,
+                dtype="float32",
+                page_size=4,
+                max_total_tokens=2048,
+                attention_backend=backend,
+            )
+        )
+        out = [
+            o.output_ids
+            for o in eng.generate(input_ids=prompts, sampling_params=[sp] * 3)
+        ]
+        eng.scheduler.check_memory_leak()
+        return out
+
+    assert run("gqa") == run("xla")
