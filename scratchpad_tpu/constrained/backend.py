@@ -29,8 +29,39 @@ from scratchpad_tpu.utils import get_logger
 logger = get_logger("constrained")
 
 
+def _load_fsm_native():
+    """ctypes handle to the C++ token-walk kernel (csrc/fsm.cpp), or None."""
+    from scratchpad_tpu.utils.native import load_native
+
+    lib = load_native("fsm")
+    if lib is None:
+        return None
+    import ctypes
+
+    fn = lib.sptpu_fsm_compute_state
+    fn.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),  # trans
+        ctypes.c_int32,  # num_classes
+        ctypes.POINTER(ctypes.c_int32),  # seqs
+        ctypes.POINTER(ctypes.c_int64),  # offsets
+        ctypes.c_int64,  # vocab
+        ctypes.c_int32,  # state
+        ctypes.POINTER(ctypes.c_uint32),  # mask
+        ctypes.POINTER(ctypes.c_int32),  # dst
+    ]
+    fn.restype = None
+    return fn
+
+
 class CompiledGrammar:
-    """A DFA plus tokenizer-vocabulary transition/bitmask caches."""
+    """A DFA plus tokenizer-vocabulary transition/bitmask caches.
+
+    The per-state mask fill walks every vocab token through the DFA — the
+    hot path the reference delegates to xgrammar's C++ mask computation
+    (reference: scratchpad/constrained/xgrammar_backend.py:82-100). Here it
+    runs in the in-repo C++ kernel (csrc/fsm.cpp) over a densified
+    transition table, with the Python walk as fallback.
+    """
 
     def __init__(self, dfa: DFA, token_strs: list[Optional[str]], eos_ids: set[int]):
         self.dfa = dfa
@@ -41,19 +72,67 @@ class CompiledGrammar:
         # per-state caches
         self._bitmask: dict[int, np.ndarray] = {}
         self._token_dst: dict[int, np.ndarray] = {}
+        self._native = _load_fsm_native()
+        if self._native is not None:
+            self._densify()
+
+    def _densify(self) -> None:
+        """Dense transition table + per-token class-id sequences for C++.
+
+        Classes: one id per explicit alphabet char, plus OTHER (last id)
+        for every char outside the pattern's alphabet — matching
+        DFA.step's semantics exactly.
+        """
+        chars = sorted(self.dfa.alphabet)
+        cls = {c: i for i, c in enumerate(chars)}
+        C = len(chars) + 1  # + OTHER
+        S = self.dfa.num_states
+        trans = np.full((S, C), -1, np.int32)
+        for s, t in enumerate(self.dfa.transitions):
+            other = t.get(None, -1)
+            trans[s, C - 1] = other
+            for c, i in cls.items():
+                trans[s, i] = t.get(c, -1)
+        seqs: list[int] = []
+        offsets = np.zeros(self.vocab_size + 1, np.int64)
+        get = cls.get
+        OTHER = C - 1
+        for tid, s in enumerate(self.token_strs):
+            if s:
+                seqs.extend(get(c, OTHER) for c in s)
+            offsets[tid + 1] = len(seqs)
+        self._trans = np.ascontiguousarray(trans)
+        self._nclasses = C
+        self._seqs = np.asarray(seqs or [0], np.int32)
+        self._offsets = offsets
 
     def _compute_state(self, state: int) -> None:
         words = -(-self.vocab_size // 32)
         mask = np.zeros(words, np.uint32)
         dst = np.full(self.vocab_size, -1, np.int32)
-        walk = self.dfa.walk
-        for tid, s in enumerate(self.token_strs):
-            if not s:
-                continue
-            d = walk(state, s)
-            if d >= 0:
-                dst[tid] = d
-                mask[tid >> 5] |= np.uint32(1 << (tid & 31))
+        if self._native is not None:
+            import ctypes
+
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            self._native(
+                self._trans.ctypes.data_as(i32p),
+                self._nclasses,
+                self._seqs.ctypes.data_as(i32p),
+                self._offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                self.vocab_size,
+                state,
+                mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                dst.ctypes.data_as(i32p),
+            )
+        else:
+            walk = self.dfa.walk
+            for tid, s in enumerate(self.token_strs):
+                if not s:
+                    continue
+                d = walk(state, s)
+                if d >= 0:
+                    dst[tid] = d
+                    mask[tid >> 5] |= np.uint32(1 << (tid & 31))
         if self.dfa.is_accepting(state):
             for e in self.eos_ids:
                 if e < self.vocab_size:

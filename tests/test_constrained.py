@@ -210,3 +210,40 @@ class TestJumpForward:
         # ~27 chars generated; without jump-forward this needs 25+ steps
         assert steps < 12, steps
         eng.scheduler.check_memory_leak()
+
+
+class TestNativeFsmKernel:
+    """The C++ token-walk kernel (csrc/fsm.cpp) vs the Python DFA walk."""
+
+    def test_native_matches_python_walk(self):
+        import numpy as np
+        from scratchpad_tpu.constrained.backend import CompiledGrammar
+        from scratchpad_tpu.constrained.json_schema import schema_to_regex
+        from scratchpad_tpu.constrained.regex_fsm import compile_regex
+
+        schema = {
+            "type": "object",
+            "properties": {"a": {"type": "string"}, "n": {"type": "integer"}},
+            "required": ["a", "n"],
+        }
+        dfa = compile_regex(schema_to_regex(schema))
+        rng = np.random.default_rng(0)
+        chars = list('abc012{}[]:," .-é')  # incl. non-ascii OTHER char
+        toks = [
+            "".join(rng.choice(chars, rng.integers(1, 6))) for _ in range(512)
+        ]
+        toks[3] = None
+        toks[7] = ""
+        native = CompiledGrammar(dfa, toks, {2})
+        assert native._native is not None, "g++ kernel failed to build"
+        python = CompiledGrammar(dfa, toks, {2})
+        python._native = None
+        for st in range(dfa.num_states):
+            native._compute_state(st)
+            python._compute_state(st)
+            np.testing.assert_array_equal(
+                native._bitmask[st], python._bitmask[st]
+            )
+            np.testing.assert_array_equal(
+                native._token_dst[st], python._token_dst[st]
+            )
