@@ -34,7 +34,7 @@ def main() -> None:
         preset, dtype = "llama-3.2-1b", "bfloat16"
         batch_size, prompt_len, decode_len = 64, 128, 128
         hbm_gbps = 819.0  # v5e
-        max_total_tokens = 65536
+        max_total_tokens = int(os.environ.get("SPTPU_BENCH_TOKENS", "65536"))
     else:
         preset, dtype = "tiny-debug", "float32"
         batch_size, prompt_len, decode_len = 8, 32, 16

@@ -16,9 +16,18 @@ from scratchpad_tpu.config import ServerArgs
 
 
 def _serve(args: argparse.Namespace) -> None:
+    sargs = ServerArgs.from_cli_args(args)
+    if sargs.num_nodes > 1 and sargs.node_rank > 0:
+        # follower nodes run the SPMD shard + command replay, no HTTP
+        # (reference: nodes with node_rank>=1 only run scheduler processes,
+        # scratchpad/server/server.py:268-272)
+        from scratchpad_tpu.server.engine import run_follower
+
+        run_follower(sargs)
+        return
     from scratchpad_tpu.server.http_server import launch_server
 
-    launch_server(ServerArgs.from_cli_args(args))
+    launch_server(sargs)
 
 
 def _bench(args: argparse.Namespace) -> None:

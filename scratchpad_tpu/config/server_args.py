@@ -63,6 +63,15 @@ class ServerArgs:
     dp_size: int = 1
     pp_size: int = 1
     sp_size: int = 1
+    # cross-host serving (parallel/multihost.py): every node runs this same
+    # program over ONE global mesh; node 0 is the leader (scheduler + HTTP)
+    # and broadcasts the runner command stream over a TCP control plane;
+    # nodes >= 1 run follower_loop (reference analogue: per-rank scheduler
+    # processes fed by broadcast_pyobj, scratchpad/utils/utils.py:353-384)
+    num_nodes: int = 1
+    node_rank: int = 0
+    dist_init_addr: Optional[str] = None  # host:port of jax.distributed coord
+    control_plane_addr: Optional[str] = None  # host:port; default coord port+1
     # decode/prefill compile buckets (CUDA-graph-ladder analogue,
     # reference: model_executor/cuda_graph_runner.py:92-128)
     decode_bs_buckets: Optional[list[int]] = None
@@ -164,6 +173,19 @@ class ServerArgs:
             import jax
 
             jax.config.update("jax_platforms", self.device)
+        if self.num_nodes > 1:
+            if not self.dist_init_addr:
+                raise ValueError("num_nodes > 1 needs dist_init_addr host:port")
+            if self.control_plane_addr is None:
+                host, port = self.dist_init_addr.rsplit(":", 1)
+                self.control_plane_addr = f"{host}:{int(port) + 1}"
+            for flag in ("speculative_algorithm",):
+                if getattr(self, flag):
+                    raise ValueError(f"multi-host serving: {flag} unsupported yet")
+            if self.host_kv_cache_tokens or self.enable_param_offload:
+                raise ValueError(
+                    "multi-host serving: host KV tier / param offload unsupported yet"
+                )
         if self.pp_size > 1:
             self.enable_pp = True
         if self.sp_size > 1:

@@ -616,7 +616,7 @@ class ModelRunner:
             kv, logits = self.model(params, kv, meta)
         ids, logprobs = sample(logits, sinfo, step_key)
         chosen = jnp.take_along_axis(logprobs, ids[:, None], axis=-1)[:, 0]
-        return kv, self._pack_out(ids, chosen)[:, None, :]
+        return kv, self._host_out(self._pack_out(ids, chosen)[:, None, :])
 
     def _packed_decode_impl(
         self, params, kv, ints, floats, key, B, P, num_steps, prev_tokens=None
@@ -636,7 +636,8 @@ class ModelRunner:
                 jax.lax.bitcast_convert_type(all_chosen, jnp.int32),
             ]
         )
-        return kv, out, all_ids[-1]  # last samples stay on device for chaining
+        # last samples stay on device for chaining
+        return kv, self._host_out(out), all_ids[-1]
 
     def _packed_supported(self, wb: WorkerBatch) -> bool:
         si = wb.sampling_info
@@ -853,7 +854,7 @@ class ModelRunner:
         (kv, _, _, _), (all_ids, all_chosen) = jax.lax.scan(
             body, carry0, jnp.arange(num_steps, dtype=jnp.int32)
         )
-        return kv, all_ids, all_chosen  # [K, B]
+        return kv, self._host_out(all_ids), self._host_out(all_chosen)  # [K, B]
 
     def decode_multi(self, wb: WorkerBatch, num_steps: int) -> StepOutput:
         """Run a K-step decode window. wb describes the FIRST step; the page
@@ -875,6 +876,18 @@ class ModelRunner:
 
     TOP_LOGPROBS_K = 8
 
+    def _host_out(self, x):
+        """Host-bound step outputs: replicate across the mesh so the leader
+        (and every host) can fetch them locally. Needed when the mesh spans
+        processes (multi-host dp shards output rows); free elsewhere."""
+        if self.mesh is not None and getattr(self.args, "num_nodes", 1) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.mesh, P())
+            )
+        return x
+
     def _step_impl(self, params, kv, meta, sinfo, rng, return_logprobs=False):
         kv, logits = self.model(params, kv, meta)
         ids, logprobs = sample(logits, sinfo, rng)
@@ -882,8 +895,8 @@ class ModelRunner:
         chosen = jnp.take_along_axis(logprobs, ids[:, None], axis=-1)[:, 0]
         if return_logprobs:
             topv, topi = jax.lax.top_k(logprobs, self.TOP_LOGPROBS_K)
-            return kv, ids, chosen, topv, topi
-        return kv, ids, chosen
+            return kv, *map(self._host_out, (ids, chosen, topv, topi))
+        return kv, self._host_out(ids), self._host_out(chosen)
 
     def _shard_batch(self, meta: ForwardMeta, sinfo: SamplingBatchInfo):
         """device_put batch arrays with their leading dim over the dp axis."""
@@ -1023,7 +1036,7 @@ class ModelRunner:
         emb = emb / jnp.maximum(
             jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-9
         )
-        return kv, emb
+        return kv, self._host_out(emb)
 
     def run_embed(self, wb: WorkerBatch) -> np.ndarray:
         self._no_offload("embeddings")

@@ -42,6 +42,45 @@ class GenerationOutput:
     e2e_latency: Optional[float] = None
 
 
+def _resolve_model_config(args: ServerArgs) -> ModelConfig:
+    if args.preset:
+        # preset = architecture shortcut; an explicit model_path still
+        # supplies the weights (e.g. a quantized checkpoint on disk)
+        ov = dict(dtype=args.dtype, quantization=args.quantization)
+        if args.model_path:
+            ov["model_path"] = args.model_path
+        model_config = get_preset(args.preset, **ov)
+    else:
+        model_config = ModelConfig.from_pretrained(
+            args.model_path, dtype=args.dtype, quantization=args.quantization
+        )
+    if args.context_length:
+        model_config.max_position_embeddings = args.context_length
+    return model_config
+
+
+def run_follower(server_args: ServerArgs) -> None:
+    """Follower-node entry for cross-host serving: build the local shard of
+    the SPMD engine (ModelRunner over the global mesh) and replay the
+    leader's command stream until it stops (parallel/multihost.py)."""
+    args = server_args.resolve()
+    assert args.num_nodes > 1 and args.node_rank > 0
+    from scratchpad_tpu.executor.model_runner import ModelRunner
+    from scratchpad_tpu.parallel import mesh_from_args
+    from scratchpad_tpu.parallel.multihost import (
+        ControlPlane,
+        follower_loop,
+        init_multihost,
+    )
+
+    init_multihost(args)
+    ctrl = ControlPlane(args.control_plane_addr, 0, is_leader=False)
+    mesh = mesh_from_args(args)
+    runner = ModelRunner(_resolve_model_config(args), args, mesh)
+    logger.info("follower %d ready", args.node_rank)
+    follower_loop(runner, ctrl)
+
+
 class Engine:
     def __init__(
         self,
@@ -52,23 +91,8 @@ class Engine:
     ):
         self.args = server_args.resolve()
         if model_config is None:
-            if self.args.preset:
-                # preset = architecture shortcut; an explicit model_path still
-                # supplies the weights (e.g. a quantized checkpoint on disk)
-                ov = dict(
-                    dtype=self.args.dtype,
-                    quantization=self.args.quantization,
-                )
-                if self.args.model_path:
-                    ov["model_path"] = self.args.model_path
-                model_config = get_preset(self.args.preset, **ov)
-            else:
-                model_config = ModelConfig.from_pretrained(
-                    self.args.model_path,
-                    dtype=self.args.dtype,
-                    quantization=self.args.quantization,
-                )
-        if self.args.context_length:
+            model_config = _resolve_model_config(self.args)
+        elif self.args.context_length:
             model_config.max_position_embeddings = self.args.context_length
         self.model_config = model_config
 
@@ -80,11 +104,32 @@ class Engine:
         self.detokenizer = IncrementalDetokenizer(self.tokenizer)
 
         self.eos_token_ids: frozenset[int] = frozenset(self._find_eos_ids())
+        ctrl = None
+        if self.args.num_nodes > 1:
+            # leader side of cross-host serving (parallel/multihost.py);
+            # followers never construct an Engine — they run run_follower()
+            assert self.args.node_rank == 0, "only node 0 constructs Engine"
+            from scratchpad_tpu.parallel.multihost import (
+                ControlPlane,
+                init_multihost,
+            )
+
+            init_multihost(self.args)
+            ctrl = ControlPlane(
+                self.args.control_plane_addr,
+                self.args.num_nodes - 1,
+                is_leader=True,
+            )
         if mesh is None:
             from scratchpad_tpu.parallel import mesh_from_args
 
             mesh = mesh_from_args(self.args)
         self.scheduler = Scheduler(model_config, self.args, mesh=mesh)
+        if ctrl is not None:
+            from scratchpad_tpu.parallel.multihost import LeaderRunner
+
+            self.scheduler.runner = LeaderRunner(self.scheduler.runner, ctrl)
+            self._ctrl = ctrl
         self.grammar_backend = None
         if self.tokenizer is not None and self.args.grammar_backend == "native":
             try:
@@ -605,4 +650,6 @@ class Engine:
         return self.scheduler.resize_kv_pool(new_num_tokens)
 
     def shutdown(self) -> None:
-        pass
+        ctrl = getattr(self, "_ctrl", None)
+        if ctrl is not None:
+            ctrl.close()  # sends ("stop",) to every follower

@@ -1,0 +1,61 @@
+"""Subprocess driver for the cross-host serving test (tests/test_multihost.py).
+
+Run as: python multihost_driver.py <node_rank> <num_nodes> <coord_port> <ctrl_port>
+The parent sets XLA_FLAGS=--xla_force_host_platform_device_count=4 so the
+2-process run forms an 8-device global CPU mesh (dp=2 over the process
+boundary x tp=4 inside each process).
+"""
+
+import json
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np
+
+from scratchpad_tpu.config import ServerArgs
+from scratchpad_tpu.sampling.sampling_params import SamplingParams
+
+
+def main() -> None:
+    rank, nodes, coord_port, ctrl_port = map(int, sys.argv[1:5])
+    args = ServerArgs(
+        preset="tiny-debug",
+        random_weights=True,
+        dtype="float32",
+        page_size=4,
+        max_total_tokens=2048,
+        num_nodes=nodes,
+        node_rank=rank,
+        dist_init_addr=f"127.0.0.1:{coord_port}",
+        control_plane_addr=f"127.0.0.1:{ctrl_port}",
+        dp_size=2,
+        tp_size=4,
+        device="cpu",
+    )
+    if rank > 0:
+        from scratchpad_tpu.server.engine import run_follower
+
+        run_follower(args)
+        return
+
+    from scratchpad_tpu.server.engine import Engine
+
+    eng = Engine(args)
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(1, 500, n).tolist() for n in (9, 25, 14)]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=6)
+    outs = [
+        o.output_ids
+        for o in eng.generate(input_ids=prompts, sampling_params=[sp] * 3)
+    ]
+    eng.scheduler.check_memory_leak()
+    eng.shutdown()
+    print("RESULT " + json.dumps(outs))
+
+
+if __name__ == "__main__":
+    main()

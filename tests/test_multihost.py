@@ -1,0 +1,83 @@
+"""Cross-host serving on a 2-process CPU "cluster".
+
+Two OS processes bootstrap jax.distributed over a local coordinator and
+form one 8-device global mesh (dp=2 across the process boundary, tp=4
+within each); the leader serves, followers replay the runner command
+stream (parallel/multihost.py). Greedy outputs must equal the
+single-process engine's. The reference never tests multi-node without
+hardware (SURVEY.md §4); this runs in CI on CPU.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from scratchpad_tpu.config import ServerArgs
+from scratchpad_tpu.sampling.sampling_params import SamplingParams
+from scratchpad_tpu.server.engine import Engine
+
+DRIVER = Path(__file__).parent / "multihost_driver.py"
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_engine_matches_single():
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)
+    root = str(DRIVER.parent.parent)
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    coord, ctrl = _free_port(), _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(DRIVER), str(r), "2", str(coord), str(ctrl)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            cwd=str(DRIVER.parent.parent),
+        )
+        for r in (0, 1)
+    ]
+    try:
+        out0, _ = procs[0].communicate(timeout=600)
+        out1, _ = procs[1].communicate(timeout=120)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        raise
+    assert procs[0].returncode == 0, f"leader failed:\n{out0[-4000:]}"
+    assert procs[1].returncode == 0, f"follower failed:\n{out1[-4000:]}"
+    line = [l for l in out0.splitlines() if l.startswith("RESULT ")]
+    assert line, out0[-4000:]
+    got = json.loads(line[-1][len("RESULT ") :])
+
+    # single-process greedy reference (same prompts/seeds as the driver)
+    eng = Engine(
+        ServerArgs(
+            preset="tiny-debug",
+            random_weights=True,
+            dtype="float32",
+            page_size=4,
+            max_total_tokens=2048,
+        )
+    )
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(1, 500, n).tolist() for n in (9, 25, 14)]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=6)
+    ref = [
+        o.output_ids
+        for o in eng.generate(input_ids=prompts, sampling_params=[sp] * 3)
+    ]
+    assert got == ref
