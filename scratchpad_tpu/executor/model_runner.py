@@ -148,7 +148,15 @@ class ModelRunner:
         # per-layer dynamic sliding windows (Gemma) use the XLA backend.
         backend = self.args.attention_backend
         if backend == "auto":
-            backend = "ragged" if jax.default_backend() != "cpu" else "xla"
+            if jax.default_backend() == "cpu":
+                backend = "xla"
+            elif mesh is not None:
+                backend = "ragged"  # has the shard_map TP wrapper
+            else:
+                # decode v2 (block-diagonal GQA flash-decode, gqa_decode.py)
+                # + ragged extend: benched 9.3k tok/s vs ragged's 7.7-8.2k
+                # (Llama-3.2-1B bs=64 on v5e)
+                backend = "gqa"
         if not getattr(self.model, "supports_pallas_attention", True):
             backend = "xla"
         if self.args.kv_cache_dtype in ("int8", "fp8") and backend in ("ragged", "gqa"):
