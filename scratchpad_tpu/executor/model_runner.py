@@ -168,13 +168,15 @@ class ModelRunner:
             # axis, so those meshes use the XLA backend.
             tp = mesh.shape.get("tp", 1)
             dp = mesh.shape.get("dp", 1)
-            if (
-                backend == "ragged"
-                and dp == 1
+            pure_tp = (
+                dp == 1
                 and "tp" in mesh.axis_names
                 and cfg.num_kv_heads % tp == 0
-            ):
+            )
+            if backend == "ragged" and pure_tp:
                 backend = "ragged_tp"
+            elif backend == "gqa" and pure_tp:
+                backend = "gqa_tp"
             else:
                 logger.warning("mesh run: falling back to XLA attention backend")
                 backend = "xla"
@@ -214,6 +216,16 @@ class ModelRunner:
                 )
 
                 self.model.extend_attention = attention_ragged
+        elif backend == "gqa_tp":
+            from scratchpad_tpu.ops.attention.gqa_decode import (
+                make_decode_attention_gqa_tp,
+            )
+            from scratchpad_tpu.ops.attention.ragged_backend import (
+                make_attention_ragged_tp,
+            )
+
+            self.model.decode_attention = make_decode_attention_gqa_tp(mesh)
+            self.model.extend_attention = make_attention_ragged_tp(mesh)
         # else: keep the XLA reference backend
         self.attention_backend = backend
 
@@ -331,7 +343,7 @@ class ModelRunner:
         # the cache tight when XLA serves attention
         cache_head_dim = (
             padded_head_dim(cfg.head_dim)
-            if self.attention_backend in ("pallas", "ragged", "ragged_tp", "gqa")
+            if self.attention_backend in ("pallas", "ragged", "ragged_tp", "gqa", "gqa_tp")
             else cfg.head_dim
         )
         if cfg.is_mla:
@@ -490,7 +502,7 @@ class ModelRunner:
         )
         hd = (
             padded_head_dim(cfg.head_dim)
-            if getattr(self, "attention_backend", "xla") in ("pallas", "ragged", "ragged_tp", "gqa")
+            if getattr(self, "attention_backend", "xla") in ("pallas", "ragged", "ragged_tp", "gqa", "gqa_tp")
             else cfg.head_dim
         )
         if cfg.is_mla:

@@ -285,3 +285,51 @@ def decode_attention_gqa(
         sliding_window=sliding_window,
         num_layers=kv.num_layers,
     )
+
+
+def make_decode_attention_gqa_tp(mesh):
+    """Decode v2 on a tensor-parallel mesh: heads are embarrassingly
+    parallel, so each "tp" shard runs the unmodified kernel over its local
+    Hq/tp query heads and Hkv/tp cached heads (same pattern as
+    ragged_backend.make_attention_ragged_tp; requires tp | num_kv_heads)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as PS
+
+    def attend(
+        q: jax.Array,
+        kv: KVCache,
+        layer_idx: jax.Array,
+        meta: ForwardMeta,
+        *,
+        page_size: int,
+        sm_scale: float,
+        logit_cap: Optional[float] = None,
+        sliding_window: Optional[int] = None,
+    ) -> jax.Array:
+        def body(qq, kk, li, pt, sl):
+            return _gqa_decode_call(
+                qq,
+                kk,
+                li,
+                pt,
+                sl,
+                page_size=page_size,
+                sm_scale=sm_scale,
+                logit_cap=logit_cap,
+                sliding_window=sliding_window,
+                num_layers=kv.num_layers,
+            )
+
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(
+                PS(None, "tp", None),        # q: heads sharded
+                PS(None, None, "tp", None),  # kv pages: heads sharded
+                PS(), PS(), PS(),            # layer_idx, page_table, seq_lens
+            ),
+            out_specs=PS(None, "tp", None),
+            check_vma=False,
+        )(q, kv.kv, jnp.asarray(layer_idx), meta.page_table, meta.seq_lens)
+
+    return attend

@@ -80,6 +80,25 @@ class TestTensorParallel:
         assert got == ref
         eng.scheduler.check_memory_leak()
 
+    def test_tp2_gqa_backend_matches(self):
+        """shard_map-wrapped GQA decode kernel (decode v2) == single-device
+        XLA backend on the virtual TP mesh (interpret-mode kernel body)."""
+        sp = SamplingParams(temperature=0.0, max_new_tokens=6)
+        ref = [
+            o.output_ids
+            for o in make_engine().generate(
+                input_ids=prompts(), sampling_params=[sp] * 3
+            )
+        ]
+        eng = make_engine(mesh=tp_mesh(2), attention_backend="gqa")
+        assert eng.scheduler.runner.attention_backend == "gqa_tp"
+        got = [
+            o.output_ids
+            for o in eng.generate(input_ids=prompts(), sampling_params=[sp] * 3)
+        ]
+        assert got == ref
+        eng.scheduler.check_memory_leak()
+
     def test_tp2_quantized_runs(self):
         sp = SamplingParams(temperature=0.0, max_new_tokens=4)
         eng = make_engine(mesh=tp_mesh(2), quantization="w4a16")
