@@ -159,8 +159,10 @@ class ModelRunner:
                 backend = "gqa"
         if not getattr(self.model, "supports_pallas_attention", True):
             backend = "xla"
-        if self.args.kv_cache_dtype in ("int8", "fp8") and backend in ("ragged", "gqa"):
-            backend = "xla"
+        if self.args.kv_cache_dtype == "fp8" and backend in ("ragged", "gqa"):
+            backend = "xla"  # no 8-bit float cast in mosaic
+        if self.args.kv_cache_dtype == "int8" and backend == "ragged":
+            backend = "xla"  # bundled kernel lacks per-row scales; gqa has them
         if mesh is not None and backend in ("ragged", "pallas", "gqa"):
             # pallas_call doesn't auto-partition under pjit; the ragged
             # backend has a shard_map head-parallel wrapper for pure-TP
@@ -175,7 +177,11 @@ class ModelRunner:
             )
             if backend == "ragged" and pure_tp:
                 backend = "ragged_tp"
-            elif backend == "gqa" and pure_tp:
+            elif (
+                backend == "gqa"
+                and pure_tp
+                and self.args.kv_cache_dtype not in ("int8", "fp8")
+            ):
                 backend = "gqa_tp"
             else:
                 logger.warning("mesh run: falling back to XLA attention backend")
@@ -210,7 +216,12 @@ class ModelRunner:
             )
 
             self.model.decode_attention = decode_attention_gqa
-            if jax.default_backend() != "cpu":
+            if (
+                jax.default_backend() != "cpu"
+                and self.args.kv_cache_dtype not in ("int8", "fp8")
+            ):
+                # extend rides the ragged kernel; with int8 KV it keeps the
+                # XLA gather path (the bundled kernel lacks per-row scales)
                 from scratchpad_tpu.ops.attention.ragged_backend import (
                     attention_ragged,
                 )

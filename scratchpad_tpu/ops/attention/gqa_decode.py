@@ -26,6 +26,11 @@ are (a) large DMAs, (b) an unbroken DMA pipeline across sequences, and
 - P@V is one dot back into [Hq, LANES]; each row's V block is selected at
   the end with Dp-aligned lane slices (the K-block and cross-head columns
   of the accumulator are simply never read).
+- INT8 KV (per-(token, head) scales, memory/kv_cache.py): because row r's
+  score only touches head(r)'s lanes, the scale factors OUT of the dots —
+  s = (q_bd @ k_raw) * sel_k @ scales and p' = p * (sel_v @ scales). Two
+  extra [Hq, CHUNK]-shaped multiplies; no per-lane dequant anywhere, and
+  the streamed bytes halve vs bf16.
 """
 
 from __future__ import annotations
@@ -48,21 +53,18 @@ def _gqa_decode_kernel(
     # scalar prefetch
     pt_ref,  # i32[B, P] global page ids (layer folded in, padded with 0)
     len_ref,  # i32[B] kv lens (0 = padding row)
-    # inputs
-    q_ref,  # VMEM [1, Hq, Dp] this sequence's queries, pre-scaled
-    kv_hbm,  # ANY [Pg, ps, 2Hkv, Dp] (4-D: DMA whole pages, no relayout)
-    # outputs
-    o_ref,  # VMEM [1, Hq, Dp]
-    # scratch
-    kv_buf,  # VMEM [2, CP, ps, 2Hkv, Dp]
-    sems,  # DMA sems [2]
-    cursor,  # SMEM [1]: buffer parity of this program's first chunk
-    *,
+    *refs,
     page_size: int,
     chunk_pages: int,
     logit_cap: Optional[float],
     sliding_window: Optional[int],
+    quantized: bool,
 ):
+    if quantized:
+        (q_ref, kv_hbm, sc_hbm, o_ref, kv_buf, sc_buf, sems, cursor) = refs
+    else:
+        (q_ref, kv_hbm, o_ref, kv_buf, sems, cursor) = refs
+        sc_hbm = sc_buf = None
     b = pl.program_id(0)
     B = pl.num_programs(0)
     CP = chunk_pages
@@ -86,6 +88,12 @@ def _gqa_decode_kernel(
                     kv_hbm.at[page], kv_buf.at[slot, j], sems.at[slot]
                 )
             )
+            if quantized:
+                out.append(
+                    pltpu.make_async_copy(
+                        sc_hbm.at[page], sc_buf.at[slot, j], sems.at[slot]
+                    )
+                )
         return out
 
     def start_chunk(seq, c, slot):
@@ -114,6 +122,15 @@ def _gqa_decode_kernel(
     row = jax.lax.broadcasted_iota(jnp.int32, (Hq, LANES), 0)
     q_bd = jnp.where(lane // Dp == 2 * (row // G), qt, 0.0)
 
+    if quantized:
+        # head-slot selectors: row r reads combined slot 2*(r//G) for K and
+        # 2*(r//G)+1 for V; one tiny dot turns the chunk's per-(token, slot)
+        # scales into score-shaped factors
+        jj = jax.lax.broadcasted_iota(jnp.int32, (Hq, H2), 1)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (Hq, H2), 0)
+        sel_k = (jj == 2 * (rr // G)).astype(jnp.float32)  # [Hq, H2]
+        sel_v = (jj == 2 * (rr // G) + 1).astype(jnp.float32)
+
     def body(c, carry):
         m, l, acc = carry
         slot = jax.lax.rem(slot0 + c, 2)
@@ -133,13 +150,29 @@ def _gqa_decode_kernel(
         # [CP, ps, H2, Dp] -> [CHUNK, LANES]: cheap in-VMEM relayout of ~1 MiB
         # (merging the last two dims of the HBM array instead would relayout
         # the ENTIRE pool per call — measured 26x slower end-to-end)
-        buf = kv_buf[slot].reshape(CHUNK, LANES)
+        raw = kv_buf[slot].reshape(CHUNK, LANES)
+        if quantized:
+            # int8 -> f32 via int32 (no direct 8-bit -> float cast in mosaic)
+            buf = raw.astype(jnp.int32).astype(jnp.float32)
+            sc = sc_buf[slot].reshape(CHUNK, H2)  # [CHUNK, H2] f32
+            scale_k = jax.lax.dot_general(
+                sel_k, sc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Hq, CHUNK]
+            scale_v = jax.lax.dot_general(
+                sel_v, sc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            buf = raw
         s = jax.lax.dot_general(
             q_bd,
-            buf.astype(jnp.float32),
+            buf.astype(jnp.float32) if not quantized else buf,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [Hq, CHUNK]
+        if quantized:
+            s = s * scale_k
         if logit_cap is not None:
             s = logit_cap * jnp.tanh(s / logit_cap)
         col = c * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (Hq, CHUNK), 1)
@@ -152,8 +185,9 @@ def _gqa_decode_kernel(
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pq = p * scale_v if quantized else p.astype(buf.dtype)
         pv = jax.lax.dot_general(
-            p.astype(buf.dtype),
+            pq,
             buf,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -193,6 +227,7 @@ def _gqa_decode_kernel(
 def _gqa_decode_call(
     q,  # [B, Hq, D]
     kv_pages,  # [Pg, ps, 2Hkv, Dp]
+    kv_scale,  # f32[Pg, ps, 2Hkv] for int8 pages, else None
     layer_idx,
     page_table,  # [B, P] per-layer page ids
     seq_lens,  # [B]
@@ -206,6 +241,7 @@ def _gqa_decode_call(
     B, Hq, D = q.shape
     Pg, ps, H2, Dp = kv_pages.shape
     Ptot = Pg // num_layers
+    quantized = kv_scale is not None
 
     CP = max(1, min(8, page_table.shape[1]))
     P = page_table.shape[1]
@@ -226,20 +262,27 @@ def _gqa_decode_call(
         chunk_pages=CP,
         logit_cap=logit_cap,
         sliding_window=sliding_window,
+        quantized=quantized,
     )
+    in_specs = [
+        pl.BlockSpec((1, Hq, Dp), lambda b, *_: (b, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),  # kv pages stay in HBM
+    ]
+    scratch = [
+        pltpu.VMEM((2, CP, ps, H2, Dp), kv_pages.dtype),
+    ]
+    operands = [pt_global, seq_lens.astype(jnp.int32), qs, kv_pages]
+    if quantized:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch.append(pltpu.VMEM((2, CP, ps, H2), jnp.float32))
+        operands.append(kv_scale)
+    scratch += [pltpu.SemaphoreType.DMA((2,)), pltpu.SMEM((1,), jnp.int32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, Hq, Dp), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),  # kv pages stay in HBM
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, Hq, Dp), lambda b, *_: (b, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, CP, ps, H2, Dp), kv_pages.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SMEM((1,), jnp.int32),
-        ],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         kernel,
@@ -249,12 +292,7 @@ def _gqa_decode_call(
             dimension_semantics=("arbitrary",),
         ),
         interpret=jax.default_backend() == "cpu",
-    )(
-        pt_global,
-        seq_lens.astype(jnp.int32),
-        qs,
-        kv_pages,
-    )
+    )(*operands)
     return out[..., :D]
 
 
@@ -270,12 +308,14 @@ def decode_attention_gqa(
     sliding_window: Optional[int] = None,
 ) -> jax.Array:
     """Drop-in replacement for decode_attention_xla (same signature)."""
-    assert kv.kv.dtype not in (jnp.int8, jnp.float8_e4m3fn), (
-        "quantized KV uses the XLA backend"
+    assert kv.kv.dtype != jnp.float8_e4m3fn, (
+        "fp8 KV uses the XLA backend (no 8-bit float cast in mosaic)"
     )
+    scale = kv.scale if kv.kv.dtype == jnp.int8 else None
     return _gqa_decode_call(
         q,
         kv.kv,
+        scale,
         jnp.asarray(layer_idx),
         meta.page_table,
         meta.seq_lens,
@@ -306,10 +346,15 @@ def make_decode_attention_gqa_tp(mesh):
         logit_cap: Optional[float] = None,
         sliding_window: Optional[int] = None,
     ) -> jax.Array:
+        assert kv.kv.dtype not in (jnp.int8, jnp.float8_e4m3fn), (
+            "quantized KV on TP meshes uses the XLA backend"
+        )
+
         def body(qq, kk, li, pt, sl):
             return _gqa_decode_call(
                 qq,
                 kk,
+                None,
                 li,
                 pt,
                 sl,

@@ -318,3 +318,60 @@ def test_gqa_backend_engine_parity():
         return out
 
     assert run("gqa") == run("xla")
+
+
+def test_gqa_decode_v2_int8_kv_matches_xla():
+    """INT8 paged KV with per-(token, head) scales: the kernel folds the
+    scales into the score matrices post-dot; must match the XLA backend's
+    dequant-then-attend within f32 tolerance."""
+    from scratchpad_tpu.ops.attention.gqa_decode import decode_attention_gqa
+    from scratchpad_tpu.ops.attention.xla_backend import _quantize_rows
+
+    q, kv, meta = make_case(seed=3)
+    Pg, ps, H2, Dp = kv.kv.shape
+    flat = kv.kv.reshape(Pg * ps, H2, Dp)
+    qvals, sc = _quantize_rows(flat, jnp.int8)
+    kv_q = KVCache(
+        kv=qvals.reshape(Pg, ps, H2, Dp),
+        scale=sc.reshape(Pg, ps, H2),
+        num_layers=kv.num_layers,
+    )
+    kw = dict(page_size=16, sm_scale=0.125)
+    ref = decode_attention_xla(q, kv_q, jnp.int32(1), meta, **kw)
+    out = decode_attention_gqa(q, kv_q, jnp.int32(1), meta, **kw)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_gqa_backend_int8_engine_parity():
+    """attention_backend='gqa' + int8 KV serves end-to-end and matches the
+    XLA backend with the same int8 cache."""
+    from scratchpad_tpu.config import ServerArgs
+    from scratchpad_tpu.sampling.sampling_params import SamplingParams
+    from scratchpad_tpu.server.engine import Engine
+
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(1, 500, n).tolist() for n in (11, 23)]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=5)
+
+    def run(backend):
+        eng = Engine(
+            ServerArgs(
+                preset="tiny-debug",
+                random_weights=True,
+                dtype="float32",
+                page_size=4,
+                max_total_tokens=2048,
+                kv_cache_dtype="int8",
+                attention_backend=backend,
+            )
+        )
+        out = [
+            o.output_ids
+            for o in eng.generate(input_ids=prompts, sampling_params=[sp] * 2)
+        ]
+        eng.scheduler.check_memory_leak()
+        return out
+
+    assert run("gqa") == run("xla")
