@@ -123,11 +123,20 @@ class ModelRunner:
         )
         if self.pp_size > 1:
             others = [
-                n for n in mesh.axis_names if n != "pp" and mesh.shape[n] > 1
+                n
+                for n in mesh.axis_names
+                if n not in ("pp", "tp") and mesh.shape[n] > 1
             ]
             if others:
                 raise ValueError(
-                    f"enable_pp supports pp-only meshes; got extra axes {others}"
+                    "enable_pp supports pp-only or pp x tp meshes; got extra "
+                    f"axes {others}"
+                )
+            tp = mesh.shape.get("tp", 1)
+            if tp > 1 and cfg.num_kv_heads % tp != 0:
+                raise ValueError(
+                    f"pp x tp mesh: num_kv_heads {cfg.num_kv_heads} must "
+                    f"divide over tp={tp}"
                 )
             if not hasattr(self.model, "layers_forward"):
                 raise ValueError(
@@ -163,6 +172,11 @@ class ModelRunner:
             backend = "xla"  # no 8-bit float cast in mosaic
         if self.args.kv_cache_dtype == "int8" and backend == "ragged":
             backend = "xla"  # bundled kernel lacks per-row scales; gqa has them
+        if self.pp_size > 1 and backend != "xla":
+            # attention runs INSIDE pp_call's shard_map; the kernel wrappers
+            # open their own shard_map and cannot nest — keep the
+            # auto-partitioned XLA path
+            backend = "xla"
         if mesh is not None and backend in ("ragged", "pallas", "gqa"):
             # pallas_call doesn't auto-partition under pjit; the ragged
             # backend has a shard_map head-parallel wrapper for pure-TP
@@ -314,8 +328,15 @@ class ModelRunner:
                 assert "layers_q" not in self.params, (
                     "PP with quantized weights: not yet"
                 )
+                base = (
+                    self.model.param_specs()
+                    if mesh.shape.get("tp", 1) > 1
+                    else None
+                )
                 self.params = place_params(
-                    self.params, pp_param_specs(self.params), mesh
+                    self.params,
+                    pp_param_specs(self.params, base_specs=base),
+                    mesh,
                 )
             elif mesh is not None:
                 specs = self.model.param_specs()

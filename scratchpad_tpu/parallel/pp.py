@@ -36,9 +36,11 @@ from scratchpad_tpu.executor.forward_meta import ForwardMeta
 from scratchpad_tpu.memory.kv_cache import KVCache
 
 
-def pp_param_specs(params: dict, axis: str = "pp") -> dict:
+def pp_param_specs(params: dict, axis: str = "pp", base_specs=None) -> dict:
     """Placement specs for a PP mesh: stacked decoder layers shard their
-    leading (layer) axis over ``axis``; everything else replicates."""
+    leading (layer) axis over ``axis``. With ``base_specs`` (the model's
+    TP PartitionSpec tree) the per-weight tp axes are kept, composing
+    pp x tp: a layer weight P(None, "tp") becomes P("pp", "tp")."""
 
     def layer_spec(x):
         return P(axis, *([None] * (x.ndim - 1)))
@@ -46,10 +48,26 @@ def pp_param_specs(params: dict, axis: str = "pp") -> dict:
     def repl(x):
         return P(*([None] * x.ndim))
 
-    return {
-        k: jax.tree.map(layer_spec if k == "layers" else repl, v)
-        for k, v in params.items()
-    }
+    if base_specs is None:
+        return {
+            k: jax.tree.map(layer_spec if k == "layers" else repl, v)
+            for k, v in params.items()
+        }
+
+    def compose(spec):
+        return P(axis, *tuple(spec)[1:])
+
+    out = {}
+    for k, v in params.items():
+        if k == "layers":
+            out[k] = jax.tree.map(
+                compose,
+                base_specs[k],
+                is_leaf=lambda s: isinstance(s, P),
+            )
+        else:
+            out[k] = base_specs.get(k) or jax.tree.map(repl, v)
+    return out
 
 
 def _slice_meta(meta: ForwardMeta, start, bm: int) -> ForwardMeta:
@@ -136,14 +154,24 @@ def pp_call(
         )
         _, kvc, h_out = jax.lax.fori_loop(0, M + S - 1, tick, carry0)
         # only the last stage holds real outputs; sum replicates them
+        # (psum in f32: the bf16 psum trips an XLA:CPU partial-auto
+        # partitioner check failure, "invalid binary instruction opcode
+        # copy", on pp x tp meshes)
         h = jax.lax.psum(
-            jnp.where(s == S - 1, h_out, jnp.zeros((), h_out.dtype)), "pp"
-        )
+            jnp.where(s == S - 1, h_out, jnp.zeros((), h_out.dtype)).astype(
+                jnp.float32
+            ),
+            "pp",
+        ).astype(h_out.dtype)
         kvc = dataclasses.replace(kvc, num_layers=L)
         return h, kvc
 
     shard = lambda x: P("pp", *([None] * (x.ndim - 1)))
     repl = lambda x: P(*([None] * x.ndim))
+    # manual over "pp" only: any other mesh axis (tp) stays GSPMD-auto, so
+    # the per-stage layer math keeps its tensor-parallel partitioning and
+    # XLA inserts the tp collectives inside each pipeline tick
+    manual = frozenset({"pp"})
     h, kv_out = shard_map(
         body,
         mesh=mesh,
@@ -154,6 +182,7 @@ def pp_call(
             jax.tree.map(repl, meta),
         ),
         out_specs=(P(None, None), jax.tree.map(shard, kv)),
+        axis_names=manual,
         check_vma=False,
     )(layer_stack, kv, x0, meta)
     return kv_out, model.finish(params, h, meta)

@@ -74,12 +74,12 @@ class TestPipelineParallel:
         assert got == ref
         eng.scheduler.check_memory_leak()
 
-    def test_pp_rejects_mixed_mesh(self):
+    def test_pp_rejects_unsupported_mesh(self):
         devs = jax.devices()
         if len(devs) < 4:
             pytest.skip("needs 4 devices")
-        mesh = Mesh(np.array(devs[:4]).reshape(2, 2), ("pp", "tp"))
-        with pytest.raises(ValueError, match="pp-only"):
+        mesh = Mesh(np.array(devs[:4]).reshape(2, 2), ("pp", "dp"))
+        with pytest.raises(ValueError, match="pp-only or pp x tp"):
             make_engine(mesh=mesh, enable_pp=True)
 
     def test_pp_size_builds_mesh(self):
@@ -101,3 +101,26 @@ class TestPipelineParallel:
             for o in eng.generate(input_ids=prompts(), sampling_params=[sp] * 3)
         ]
         assert got == ref
+
+    def test_pp2_tp2_matches_single_device(self):
+        """pp x tp composed mesh: layers shard over pp (manual shard_map
+        axis), weights keep their tp axes (GSPMD-auto inside the pipeline
+        ticks)."""
+        devs = jax.devices()
+        if len(devs) < 4:
+            pytest.skip("needs 4 devices")
+        sp = SamplingParams(temperature=0.0, max_new_tokens=6)
+        ref = [
+            o.output_ids
+            for o in make_engine().generate(
+                input_ids=prompts(), sampling_params=[sp] * 3
+            )
+        ]
+        mesh = Mesh(np.array(devs[:4]).reshape(2, 2), ("pp", "tp"))
+        eng = make_engine(mesh=mesh, enable_pp=True)
+        got = [
+            o.output_ids
+            for o in eng.generate(input_ids=prompts(), sampling_params=[sp] * 3)
+        ]
+        assert got == ref
+        eng.scheduler.check_memory_leak()
