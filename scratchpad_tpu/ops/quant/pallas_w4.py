@@ -36,7 +36,9 @@ def _w4_kernel(layer_ref, x_ref, q_ref, s_ref, z_ref, o_ref, *, group_size):
     s = s_ref[0].astype(dtype)  # [G, OUT_BLK]
     z = z_ref[0].astype(dtype)
 
-    if os.environ.get("SPTPU_W4_KERNEL") == "v2":
+    if os.environ.get("SPTPU_W4_KERNEL", "v2") != "v1":
+        # v2 default: benched 11.6k tok/s vs <=9.3k with v1
+        # (Llama-3.2-1B W4A16 bs=64 decode on v5e)
         # group-factored dequant: per-element work is unpack+cast ONLY.
         #   y = sum_g (x_g @ n_g) * s_g  -  xg_sum @ (z*s)
         # scales/zeros touch [B, OUT] accumulators, never [In, OUT] weights.
