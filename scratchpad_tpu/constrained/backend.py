@@ -256,6 +256,22 @@ class GrammarBackend:
         elif kind == "ebnf":
             from scratchpad_tpu.constrained.ebnf import ebnf_to_regex
 
+            # truly recursive grammars run EXACTLY on the pushdown engine
+            # (pda.py, the xgrammar-PDA counterpart); non-recursive ones
+            # keep the DFA fast path, and left-recursive ones (PDA compile
+            # raises) fall back to the DFA's bounded unroll
+            from scratchpad_tpu.constrained.pda import (
+                CompiledPDAGrammar,
+                is_recursive,
+            )
+
+            if is_recursive(value):
+                try:
+                    return CompiledPDAGrammar(
+                        value, self._tokens(), self.eos_ids
+                    )
+                except ValueError:
+                    pass
             pattern = ebnf_to_regex(value)
         else:
             raise ValueError(f"unknown grammar kind {kind}")
@@ -266,7 +282,7 @@ class GrammarBackend:
         key = (kind, value)
         with self._lock:
             if key in self._cache:
-                return Grammar(self._cache[key])
+                return self._cursor(self._cache[key])
             fut = self._futures.get(key)
             if fut is None:
                 fut = self._pool.submit(self._compile, kind, value)
@@ -277,4 +293,15 @@ class GrammarBackend:
         with self._lock:
             self._cache[key] = compiled
             self._futures.pop(key, None)
+        return self._cursor(compiled)
+
+    @staticmethod
+    def _cursor(compiled):
+        from scratchpad_tpu.constrained.pda import (
+            CompiledPDAGrammar,
+            PDAGrammar,
+        )
+
+        if isinstance(compiled, CompiledPDAGrammar):
+            return PDAGrammar(compiled)
         return Grammar(compiled)

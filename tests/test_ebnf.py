@@ -122,3 +122,68 @@ class TestEbnfE2E:
         out = eng.generate(prompt="q: ok? a:", sampling_params=sp)
         assert out.text in ("yes!", "no!", "maybe!"), out.text
         eng.scheduler.check_memory_leak()
+
+
+class TestRecursivePDA:
+    """Truly recursive grammars run EXACTLY on the pushdown engine
+    (constrained/pda.py) instead of the DFA's bounded unroll."""
+
+    NESTED = (
+        'root ::= value\n'
+        'value ::= "x" | "(" value ")"\n'
+    )
+
+    def test_pda_selected_for_recursive_grammar(self):
+        from scratchpad_tpu.constrained.pda import (
+            CompiledPDAGrammar,
+            is_recursive,
+        )
+
+        assert is_recursive(self.NESTED)
+        assert not is_recursive('root ::= "a" | "b"')
+
+    def test_deep_nesting_beyond_unroll_bound(self):
+        """15-level nesting: deeper than any DFA unroll depth the engine
+        would pick; the PDA accepts it exactly."""
+        from scratchpad_tpu.constrained.pda import PDA
+
+        p = PDA(self.NESTED)
+        deep = "(" * 15 + "x" + ")" * 15
+        c = p.walk(p.initial_configs(), deep)
+        assert c is not None and p.accepts(c)
+        assert p.walk(p.initial_configs(), "(" * 15 + "x" + ")" * 14 + "]") is None
+
+    def test_left_recursion_rejected(self):
+        from scratchpad_tpu.constrained.pda import PDA
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="left-recursive|depth"):
+            PDA('root ::= root "x" | "y"')
+
+    def test_guided_generation_recursive(self):
+        from tests.test_constrained import CharTokenizer
+        from scratchpad_tpu.config import ServerArgs
+        from scratchpad_tpu.sampling.sampling_params import SamplingParams
+        from scratchpad_tpu.server.engine import Engine
+        from scratchpad_tpu.constrained.pda import PDA
+
+        eng = Engine(
+            ServerArgs(
+                preset="tiny-debug",
+                random_weights=True,
+                dtype="float32",
+                page_size=4,
+                max_total_tokens=2048,
+            ),
+            tokenizer=CharTokenizer(),
+        )
+        sp = SamplingParams(
+            temperature=0.0,
+            max_new_tokens=24,
+            ebnf=self.NESTED,
+        )
+        out = eng.generate(prompt="draw: ", sampling_params=sp)
+        p = PDA(self.NESTED)
+        c = p.walk(p.initial_configs(), out.text)
+        assert c is not None and p.accepts(c), out.text
+        eng.scheduler.check_memory_leak()
