@@ -470,6 +470,43 @@ def is_recursive(src: str, root: str = "root") -> bool:
     return dfs(root)
 
 
+
+# ------------------------------------------------------------ native walk
+
+
+def _load_pda_native():
+    """ctypes handle to the C++ PDA mask kernel (csrc/pda.cpp), or None."""
+    from scratchpad_tpu.utils.native import load_native
+
+    lib = load_native("pda")
+    if lib is None:
+        return None
+    import ctypes
+
+    fn = lib.sptpu_pda_fill_mask
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    fn.argtypes = [
+        i32p,  # trans
+        ctypes.c_int32,  # C
+        ctypes.POINTER(ctypes.c_uint8),  # accepting
+        ctypes.POINTER(ctypes.c_int64),  # call_off
+        i32p,  # call_pairs
+        i32p,  # seqs
+        ctypes.POINTER(ctypes.c_int64),  # offsets
+        ctypes.c_int64,  # vocab
+        i32p,  # cfg_states
+        i32p,  # cfg_stack_off
+        i32p,  # cfg_stacks
+        ctypes.c_int32,  # n_cfg
+        ctypes.POINTER(ctypes.c_uint32),  # mask
+        i32p,  # overflow_ids
+        ctypes.c_int32,  # max_overflow
+        i32p,  # n_overflow
+    ]
+    fn.restype = None
+    return fn
+
+
 # ------------------------------------------------- grammar-backend surface
 
 
@@ -483,6 +520,110 @@ class CompiledPDAGrammar:
         self.vocab_size = len(token_strs)
         self._mask_cache: dict = {}
         self._lock = threading.Lock()
+        self._native = _load_pda_native()
+        if self._native is not None:
+            self._flatten()
+
+    def _flatten(self) -> None:
+        """Global tables for the C++ walker: every rule DFA in one dense
+        [n_states, C] transition table, acceptance flags, and a call CSR of
+        (callee_init_global, return_global) pairs."""
+        pda = self.pda
+        C = pda.OTHER + 1
+        names = sorted(pda.rules)
+        off: dict[str, int] = {}
+        n = 0
+        for name in names:
+            off[name] = n
+            n += len(pda.rules[name].trans)
+        self._off = off
+        trans = np.full((n, C), -1, np.int32)
+        accepting = np.zeros(n, np.uint8)
+        call_off = np.zeros(n + 1, np.int64)
+        pairs: list[int] = []
+        for name in names:
+            dfa = pda.rules[name]
+            o = off[name]
+            for s_i, row in enumerate(dfa.trans):
+                for cid, d in row.items():
+                    trans[o + s_i, cid] = o + d
+            for s_i in dfa.accepting:
+                accepting[o + s_i] = 1
+        for name in names:
+            dfa = pda.rules[name]
+            o = off[name]
+            for s_i in range(len(dfa.trans)):
+                for callee, ret in dfa.calls[s_i]:
+                    pairs.append(off[callee] + pda.rules[callee].initial)
+                    pairs.append(o + ret)
+                call_off[o + s_i + 1] = len(pairs) // 2
+        self._trans = np.ascontiguousarray(trans)
+        self._C = C
+        self._accepting = accepting
+        self._call_off = call_off
+        self._call_pairs = np.asarray(pairs or [0, 0], np.int32)
+        seqs: list[int] = []
+        offsets = np.zeros(self.vocab_size + 1, np.int64)
+        get = pda.cls.get
+        OTHER = pda.OTHER
+        for tid, s in enumerate(self.token_strs):
+            if s:
+                seqs.extend(get(c, OTHER) for c in s)
+            offsets[tid + 1] = len(seqs)
+        self._seqs = np.asarray(seqs or [0], np.int32)
+        self._offsets = offsets
+
+    def _native_mask(self, configs) -> Optional[np.ndarray]:
+        """C++ mask fill; overflowed tokens re-walk in Python."""
+        import ctypes
+
+        pda = self.pda
+        cfgs = sorted(
+            configs,
+            key=lambda c: (c[0], c[1], -1 if c[2] is None else c[2]),
+        )
+        states = np.zeros(len(cfgs), np.int32)
+        stack_off = np.zeros(len(cfgs) + 1, np.int32)
+        stacks: list[int] = []
+        for i, (rule, state, frame) in enumerate(cfgs):
+            states[i] = self._off[rule] + state
+            chain: list[int] = []
+            f = frame
+            while f is not None:
+                r_rule, r_state, parent = pda._frames[f]
+                chain.append(self._off[r_rule] + r_state)  # innermost first
+                f = parent
+            stacks.extend(reversed(chain))  # outermost first
+            stack_off[i + 1] = len(stacks)
+        words = -(-self.vocab_size // 32)
+        mask = np.zeros(words, np.uint32)
+        MAXOV = 512
+        overflow = np.zeros(MAXOV, np.int32)
+        n_ov = np.zeros(1, np.int32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        self._native(
+            self._trans.ctypes.data_as(i32p),
+            self._C,
+            self._accepting.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            self._call_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            self._call_pairs.ctypes.data_as(i32p),
+            self._seqs.ctypes.data_as(i32p),
+            self._offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            self.vocab_size,
+            states.ctypes.data_as(i32p),
+            stack_off.ctypes.data_as(i32p),
+            (np.asarray(stacks or [0], np.int32)).ctypes.data_as(i32p),
+            len(cfgs),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            overflow.ctypes.data_as(i32p),
+            MAXOV,
+            n_ov.ctypes.data_as(i32p),
+        )
+        for tid in overflow[: int(n_ov[0])]:
+            s = self.token_strs[int(tid)]
+            if s and pda.walk(configs, s) is not None:
+                mask[tid >> 5] |= np.uint32(1 << (int(tid) & 31))
+        return mask
 
     def mask_and_dsts(self, configs):
         """(bitmask words, {token_id: next_configs}) for a config set."""
@@ -491,16 +632,19 @@ class CompiledPDAGrammar:
             hit = self._mask_cache.get(key)
         if hit is not None:
             return hit
-        words = -(-self.vocab_size // 32)
-        mask = np.zeros(words, np.uint32)
         dst: dict[int, object] = {}
-        for tid, s in enumerate(self.token_strs):
-            if not s:
-                continue
-            nxt = self.pda.walk(configs, s)
-            if nxt is not None:
-                dst[tid] = nxt
-                mask[tid >> 5] |= np.uint32(1 << (tid & 31))
+        if self._native is not None:
+            mask = self._native_mask(configs)
+        else:
+            words = -(-self.vocab_size // 32)
+            mask = np.zeros(words, np.uint32)
+            for tid, s in enumerate(self.token_strs):
+                if not s:
+                    continue
+                nxt = self.pda.walk(configs, s)
+                if nxt is not None:
+                    dst[tid] = nxt
+                    mask[tid >> 5] |= np.uint32(1 << (tid & 31))
         if self.pda.accepts(configs):
             for e in self.eos_ids:
                 if e < self.vocab_size:

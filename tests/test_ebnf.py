@@ -187,3 +187,40 @@ class TestRecursivePDA:
         c = p.walk(p.initial_configs(), out.text)
         assert c is not None and p.accepts(c), out.text
         eng.scheduler.check_memory_leak()
+
+    def test_native_walker_matches_python(self):
+        """csrc/pda.cpp mask fill == the Python config-set walk."""
+        import numpy as np
+        from scratchpad_tpu.constrained.pda import CompiledPDAGrammar
+
+        src = (
+            'root ::= value\n'
+            'value ::= "null" | [0-9]+ | array\n'
+            'array ::= "[" (value ("," value)*)? "]"\n'
+        )
+        rng = np.random.default_rng(0)
+        chars = list('0123456789[],nul x')
+        toks = [
+            "".join(rng.choice(chars, rng.integers(1, 5))) for _ in range(512)
+        ]
+        toks[0] = None
+        toks[1] = ""
+        cg = CompiledPDAGrammar(src, toks, {2})
+        assert cg._native is not None, "g++ pda kernel failed to build"
+        native = cg._native
+        configs = cg.pda.initial_configs()
+        for step in range(6):
+            cg._native = native
+            cg._mask_cache.clear()
+            m_native, _ = cg.mask_and_dsts(configs)
+            cg._native = None
+            cg._mask_cache.clear()
+            m_py, dst = cg.mask_and_dsts(configs)
+            np.testing.assert_array_equal(m_native, m_py, err_msg=str(step))
+            if not dst:
+                break
+            pick = next(
+                (t for t in sorted(dst) if toks[t] in ("[", "1")),
+                sorted(dst)[0],
+            )
+            configs = dst[pick]
