@@ -252,6 +252,17 @@ class GrammarBackend:
                 schema = True
             else:
                 schema = json.loads(value)
+            if schema is True or schema == {}:
+                # unconstrained JSON: exact arbitrary-depth guidance on the
+                # pushdown engine (the regex translation bounds nesting)
+                from scratchpad_tpu.constrained.pda import (
+                    GENERIC_JSON_EBNF,
+                    CompiledPDAGrammar,
+                )
+
+                return CompiledPDAGrammar(
+                    GENERIC_JSON_EBNF, self._tokens(), self.eos_ids
+                )
             pattern = schema_to_regex(schema)
         elif kind == "ebnf":
             from scratchpad_tpu.constrained.ebnf import ebnf_to_regex

@@ -695,3 +695,19 @@ class PDAGrammar:
     def reset(self) -> None:
         self.configs = self.compiled.pda.initial_configs()
         self.finished = False
+
+
+# canonical full-JSON grammar (any nesting depth; used for unconstrained
+# response_format=json instead of the depth-bounded regex translation)
+GENERIC_JSON_EBNF = r'''
+root ::= ws value ws
+value ::= object | array | string | number | "true" | "false" | "null"
+object ::= "{" ws ( member ( ws "," ws member )* )? ws "}"
+member ::= string ws ":" ws value
+array ::= "[" ws ( value ( ws "," ws value )* )? ws "]"
+string ::= "\"" char* "\""
+char ::= [^"\\\x00-\x1f] | "\\" (["\\/bfnrt] | "u" hex hex hex hex)
+hex ::= [0-9a-fA-F]
+number ::= "-"? ("0" | [1-9] [0-9]*) ("." [0-9]+)? (("e" | "E") ("+" | "-")? [0-9]+)?
+ws ::= [ \t\n]*
+'''

@@ -247,3 +247,39 @@ class TestNativeFsmKernel:
             np.testing.assert_array_equal(
                 native._token_dst[st], python._token_dst[st]
             )
+
+
+class TestGenericJsonPDA:
+    """Unconstrained response_format=json routes to the pushdown engine
+    (exact, any nesting depth) instead of the depth-bounded regex."""
+
+    def test_backend_routes_generic_json_to_pda(self):
+        from scratchpad_tpu.constrained.backend import GrammarBackend
+        from scratchpad_tpu.constrained.pda import CompiledPDAGrammar
+
+        class _Tok:
+            eos_token_id = 0
+
+            def get_vocab(self):
+                return {c: i + 1 for i, c in enumerate('{}[]":, 0123456789abn ul-')}
+
+            def convert_tokens_to_string(self, toks):
+                return "".join(toks)
+
+        be = GrammarBackend(_Tok(), 32)
+        g = be.get_grammar("json", "true")
+        from scratchpad_tpu.constrained.pda import PDAGrammar
+
+        assert isinstance(g, PDAGrammar)
+        # typed schemas keep the DFA fast path
+        g2 = be.get_grammar("json", '{"type": "integer"}')
+        assert not isinstance(g2, PDAGrammar)
+
+    def test_deep_json_beyond_regex_bound(self):
+        from scratchpad_tpu.constrained.pda import PDA, GENERIC_JSON_EBNF
+
+        p = PDA(GENERIC_JSON_EBNF)
+        deep = "[" * 12 + "1" + "]" * 12  # regex translation bounds depth 3
+        c = p.walk(p.initial_configs(), deep)
+        assert c is not None and p.accepts(c)
+        assert p.walk(p.initial_configs(), '{"a": 01}') is None
