@@ -120,6 +120,8 @@ class ModelConfig:
         # HF field-name variants
         if "n_routed_experts" in cfg and cfg["n_routed_experts"]:
             kwargs["num_experts"] = cfg["n_routed_experts"]
+        if "num_local_experts" in cfg and cfg["num_local_experts"]:
+            kwargs["num_experts"] = cfg["num_local_experts"]  # HF Mixtral
         if cfg.get("n_shared_experts") is None:
             kwargs.pop("n_shared_experts", None)
         # HF variants of softcap naming (Gemma2)

@@ -33,6 +33,7 @@ from scratchpad_tpu.ops.attention.xla_backend import (
 
 class MixtralForCausalLM:
     page_size: int = 16
+    norm_topk: bool = True
 
     def __init__(self, cfg: ModelConfig):
         assert cfg.num_experts > 0, "MoE model needs num_experts"
@@ -73,6 +74,9 @@ class MixtralForCausalLM:
             },
             "final_norm": jnp.ones((H,), dtype),
         }
+        if cfg.use_qk_norm:
+            params["layers"]["q_norm"] = jnp.ones((L, D), dtype)
+            params["layers"]["k_norm"] = jnp.ones((L, D), dtype)
         if not cfg.tie_word_embeddings:
             params["lm_head"] = init(next(keys), (V, H), H)
         return params
@@ -105,6 +109,9 @@ class MixtralForCausalLM:
             },
             "final_norm": P(None),
         }
+        if self.cfg.use_qk_norm:
+            specs["layers"]["q_norm"] = P(None, None)
+            specs["layers"]["k_norm"] = P(None, None)
         if not self.cfg.tie_word_embeddings:
             specs["lm_head"] = P(t, None)
         return specs
@@ -176,7 +183,8 @@ class MixtralForCausalLM:
         logits = (h @ lp["router"]).astype(jnp.float32)  # [T, E]
         probs = jax.nn.softmax(logits, axis=-1)
         topv, topi = jax.lax.top_k(probs, K)  # [T, K]
-        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)  # renormalize
+        if self.norm_topk:  # HF Mixtral always; Qwen3-MoE iff norm_topk_prob
+            topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
         # per-token weight for each expert: [T, E]
         w_full = jnp.zeros((h.shape[0], E), jnp.float32)
         for k in range(K):
@@ -248,6 +256,9 @@ class MixtralForCausalLM:
             q = (h @ lp["wq"]).reshape(T, Hq, D)
             kn = (h @ lp["wk"]).reshape(T, Hkv, D)
             vn = (h @ lp["wv"]).reshape(T, Hkv, D)
+            if cfg.use_qk_norm:
+                q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+                kn = rms_norm(kn, lp["k_norm"], cfg.rms_norm_eps)
             q = apply_rope(q, meta.positions, inv_freq)
             kn = apply_rope(kn, meta.positions, inv_freq)
             kv_c = write_kv(kv_c, kn, vn, lidx, meta.out_cache_loc)
@@ -275,3 +286,72 @@ class MixtralForCausalLM:
         head = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
         logits = (last @ head.T).astype(jnp.float32)
         return kv_out, logits
+
+
+class Qwen3MoeForCausalLM(MixtralForCausalLM):
+    """Qwen3-MoE: the Mixtral sparse-expert decoder plus per-head qk RMS
+    norm; top-k renormalization follows the checkpoint's norm_topk_prob.
+    HF names: mlp.gate / mlp.experts.N.{gate,up,down}_proj, q_norm/k_norm.
+    """
+
+    def __init__(self, cfg: ModelConfig):
+        cfg.use_qk_norm = True
+        super().__init__(cfg)
+        self.norm_topk = bool(cfg.norm_topk_prob)
+
+    _HF_SUB = {
+        "self_attn.q_proj.weight": "wq",
+        "self_attn.k_proj.weight": "wk",
+        "self_attn.v_proj.weight": "wv",
+        "self_attn.o_proj.weight": "wo",
+        "input_layernorm.weight": "input_norm",
+        "post_attention_layernorm.weight": "post_norm",
+        "mlp.gate.weight": "router",
+    }
+    _HF_EXPERT = {"gate_proj": "w1", "up_proj": "w3", "down_proj": "w2"}
+
+    def convert_hf_state(self, state, dtype=jnp.bfloat16):
+        cfg = self.cfg
+        L, E = cfg.num_hidden_layers, cfg.num_experts
+        layers: dict[str, list] = {}
+        out: dict[str, Any] = {"layers": {}}
+
+        def put(tgt, l, w, e=None):
+            if tgt in ("w1", "w2", "w3"):
+                slot = layers.setdefault(tgt, [[None] * E for _ in range(L)])
+                slot[l][e] = w
+            else:
+                layers.setdefault(tgt, [None] * L)[l] = w
+
+        for name, w in state.items():
+            if name.startswith("model.layers."):
+                rest = name[len("model.layers.") :]
+                l_s, sub = rest.split(".", 1)
+                l = int(l_s)
+                if sub.startswith("mlp.experts."):
+                    parts = sub.split(".")
+                    put(self._HF_EXPERT[parts[3]], l, w.T, int(parts[2]))
+                elif sub == "self_attn.q_norm.weight":
+                    put("q_norm", l, w)
+                elif sub == "self_attn.k_norm.weight":
+                    put("k_norm", l, w)
+                elif sub in self._HF_SUB:
+                    tgt = self._HF_SUB[sub]
+                    put(tgt, l, w.T)
+                else:
+                    raise KeyError(f"unmapped {name}")
+            elif name == "model.embed_tokens.weight":
+                out["embed"] = w
+            elif name == "model.norm.weight":
+                out["final_norm"] = w
+            elif name == "lm_head.weight":
+                if not cfg.tie_word_embeddings:
+                    out["lm_head"] = w
+            else:
+                raise KeyError(f"unmapped {name}")
+        for k, ws in layers.items():
+            if k in ("w1", "w2", "w3"):
+                out["layers"][k] = np.stack([np.stack(row) for row in ws])
+            else:
+                out["layers"][k] = np.stack(ws)
+        return jax.tree.map(lambda x: jnp.asarray(x, dtype), out)

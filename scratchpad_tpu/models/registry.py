@@ -70,9 +70,13 @@ def _ensure_builtin():
     except ImportError:
         pass
     try:
-        from scratchpad_tpu.models.mixtral import MixtralForCausalLM
+        from scratchpad_tpu.models.mixtral import (
+            MixtralForCausalLM,
+            Qwen3MoeForCausalLM,
+        )
 
         _REGISTRY["MixtralForCausalLM"] = MixtralForCausalLM
+        _REGISTRY["Qwen3MoeForCausalLM"] = Qwen3MoeForCausalLM
     except ImportError:
         pass
     try:

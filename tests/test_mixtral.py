@@ -127,3 +127,73 @@ def test_expert_parallel_matches_single_device():
     ]
     assert got == ref
     eng.scheduler.check_memory_leak()
+
+
+def test_qwen3_moe_greedy_parity():
+    """Qwen3-MoE (qk-norm + sparse experts) vs HF torch, identical weights."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM as HFQwen3Moe
+
+    hf_cfg = Qwen3MoeConfig(
+        vocab_size=512,
+        hidden_size=128,
+        intermediate_size=256,
+        moe_intermediate_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=32,
+        max_position_embeddings=1024,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        num_experts=4,
+        num_experts_per_tok=2,
+        norm_topk_prob=True,
+        decoder_sparse_step=1,
+        tie_word_embeddings=False,
+        attention_bias=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    hf = HFQwen3Moe(hf_cfg).eval().to(torch.float32)
+    state = {k: v.numpy() for k, v in hf.state_dict().items()}
+
+    cfg = ModelConfig(
+        architecture="Qwen3MoeForCausalLM",
+        vocab_size=512,
+        hidden_size=128,
+        intermediate_size=256,
+        moe_intermediate_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=32,
+        max_position_embeddings=1024,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        num_experts=4,
+        num_experts_per_tok=2,
+        norm_topk_prob=True,
+        tie_word_embeddings=False,
+    )
+    from scratchpad_tpu.models.registry import get_model_class
+
+    params = get_model_class("Qwen3MoeForCausalLM")(cfg).convert_hf_state(
+        state, dtype="float32"
+    )
+    args = ServerArgs(max_total_tokens=4096, page_size=4, dtype="float32")
+    runner = ModelRunner(cfg, args, params=params)
+    rng = np.random.default_rng(8)
+    prompt = rng.integers(1, 500, 15).tolist()
+    ours = greedy_generate(runner, prompt, 8)
+    with torch.no_grad():
+        hf_out = hf.generate(
+            torch.tensor([prompt]),
+            max_new_tokens=8,
+            do_sample=False,
+            temperature=None,
+            top_p=None,
+            top_k=None,
+        )
+    theirs = hf_out[0, len(prompt) :].tolist()
+    assert ours == theirs, f"{ours} vs {theirs}"
