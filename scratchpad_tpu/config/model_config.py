@@ -42,6 +42,9 @@ class ModelConfig:
     attn_logit_softcap: Optional[float] = None
     sliding_window: Optional[int] = None
     sliding_window_pattern: Optional[int] = None
+    # per-layer attention kinds (HF layer_types: "sliding_attention" /
+    # "full_attention"), e.g. GPT-OSS alternates
+    layer_types: Optional[list] = None
     query_pre_attn_scalar: Optional[float] = None
     # Qwen3-style qk-norm
     use_qk_norm: bool = False

@@ -80,6 +80,12 @@ def _ensure_builtin():
     except ImportError:
         pass
     try:
+        from scratchpad_tpu.models.gpt_oss import GptOssForCausalLM
+
+        _REGISTRY["GptOssForCausalLM"] = GptOssForCausalLM
+    except ImportError:
+        pass
+    try:
         from scratchpad_tpu.models.apertus import ApertusForCausalLM
 
         _REGISTRY["ApertusForCausalLM"] = ApertusForCausalLM

@@ -112,6 +112,7 @@ def decode_attention_xla(
     sm_scale: float,
     logit_cap: Optional[float] = None,
     sliding_window: Optional[int] = None,
+    sinks: Optional[jax.Array] = None,  # f32[Hq] learned sink logits
 ) -> jax.Array:
     B, Hq, D = q.shape
     k, v = _gather_kv(kv, layer_idx, meta, page_size, D)
@@ -128,7 +129,16 @@ def decode_attention_xla(
     if sliding_window is not None:
         valid &= kv_idx[None, :] >= meta.seq_lens[:, None] - sliding_window
     scores = jnp.where(valid[:, None, None, :], scores, _NEG)
-    p = jax.nn.softmax(scores, axis=-1)
+    if sinks is not None:
+        # attention sinks (GPT-OSS): a learned per-head logit joins the
+        # softmax competition but contributes no value
+        sk = jnp.broadcast_to(
+            sinks.astype(jnp.float32).reshape(1, Hkv, G, 1), (B, Hkv, G, 1)
+        )
+        p = jax.nn.softmax(jnp.concatenate([scores, sk], axis=-1), axis=-1)
+        p = p[..., :-1]
+    else:
+        p = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhgs,bshd->bhgd", p, v.astype(jnp.float32))
     return out.reshape(B, Hq, D).astype(q.dtype)
 
@@ -143,6 +153,7 @@ def extend_attention_xla(
     sm_scale: float,
     logit_cap: Optional[float] = None,
     sliding_window: Optional[int] = None,
+    sinks: Optional[jax.Array] = None,  # f32[Hq] learned sink logits
 ) -> jax.Array:
     """Ragged extend attention: new tokens attend to (prefix + in-chunk causal).
 
@@ -179,7 +190,15 @@ def extend_attention_xla(
     if sliding_window is not None:
         valid &= kv_idx[None, None, :] > pos_p[:, :, None] - sliding_window
     scores = jnp.where(valid[:, None, None, :, :], scores, _NEG)
-    p = jax.nn.softmax(scores, axis=-1)
+    if sinks is not None:
+        sk = jnp.broadcast_to(
+            sinks.astype(jnp.float32).reshape(1, Hkv, G, 1, 1),
+            scores.shape[:-1] + (1,),
+        )
+        p = jax.nn.softmax(jnp.concatenate([scores, sk], axis=-1), axis=-1)
+        p = p[..., :-1]
+    else:
+        p = jax.nn.softmax(scores, axis=-1)
     outp = jnp.einsum("bhgts,bshd->bthgd", p, v.astype(jnp.float32))
     outp = outp.reshape(B, T, Hq, D)
     out = outp[meta.req_indices, intra]
