@@ -43,8 +43,17 @@ class ModelConfig:
     sliding_window: Optional[int] = None
     sliding_window_pattern: Optional[int] = None
     # per-layer attention kinds (HF layer_types: "sliding_attention" /
-    # "full_attention"), e.g. GPT-OSS alternates
+    # "full_attention" / "chunked_attention"), e.g. GPT-OSS / Llama4
     layer_types: Optional[list] = None
+    # Llama4 text options
+    intermediate_size_mlp: Optional[int] = None  # dense layers' ffw width
+    no_rope_layers: Optional[list] = None  # 1 = rope, 0 = NoPE
+    attention_chunk_size: Optional[int] = None
+    floor_scale: float = 8192.0
+    attn_scale: float = 0.1
+    moe_layers: Optional[list] = None  # layer indices with experts
+    interleave_moe_layer_step: int = 1
+    attn_temperature_tuning: bool = True
     query_pre_attn_scalar: Optional[float] = None
     # Qwen3-style qk-norm
     use_qk_norm: bool = False

@@ -86,6 +86,13 @@ def _ensure_builtin():
     except ImportError:
         pass
     try:
+        from scratchpad_tpu.models.llama4 import Llama4ForCausalLM
+
+        _REGISTRY["Llama4ForCausalLM"] = Llama4ForCausalLM
+        _REGISTRY["Llama4TextModel"] = Llama4ForCausalLM
+    except ImportError:
+        pass
+    try:
         from scratchpad_tpu.models.apertus import ApertusForCausalLM
 
         _REGISTRY["ApertusForCausalLM"] = ApertusForCausalLM

@@ -113,6 +113,7 @@ def decode_attention_xla(
     logit_cap: Optional[float] = None,
     sliding_window: Optional[int] = None,
     sinks: Optional[jax.Array] = None,  # f32[Hq] learned sink logits
+    chunk_size: Optional[int] = None,  # Llama4 chunked attention
 ) -> jax.Array:
     B, Hq, D = q.shape
     k, v = _gather_kv(kv, layer_idx, meta, page_size, D)
@@ -128,6 +129,11 @@ def decode_attention_xla(
     valid = kv_idx[None, :] < meta.seq_lens[:, None]  # [B, S]
     if sliding_window is not None:
         valid &= kv_idx[None, :] >= meta.seq_lens[:, None] - sliding_window
+    if chunk_size is not None:
+        # attend only within the query's chunk (block-diagonal causal)
+        valid &= kv_idx[None, :] // chunk_size == (
+            (meta.seq_lens[:, None] - 1) // chunk_size
+        )
     scores = jnp.where(valid[:, None, None, :], scores, _NEG)
     if sinks is not None:
         # attention sinks (GPT-OSS): a learned per-head logit joins the
@@ -154,6 +160,7 @@ def extend_attention_xla(
     logit_cap: Optional[float] = None,
     sliding_window: Optional[int] = None,
     sinks: Optional[jax.Array] = None,  # f32[Hq] learned sink logits
+    chunk_size: Optional[int] = None,  # Llama4 chunked attention
 ) -> jax.Array:
     """Ragged extend attention: new tokens attend to (prefix + in-chunk causal).
 
@@ -189,6 +196,11 @@ def extend_attention_xla(
     valid &= kv_idx[None, None, :] < meta.seq_lens[:, None, None]
     if sliding_window is not None:
         valid &= kv_idx[None, None, :] > pos_p[:, :, None] - sliding_window
+    if chunk_size is not None:
+        valid &= (
+            kv_idx[None, None, :] // chunk_size
+            == pos_p[:, :, None] // chunk_size
+        )
     scores = jnp.where(valid[:, None, None, :, :], scores, _NEG)
     if sinks is not None:
         sk = jnp.broadcast_to(
