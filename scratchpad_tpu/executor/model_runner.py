@@ -172,18 +172,9 @@ class ModelRunner:
             backend = "xla"  # no 8-bit float cast in mosaic
         if self.args.kv_cache_dtype == "int8" and backend == "ragged":
             backend = "xla"  # bundled kernel lacks per-row scales
-        if (
-            self.args.kv_cache_dtype == "int8"
-            and backend == "gqa"
-            and self.args.attention_backend == "auto"
-        ):
-            # the gqa kernel supports int8 (post-dot scale folding) and is
-            # the CPU-tested path, but on real TPUs XLA materialises a
-            # transposed-relayout COPY of the whole s8 pool at the mosaic
-            # call boundary (s8 scatter layout vs kernel operand layout),
-            # which OOMs serving-size pools — keep XLA until the layout
-            # conflict is solved; opt in with --attention-backend gqa
-            backend = "xla"
+        # int8 KV decode runs the gqa kernel (post-dot scale folding); the
+        # s8-pool layout conflict that used to force XLA here was fixed by
+        # flattened-leading-dim scatters/gathers in write_kv/_gather_kv
         if self.pp_size > 1 and backend != "xla":
             # attention runs INSIDE pp_call's shard_map; the kernel wrappers
             # open their own shard_map and cannot nest — keep the

@@ -62,15 +62,23 @@ def write_kv(
     # interleave per head: [T, Hkv, 2, Dp] -> [T, 2*Hkv, Dp]
     upd = jnp.stack([k_new, v_new], axis=2).reshape(T, H2, Dp)
     rows = layer_idx * kv.slots_per_layer + out_cache_loc  # global rows
-    # scatter directly into the 4-D buffer (a reshape before the scatter can
-    # defeat in-place donation aliasing and copy the whole cache each step)
-    pg_idx = rows // ps
-    off_idx = rows % ps
+    # scatter over ONE flattened leading dim (free leading-dim merge): on
+    # quantized pools a 2-D (page, offset) index scatter made XLA:TPU pick
+    # a transposed operand layout that conflicted with the gather/kernel
+    # consumers (full-pool relayout copies, HBM OOM at serving sizes);
+    # whole-row 1-D scatters keep the default layout everywhere
     scale = kv.scale
     if kv.kv.dtype in _QUANT_KV_DTYPES:
         upd, sc = _quantize_rows(upd, kv.kv.dtype)  # sc [T, 2Hkv]
-        scale = scale.at[pg_idx, off_idx].set(sc)
-    new_kv = kv.kv.at[pg_idx, off_idx].set(upd.astype(kv.kv.dtype))
+        scale = (
+            scale.reshape(Pg * ps, H2).at[rows].set(sc).reshape(Pg, ps, H2)
+        )
+    new_kv = (
+        kv.kv.reshape(Pg * ps, H2, Dp)
+        .at[rows]
+        .set(upd.astype(kv.kv.dtype))
+        .reshape(Pg, ps, H2, Dp)
+    )
     import dataclasses
 
     return dataclasses.replace(kv, kv=new_kv, scale=scale)
@@ -87,9 +95,15 @@ def _gather_kv(kv: KVCache, layer_idx, meta: ForwardMeta, page_size: int, D: int
         meta.page_table[:, :, None] * page_size + offsets[None, None, :]
     ).reshape(B, maxp * page_size)
     rows = layer_idx * slots_per_layer + slots  # [B, S_max] global
-    g = kv.kv[rows // ps, rows % ps, :, :D]  # [B, S_max, 2Hkv, D]
+    # gather over ONE flattened leading dim: [Pg, ps, ...] -> [Pg*ps, ...]
+    # is a free leading-dim merge, and whole-row gathers keep the pool in
+    # its default layout (2-D index gathers on s8 pools made XLA:TPU pick a
+    # transposed operand layout -> a full-pool relayout copy per call)
+    Hd = kv.kv.shape[2]
+    flat = kv.kv.reshape(Pg * ps, Hd, Dp)
+    g = jnp.take(flat, rows, axis=0)[..., :D]  # [B, S_max, 2Hkv, D]
     if kv.kv.dtype in _QUANT_KV_DTYPES:
-        sc = kv.scale[rows // ps, rows % ps]  # [B, S, 2Hkv]
+        sc = jnp.take(kv.scale.reshape(Pg * ps, Hd), rows, axis=0)
         g = g.astype(jnp.float32) * sc[..., None]
     k = g[:, :, 0::2, :]
     v = g[:, :, 1::2, :]
