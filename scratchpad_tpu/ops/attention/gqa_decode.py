@@ -61,10 +61,14 @@ def _gqa_decode_kernel(
     quantized: bool,
 ):
     if quantized:
-        (q_ref, kv_hbm, sc_hbm, o_ref, kv_buf, sc_buf, sems, cursor) = refs
+        # sc_ref: VMEM block [1, P_pad*ps, H2] of this sequence's gathered
+        # scales (scale pages have H2 < 128 lanes, so in-kernel DMA slices
+        # of the scale pool are inexpressible in mosaic — the caller
+        # gathers them instead)
+        (q_ref, kv_hbm, sc_ref, o_ref, kv_buf, sems, cursor) = refs
     else:
         (q_ref, kv_hbm, o_ref, kv_buf, sems, cursor) = refs
-        sc_hbm = sc_buf = None
+        sc_ref = None
     b = pl.program_id(0)
     B = pl.num_programs(0)
     CP = chunk_pages
@@ -88,12 +92,6 @@ def _gqa_decode_kernel(
                     kv_hbm.at[page], kv_buf.at[slot, j], sems.at[slot]
                 )
             )
-            if quantized:
-                out.append(
-                    pltpu.make_async_copy(
-                        sc_hbm.at[page], sc_buf.at[slot, j], sems.at[slot]
-                    )
-                )
         return out
 
     def start_chunk(seq, c, slot):
@@ -154,7 +152,7 @@ def _gqa_decode_kernel(
         if quantized:
             # int8 -> f32 via int32 (no direct 8-bit -> float cast in mosaic)
             buf = raw.astype(jnp.int32).astype(jnp.float32)
-            sc = sc_buf[slot].reshape(CHUNK, H2)  # [CHUNK, H2] f32
+            sc = sc_ref[0, pl.ds(c * CHUNK, CHUNK), :]  # [CHUNK, H2] f32
             scale_k = jax.lax.dot_general(
                 sel_k, sc, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -273,9 +271,16 @@ def _gqa_decode_call(
     ]
     operands = [pt_global, seq_lens.astype(jnp.int32), qs, kv_pages]
     if quantized:
-        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        scratch.append(pltpu.VMEM((2, CP, ps, H2), jnp.float32))
-        operands.append(kv_scale)
+        # per-sequence scales gathered host-of-kernel (tiny: [B, P*ps, H2])
+        rows = (
+            pt_global[:, :, None] * ps
+            + jnp.arange(ps, dtype=jnp.int32)[None, None, :]
+        ).reshape(B, P_pad * ps)
+        sc_g = jnp.take(kv_scale.reshape(-1, H2), rows, axis=0)
+        in_specs.append(
+            pl.BlockSpec((1, P_pad * ps, H2), lambda b, *_: (b, 0, 0))
+        )
+        operands.append(sc_g)
     scratch += [pltpu.SemaphoreType.DMA((2,)), pltpu.SMEM((1,), jnp.int32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
