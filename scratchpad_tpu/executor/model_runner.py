@@ -168,12 +168,11 @@ class ModelRunner:
                 backend = "gqa"
         if not getattr(self.model, "supports_pallas_attention", True):
             backend = "xla"
-        if self.args.kv_cache_dtype == "fp8" and backend in ("ragged", "gqa"):
-            backend = "xla"  # no 8-bit float cast in mosaic
-        if self.args.kv_cache_dtype == "int8" and backend == "ragged":
+        if self.args.kv_cache_dtype in ("int8", "fp8") and backend == "ragged":
             backend = "xla"  # bundled kernel lacks per-row scales
-        # int8 KV decode runs the gqa kernel (post-dot scale folding); the
-        # s8-pool layout conflict that used to force XLA here was fixed by
+        # int8/fp8 KV decode runs the gqa kernel (post-dot scale folding,
+        # lane-padded scale pages streamed with the kv pages); the s8-pool
+        # layout conflict that used to force XLA here was fixed by
         # flattened-leading-dim scatters/gathers in write_kv/_gather_kv
         if self.pp_size > 1 and backend != "xla":
             # attention runs INSIDE pp_call's shard_map; the kernel wrappers

@@ -82,7 +82,10 @@ class KVCache:
     """Pytree of device arrays holding the paged cache."""
 
     kv: jax.Array  # [total_pages, ps, 2*Hkv, D], K/V interleaved per head
-    scale: Optional[jax.Array] = None  # [total_pages, ps, 2*Hkv] f32 (int8)
+    # [total_pages, ps, SCALE_LANES] f32 for quantized caches; only the
+    # first 2*Hkv lanes are used — the 128-lane pad makes per-page DMA
+    # slices expressible in mosaic and keeps scatters/gathers on wide rows
+    scale: Optional[jax.Array] = None
     # per-request cross-attention K/V slots (Mllama)
     cross: Optional[jax.Array] = None  # [slots, Lx, S_img, 2*Hkv, D]
     num_layers: int = 1  # static: pages are laid out layer-major
@@ -131,7 +134,8 @@ def create_kv_cache(
         # exactly into per-stage layer blocks (parallel/pp.py)
         page_spec = "pp" if "pp" in mesh.axis_names else None
         kv_sharding = NamedSharding(mesh, P(page_spec, None, head_spec, None))
-        scale_sharding = NamedSharding(mesh, P(page_spec, None, head_spec))
+        # scale is lane-padded; keep it replicated over tp (tiny)
+        scale_sharding = NamedSharding(mesh, P(page_spec, None, None))
     else:
         kv_sharding = scale_sharding = None
 
@@ -143,7 +147,9 @@ def create_kv_cache(
     kv = _zeros(shape, store_dtype, kv_sharding)
     scale = None
     if cfg.quantized:
-        scale = _zeros(shape[:-1], jnp.float32, scale_sharding)
+        scale = _zeros(
+            shape[:-2] + (max(128, shape[-2]),), jnp.float32, scale_sharding
+        )
     cross = None
     if cfg.cross_layers:
         cross = _zeros(

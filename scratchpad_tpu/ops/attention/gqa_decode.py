@@ -61,14 +61,13 @@ def _gqa_decode_kernel(
     quantized: bool,
 ):
     if quantized:
-        # sc_ref: VMEM block [1, P_pad*ps, H2] of this sequence's gathered
-        # scales (scale pages have H2 < 128 lanes, so in-kernel DMA slices
-        # of the scale pool are inexpressible in mosaic — the caller
-        # gathers them instead)
-        (q_ref, kv_hbm, sc_ref, o_ref, kv_buf, sems, cursor) = refs
+        # sc_hbm [Pg, ps, SL] f32: the scale pool lane-padded to SL >= 128
+        # (16-lane pages are not DMA-sliceable in mosaic); scale pages
+        # stream alongside the kv pages
+        (q_ref, kv_hbm, sc_hbm, o_ref, kv_buf, sc_buf, sems, cursor) = refs
     else:
         (q_ref, kv_hbm, o_ref, kv_buf, sems, cursor) = refs
-        sc_ref = None
+        sc_hbm = sc_buf = None
     b = pl.program_id(0)
     B = pl.num_programs(0)
     CP = chunk_pages
@@ -92,6 +91,12 @@ def _gqa_decode_kernel(
                     kv_hbm.at[page], kv_buf.at[slot, j], sems.at[slot]
                 )
             )
+            if quantized:
+                out.append(
+                    pltpu.make_async_copy(
+                        sc_hbm.at[page], sc_buf.at[slot, j], sems.at[slot]
+                    )
+                )
         return out
 
     def start_chunk(seq, c, slot):
@@ -121,12 +126,13 @@ def _gqa_decode_kernel(
     q_bd = jnp.where(lane // Dp == 2 * (row // G), qt, 0.0)
 
     if quantized:
-        # head-slot selectors: row r reads combined slot 2*(r//G) for K and
-        # 2*(r//G)+1 for V; one tiny dot turns the chunk's per-(token, slot)
-        # scales into score-shaped factors
-        jj = jax.lax.broadcasted_iota(jnp.int32, (Hq, H2), 1)
-        rr = jax.lax.broadcasted_iota(jnp.int32, (Hq, H2), 0)
-        sel_k = (jj == 2 * (rr // G)).astype(jnp.float32)  # [Hq, H2]
+        # head-slot selectors over the PADDED scale lanes: row r reads
+        # combined slot 2*(r//G) for K and +1 for V; one tiny dot turns the
+        # chunk's per-(token, slot) scales into score-shaped factors
+        SL = sc_buf.shape[-1]
+        jj = jax.lax.broadcasted_iota(jnp.int32, (Hq, SL), 1)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (Hq, SL), 0)
+        sel_k = (jj == 2 * (rr // G)).astype(jnp.float32)  # [Hq, SL]
         sel_v = (jj == 2 * (rr // G) + 1).astype(jnp.float32)
 
     def body(c, carry):
@@ -150,9 +156,12 @@ def _gqa_decode_kernel(
         # the ENTIRE pool per call — measured 26x slower end-to-end)
         raw = kv_buf[slot].reshape(CHUNK, LANES)
         if quantized:
-            # int8 -> f32 via int32 (no direct 8-bit -> float cast in mosaic)
-            buf = raw.astype(jnp.int32).astype(jnp.float32)
-            sc = sc_ref[0, pl.ds(c * CHUNK, CHUNK), :]  # [CHUNK, H2] f32
+            if raw.dtype == jnp.int8:
+                # int8 -> f32 via int32 (no direct int8 -> float in mosaic)
+                buf = raw.astype(jnp.int32).astype(jnp.float32)
+            else:  # fp8 e4m3: direct cast is supported
+                buf = raw.astype(jnp.float32)
+            sc = sc_buf[slot].reshape(CHUNK, SL)  # [CHUNK, SL] f32
             scale_k = jax.lax.dot_general(
                 sel_k, sc, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -271,16 +280,10 @@ def _gqa_decode_call(
     ]
     operands = [pt_global, seq_lens.astype(jnp.int32), qs, kv_pages]
     if quantized:
-        # per-sequence scales gathered host-of-kernel (tiny: [B, P*ps, H2])
-        rows = (
-            pt_global[:, :, None] * ps
-            + jnp.arange(ps, dtype=jnp.int32)[None, None, :]
-        ).reshape(B, P_pad * ps)
-        sc_g = jnp.take(kv_scale.reshape(-1, H2), rows, axis=0)
-        in_specs.append(
-            pl.BlockSpec((1, P_pad * ps, H2), lambda b, *_: (b, 0, 0))
-        )
-        operands.append(sc_g)
+        SL = kv_scale.shape[-1]
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch.append(pltpu.VMEM((2, CP, ps, SL), jnp.float32))
+        operands.append(kv_scale)
     scratch += [pltpu.SemaphoreType.DMA((2,)), pltpu.SMEM((1,), jnp.int32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -313,10 +316,11 @@ def decode_attention_gqa(
     sliding_window: Optional[int] = None,
 ) -> jax.Array:
     """Drop-in replacement for decode_attention_xla (same signature)."""
-    assert kv.kv.dtype != jnp.float8_e4m3fn, (
-        "fp8 KV uses the XLA backend (no 8-bit float cast in mosaic)"
+    scale = (
+        kv.scale
+        if kv.kv.dtype in (jnp.int8, jnp.float8_e4m3fn)
+        else None
     )
-    scale = kv.scale if kv.kv.dtype == jnp.int8 else None
     return _gqa_decode_call(
         q,
         kv.kv,

@@ -70,8 +70,10 @@ def write_kv(
     scale = kv.scale
     if kv.kv.dtype in _QUANT_KV_DTYPES:
         upd, sc = _quantize_rows(upd, kv.kv.dtype)  # sc [T, 2Hkv]
+        SL = scale.shape[-1]  # lane-padded (>= 128)
+        sc = jnp.pad(sc, [(0, 0), (0, SL - H2)])
         scale = (
-            scale.reshape(Pg * ps, H2).at[rows].set(sc).reshape(Pg, ps, H2)
+            scale.reshape(Pg * ps, SL).at[rows].set(sc).reshape(Pg, ps, SL)
         )
     new_kv = (
         kv.kv.reshape(Pg * ps, H2, Dp)
@@ -103,7 +105,8 @@ def _gather_kv(kv: KVCache, layer_idx, meta: ForwardMeta, page_size: int, D: int
     flat = kv.kv.reshape(Pg * ps, Hd, Dp)
     g = jnp.take(flat, rows, axis=0)[..., :D]  # [B, S_max, 2Hkv, D]
     if kv.kv.dtype in _QUANT_KV_DTYPES:
-        sc = jnp.take(kv.scale.reshape(Pg * ps, Hd), rows, axis=0)
+        SL = kv.scale.shape[-1]
+        sc = jnp.take(kv.scale.reshape(Pg * ps, SL), rows, axis=0)[..., :Hd]
         g = g.astype(jnp.float32) * sc[..., None]
     k = g[:, :, 0::2, :]
     v = g[:, :, 1::2, :]

@@ -375,3 +375,28 @@ def test_gqa_backend_int8_engine_parity():
         return out
 
     assert run("gqa") == run("xla")
+
+
+def test_gqa_decode_v2_fp8_kv_matches_xla():
+    """FP8-e4m3 paged KV on the gqa kernel (direct e4m3->f32 cast)."""
+    from scratchpad_tpu.ops.attention.gqa_decode import decode_attention_gqa
+    from scratchpad_tpu.ops.attention.xla_backend import _quantize_rows
+
+    q, kv, meta = make_case(seed=5)
+    Pg, ps, H2, Dp = kv.kv.shape
+    flat = kv.kv.reshape(Pg * ps, H2, Dp)
+    qvals, sc = _quantize_rows(flat, jnp.float8_e4m3fn)
+    SL = max(128, H2)
+    scale = np.zeros((Pg, ps, SL), np.float32)
+    scale[..., :H2] = np.asarray(sc, np.float32).reshape(Pg, ps, H2)
+    kv_q = KVCache(
+        kv=qvals.reshape(Pg, ps, H2, Dp),
+        scale=jnp.asarray(scale),
+        num_layers=kv.num_layers,
+    )
+    kw = dict(page_size=16, sm_scale=0.125)
+    ref = decode_attention_xla(q, kv_q, jnp.int32(1), meta, **kw)
+    out = decode_attention_gqa(q, kv_q, jnp.int32(1), meta, **kw)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
