@@ -40,8 +40,10 @@ def build(seed, n_reqs, rng):
         dict(enable_mixed_chunk=True, chunked_prefill_size=16),
         dict(enable_overlap=True, decode_window_size=4),
         dict(schedule_policy="dfs-weight"),
+        dict(attention_backend="gqa", kv_cache_dtype="int8"),
     ],
-    ids=["default", "pressure", "tiny-chunks", "mixed", "overlap", "dfs"],
+    ids=["default", "pressure", "tiny-chunks", "mixed", "overlap", "dfs",
+         "gqa-int8"],
 )
 def test_fuzz_matches_solo(cfg):
     rng = np.random.default_rng(hash(str(sorted(cfg.items()))) % 2**32)
