@@ -179,9 +179,12 @@ class ServerArgs:
             if self.control_plane_addr is None:
                 host, port = self.dist_init_addr.rsplit(":", 1)
                 self.control_plane_addr = f"{host}:{int(port) + 1}"
-            for flag in ("speculative_algorithm",):
-                if getattr(self, flag):
-                    raise ValueError(f"multi-host serving: {flag} unsupported yet")
+            if self.speculative_algorithm in ("draft", "eagle"):
+                # ngram works (host drafts + replicated verify); the draft
+                # model / EAGLE head would need their own command relay
+                raise ValueError(
+                    "multi-host serving: draft/eagle speculation unsupported"
+                )
             if self.host_kv_cache_tokens or self.enable_param_offload:
                 raise ValueError(
                     "multi-host serving: host KV tier / param offload unsupported yet"

@@ -1163,7 +1163,7 @@ class ModelRunner:
         pad = (-T) % C
         hp = jnp.pad(h, [(0, pad), (0, 0)]).reshape(-1, C, h.shape[1])
         ids, lps = jax.lax.map(chunk_fn, hp)
-        return kv, ids.reshape(-1)[:T], lps.reshape(-1)[:T]
+        return kv, *map(self._host_out, (ids.reshape(-1)[:T], lps.reshape(-1)[:T]))
 
     def run_spec_verify_h(self, wb: WorkerBatch):
         """Like run_spec_verify but also returns the target features
@@ -1194,7 +1194,10 @@ class ModelRunner:
                 pad = (-T) % C
                 hp = jnp.pad(h, [(0, pad), (0, 0)]).reshape(-1, C, h.shape[1])
                 ids, lps = jax.lax.map(chunk_fn, hp)
-                return kv, ids.reshape(-1)[:T], lps.reshape(-1)[:T], h
+                return kv, *map(
+                    self._host_out,
+                    (ids.reshape(-1)[:T], lps.reshape(-1)[:T], h),
+                )
 
             self._jit_spec_verify_h = jax.jit(_impl, donate_argnums=(1,))
         meta, _ = self._pad_to_buckets(wb)
@@ -1230,7 +1233,7 @@ class ModelRunner:
                 chosen = jnp.take_along_axis(
                     logprobs, ids[:, None], axis=-1
                 )[:, 0]
-                return kv, ids, chosen, h
+                return kv, *map(self._host_out, (ids, chosen, h))
 
             self._jit_extend_h = jax.jit(_impl, donate_argnums=(1,))
         B_real = len(wb.seq_lens)

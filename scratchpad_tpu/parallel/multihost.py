@@ -18,9 +18,11 @@ stream* — which method to call with which host-side (numpy) batch.
   device-resident handles (the pending decode window and its chained last
   samples) are never shipped — each host uses its own.
 
-Scope (v1): the generate path (extend / decode windows / window
-pipelining), embeddings, scoring, weight update, KV resize, capture.
-Speculative decoding, multimodal, and the host KV tier raise on
+Scope: the generate path (extend / decode windows / window pipelining),
+embeddings, scoring, weight update, KV resize, capture, ngram
+speculative decoding (drafts are host-computed; verification is a
+replicated runner call), and multimodal (vision encode is a replicated
+call). Draft-model/EAGLE speculation and the host KV tier raise on
 multi-host engines for now.
 """
 
@@ -119,10 +121,15 @@ class ControlPlane:
 # Runner methods whose (numpy-only) arguments are broadcast verbatim.
 _PLAIN_METHODS = (
     "run_extend",
+    "run_extend_with_hidden",
     "run_decode_window",
     "run_embed",
     "run_score",
     "run_kv_only",
+    "run_spec_verify",
+    "run_spec_verify_h",
+    "encode_images",
+    "image_token_embedding",
     "resize_kv_pool",
     "update_weights",
     "capture",

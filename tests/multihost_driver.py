@@ -22,6 +22,10 @@ from scratchpad_tpu.sampling.sampling_params import SamplingParams
 
 def main() -> None:
     rank, nodes, coord_port, ctrl_port = map(int, sys.argv[1:5])
+    variant = sys.argv[5] if len(sys.argv) > 5 else "plain"
+    extra = {}
+    if variant == "ngram":
+        extra = dict(speculative_algorithm="ngram")
     args = ServerArgs(
         preset="tiny-debug",
         random_weights=True,
@@ -35,6 +39,7 @@ def main() -> None:
         dp_size=2,
         tp_size=4,
         device="cpu",
+        **extra,
     )
     if rank > 0:
         from scratchpad_tpu.server.engine import run_follower
@@ -46,7 +51,12 @@ def main() -> None:
 
     eng = Engine(args)
     rng = np.random.default_rng(0)
-    prompts = [rng.integers(1, 500, n).tolist() for n in (9, 25, 14)]
+    if variant == "ngram":
+        # repetitive prompts so prompt-lookup drafts actually fire
+        base = rng.integers(1, 100, 6).tolist()
+        prompts = [base * 4, (base + [7]) * 3, rng.integers(1, 500, 14).tolist()]
+    else:
+        prompts = [rng.integers(1, 500, n).tolist() for n in (9, 25, 14)]
     sp = SamplingParams(temperature=0.0, max_new_tokens=6)
     outs = [
         o.output_ids

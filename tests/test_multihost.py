@@ -31,8 +31,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_engine_matches_single():
+def _run_pair(variant: str):
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env.pop("JAX_PLATFORMS", None)
@@ -41,7 +40,8 @@ def test_two_process_engine_matches_single():
     coord, ctrl = _free_port(), _free_port()
     procs = [
         subprocess.Popen(
-            [sys.executable, str(DRIVER), str(r), "2", str(coord), str(ctrl)],
+            [sys.executable, str(DRIVER), str(r), "2", str(coord), str(ctrl),
+             variant],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
@@ -61,9 +61,10 @@ def test_two_process_engine_matches_single():
     assert procs[1].returncode == 0, f"follower failed:\n{out1[-4000:]}"
     line = [l for l in out0.splitlines() if l.startswith("RESULT ")]
     assert line, out0[-4000:]
-    got = json.loads(line[-1][len("RESULT ") :])
+    return json.loads(line[-1][len("RESULT ") :])
 
-    # single-process greedy reference (same prompts/seeds as the driver)
+
+def _reference(variant: str):
     eng = Engine(
         ServerArgs(
             preset="tiny-debug",
@@ -74,10 +75,25 @@ def test_two_process_engine_matches_single():
         )
     )
     rng = np.random.default_rng(0)
-    prompts = [rng.integers(1, 500, n).tolist() for n in (9, 25, 14)]
+    if variant == "ngram":
+        base = rng.integers(1, 100, 6).tolist()
+        prompts = [base * 4, (base + [7]) * 3, rng.integers(1, 500, 14).tolist()]
+    else:
+        prompts = [rng.integers(1, 500, n).tolist() for n in (9, 25, 14)]
     sp = SamplingParams(temperature=0.0, max_new_tokens=6)
-    ref = [
+    return [
         o.output_ids
         for o in eng.generate(input_ids=prompts, sampling_params=[sp] * 3)
     ]
-    assert got == ref
+
+
+@pytest.mark.slow
+def test_two_process_engine_matches_single():
+    assert _run_pair("plain") == _reference("plain")
+
+
+@pytest.mark.slow
+def test_two_process_ngram_spec_matches_single():
+    """ngram speculative decoding across the 2-process cluster: drafts are
+    host-computed on the leader; verification replays on every node."""
+    assert _run_pair("ngram") == _reference("ngram")
