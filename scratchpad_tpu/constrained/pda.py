@@ -453,19 +453,22 @@ def is_recursive(src: str, root: str = "root") -> bool:
         name: {t.val for t in body if t.kind == "name"}
         for name, body in rules.items()
     }
-    seen: set[str] = set()
+    acyclic: set[str] = set()  # memo: rules proven recursion-free
     stack: list[str] = []
 
     def dfs(name: str) -> bool:
-        if name not in rules:
+        if name not in rules or name in acyclic:
             return False
         if name in stack:
             return True
         stack.append(name)
         try:
-            return any(dfs(r) for r in refs[name])
+            if any(dfs(r) for r in refs[name]):
+                return True
         finally:
             stack.pop()
+        acyclic.add(name)
+        return False
 
     return dfs(root)
 
@@ -619,6 +622,11 @@ class CompiledPDAGrammar:
             MAXOV,
             n_ov.ctypes.data_as(i32p),
         )
+        if int(n_ov[0]) >= MAXOV:
+            # the overflow list saturated (e.g. the config set exceeds the
+            # kernel's budget so every token overflows) — tokens past the
+            # cap would stay wrongly masked off; do the exact walk instead
+            return None
         for tid in overflow[: int(n_ov[0])]:
             s = self.token_strs[int(tid)]
             if s and pda.walk(configs, s) is not None:
@@ -633,9 +641,10 @@ class CompiledPDAGrammar:
         if hit is not None:
             return hit
         dst: dict[int, object] = {}
-        if self._native is not None:
-            mask = self._native_mask(configs)
-        else:
+        mask = (
+            self._native_mask(configs) if self._native is not None else None
+        )
+        if mask is None:
             words = -(-self.vocab_size // 32)
             mask = np.zeros(words, np.uint32)
             for tid, s in enumerate(self.token_strs):
@@ -682,10 +691,10 @@ class PDAGrammar:
         if self.finished:
             return None
         m, _ = self.compiled.mask_and_dsts(self.configs)
-        counts = np.array([bin(int(w)).count("1") for w in m], dtype=np.int32)
-        if counts.sum() != 1:
+        total = int(np.unpackbits(m.view(np.uint8)).sum())
+        if total != 1:
             return None
-        word = int(np.argmax(counts))
+        word = int(np.argmax(m != 0))
         bit = int(m[word]).bit_length() - 1
         return word * 32 + bit
 

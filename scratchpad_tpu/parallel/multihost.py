@@ -178,8 +178,15 @@ class LeaderRunner:
 
 
 def follower_loop(runner, ctrl: ControlPlane) -> None:
-    """Replay the leader's command stream on this host's ModelRunner."""
-    pending = None
+    """Replay the leader's command stream on this host's ModelRunner.
+
+    Pending decode-window handles form a FIFO: with window pipelining the
+    leader interleaves [dispatch W(n+1) chained, fetch W(n)], so the
+    follower must chain from the NEWEST handle's device-resident samples
+    while fetching the OLDEST."""
+    from collections import deque
+
+    pending: deque = deque()
     while True:
         name, payload = ctrl.recv()
         if name == "stop":
@@ -187,12 +194,16 @@ def follower_loop(runner, ctrl: ControlPlane) -> None:
             return
         if name == "dispatch_decode_window":
             (wb, num_steps), chained = payload
-            prev = pending[1] if (chained and pending is not None) else None
-            pending = runner.dispatch_decode_window(wb, num_steps, prev)
+            if chained and not pending:
+                raise RuntimeError(
+                    "follower: chained dispatch with no in-flight window "
+                    "(command stream desync)"
+                )
+            prev = pending[-1][1] if chained else None
+            pending.append(runner.dispatch_decode_window(wb, num_steps, prev))
         elif name == "fetch_decode_window":
-            if pending is not None:
-                runner.fetch_decode_window(pending)
-                pending = None
+            if pending:
+                runner.fetch_decode_window(pending.popleft())
         else:
             args, kwargs = payload
             getattr(runner, name)(*args, **kwargs)

@@ -81,15 +81,18 @@ async def run_one(
                 usage = chunk.get("usage")
                 if usage:
                     res.output_len = usage.get("completion_tokens", 0)
-                text = chunk["choices"][0].get("text", "") if chunk.get("choices") else ""
-                if text:
+                # any choices-bearing chunk marks progress: random-weight
+                # lab models emit tokens whose text detokenizes empty (the
+                # SSE stream holds text back), so keying on non-empty text
+                # would mark every request failed
+                if chunk.get("choices"):
                     if res.ttft == 0.0:
                         res.ttft = now - start
                     else:
                         res.itls.append(now - last)
                     last = now
         res.e2e = time.perf_counter() - start
-        res.success = res.ttft > 0
+        res.success = res.ttft > 0 or res.output_len > 0
     except Exception as e:  # noqa: BLE001
         res.error = str(e)
     return res
