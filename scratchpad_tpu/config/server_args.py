@@ -122,6 +122,11 @@ class ServerArgs:
     # sharding every expert's ffw dim
     enable_ep: bool = False
 
+    # pre-compile the decode bucket ladder at server startup (reference:
+    # init_cuda_graphs captures CUDA graphs before serving); disable for
+    # fast dev restarts
+    warmup_capture: bool = True
+
     # server
     host: str = "127.0.0.1"
     port: int = 3000

@@ -560,6 +560,15 @@ def launch_server(args: ServerArgs, engine: Optional[Engine] = None) -> None:
     """Blocking server entry (reference: server/server.py:223 launch_server)."""
     args = args.resolve()
     engine = engine or Engine(args)
+    if args.warmup_capture:
+        import jax
+
+        if jax.default_backend() != "cpu":
+            # pre-compile the decode bucket ladder before accepting traffic
+            # (the CUDA-graph-capture-at-init analogue, reference:
+            # model_executor/model_runner.py:490 init_cuda_graphs) — first
+            # requests otherwise stall on minutes of remote compiles
+            engine.scheduler.runner.capture()
     app = ServerApp(engine, args)
     logger.info("serving %s on %s:%d", args.served_model_name, args.host, args.port)
     web.run_app(app.app, host=args.host, port=args.port, print=None)
