@@ -507,7 +507,25 @@ def _load_pda_native():
         i32p,  # n_overflow
     ]
     fn.restype = None
-    return fn
+    cl = lib.sptpu_pda_classify
+    cl.argtypes = [
+        i32p,  # trans
+        ctypes.c_int32,  # C
+        ctypes.POINTER(ctypes.c_uint8),  # accepting
+        ctypes.POINTER(ctypes.c_int64),  # call_off
+        i32p,  # call_pairs
+        i32p,  # seqs
+        ctypes.POINTER(ctypes.c_int64),  # offsets
+        ctypes.c_int64,  # vocab
+        i32p,  # states
+        ctypes.c_int32,  # n_states
+        ctypes.POINTER(ctypes.c_uint32),  # mask
+        i32p,  # ctx_ids
+        ctypes.c_int32,  # max_ctx
+        i32p,  # n_ctx
+    ]
+    cl.restype = None
+    return (fn, cl)
 
 
 # ------------------------------------------------- grammar-backend surface
@@ -523,7 +541,9 @@ class CompiledPDAGrammar:
         self.vocab_size = len(token_strs)
         self._mask_cache: dict = {}
         self._lock = threading.Lock()
-        self._native = _load_pda_native()
+        native = _load_pda_native()
+        self._native, self._native_classify = native or (None, None)
+        self._ci_cache: dict = {}
         if self._native is not None:
             self._flatten()
 
@@ -633,6 +653,117 @@ class CompiledPDAGrammar:
                 mask[tid >> 5] |= np.uint32(1 << (int(tid) & 31))
         return mask
 
+    def _classify(self, proj):
+        """(CI-accepted mask, ctx-dependent token ids) for a stack-agnostic
+        state projection; None when the ctx list overflows."""
+        import ctypes
+
+        hit = self._ci_cache.get(proj)
+        if hit is not None:
+            return hit
+        states = np.asarray(
+            sorted(self._off[rule] + st for rule, st in proj), np.int32
+        )
+        words = -(-self.vocab_size // 32)
+        mask = np.zeros(words, np.uint32)
+        MAXCTX = 2048
+        ctx = np.zeros(MAXCTX, np.int32)
+        n_ctx = np.zeros(1, np.int32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        self._native_classify(
+            self._trans.ctypes.data_as(i32p),
+            self._C,
+            self._accepting.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            self._call_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            self._call_pairs.ctypes.data_as(i32p),
+            self._seqs.ctypes.data_as(i32p),
+            self._offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            self.vocab_size,
+            states.ctypes.data_as(i32p),
+            len(states),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ctx.ctypes.data_as(i32p),
+            MAXCTX,
+            n_ctx.ctypes.data_as(i32p),
+        )
+        if int(n_ctx[0]) > MAXCTX:
+            out = None
+        else:
+            ctx_ids = ctx[: int(n_ctx[0])].copy()
+            # compact sub-vocabulary of the ctx-dependent tokens so their
+            # exact re-walks also run in the native kernel
+            lens = (
+                self._offsets[ctx_ids + 1] - self._offsets[ctx_ids]
+            ).astype(np.int64)
+            sub_off = np.zeros(len(ctx_ids) + 1, np.int64)
+            np.cumsum(lens, out=sub_off[1:])
+            sub_seqs = np.empty(int(sub_off[-1]), np.int32)
+            for i, t in enumerate(ctx_ids):
+                a, b = self._offsets[t], self._offsets[t + 1]
+                sub_seqs[sub_off[i] : sub_off[i + 1]] = self._seqs[a:b]
+            out = (mask, ctx_ids, sub_seqs, sub_off)
+        with self._lock:
+            self._ci_cache[proj] = out
+        return out
+
+    def _native_mask_subset(self, configs, ctx_ids, sub_seqs, sub_off):
+        """Exact native walk of ONLY the ctx-dependent tokens; returns a
+        bool array aligned with ctx_ids (None on overflow)."""
+        import ctypes
+
+        pda = self.pda
+        cfgs = sorted(
+            configs,
+            key=lambda c: (c[0], c[1], -1 if c[2] is None else c[2]),
+        )
+        states = np.zeros(len(cfgs), np.int32)
+        stack_off = np.zeros(len(cfgs) + 1, np.int32)
+        stacks: list[int] = []
+        for i, (rule, state, frame) in enumerate(cfgs):
+            states[i] = self._off[rule] + state
+            chain: list[int] = []
+            f = frame
+            while f is not None:
+                r_rule, r_state, parent = pda._frames[f]
+                chain.append(self._off[r_rule] + r_state)
+                f = parent
+            stacks.extend(reversed(chain))
+            stack_off[i + 1] = len(stacks)
+        n = len(ctx_ids)
+        words = -(-n // 32)
+        mask = np.zeros(max(words, 1), np.uint32)
+        MAXOV = 512
+        overflow = np.zeros(MAXOV, np.int32)
+        n_ov = np.zeros(1, np.int32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        self._native(
+            self._trans.ctypes.data_as(i32p),
+            self._C,
+            self._accepting.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            self._call_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            self._call_pairs.ctypes.data_as(i32p),
+            sub_seqs.ctypes.data_as(i32p),
+            sub_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n,
+            states.ctypes.data_as(i32p),
+            stack_off.ctypes.data_as(i32p),
+            (np.asarray(stacks or [0], np.int32)).ctypes.data_as(i32p),
+            len(cfgs),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            overflow.ctypes.data_as(i32p),
+            MAXOV,
+            n_ov.ctypes.data_as(i32p),
+        )
+        if int(n_ov[0]) >= MAXOV:
+            return None
+        ok = (mask[np.arange(n) >> 5] >> (np.arange(n) & 31)) & 1
+        for j in overflow[: int(n_ov[0])]:
+            s2 = self.token_strs[int(ctx_ids[int(j)])]
+            ok[int(j)] = bool(
+                s2 and self.pda.walk(configs, s2) is not None
+            )
+        return ok.astype(bool)
+
     def mask_and_dsts(self, configs):
         """(bitmask words, {token_id: next_configs}) for a config set."""
         key = configs
@@ -641,9 +772,28 @@ class CompiledPDAGrammar:
         if hit is not None:
             return hit
         dst: dict[int, object] = {}
-        mask = (
-            self._native_mask(configs) if self._native is not None else None
-        )
+        mask = None
+        if self._native is not None:
+            # adaptive masks: most tokens are context-INDEPENDENT for a
+            # given (rule, state) projection — their bits cache across all
+            # stacks at that projection; only tokens that pop past the
+            # current frames (e.g. runs of closers) re-walk exactly
+            proj = frozenset((rule, st) for rule, st, _ in configs)
+            ci = self._classify(proj)
+            if ci is not None:
+                ci_mask, ctx_ids, sub_seqs, sub_off = ci
+                mask = ci_mask.copy()
+                if len(ctx_ids):
+                    ok = self._native_mask_subset(
+                        configs, ctx_ids, sub_seqs, sub_off
+                    )
+                    if ok is None:
+                        mask = self._native_mask(configs)
+                    else:
+                        for tid in ctx_ids[ok]:
+                            mask[tid >> 5] |= np.uint32(1 << (int(tid) & 31))
+            else:
+                mask = self._native_mask(configs)
         if mask is None:
             words = -(-self.vocab_size // 32)
             mask = np.zeros(words, np.uint32)

@@ -165,3 +165,114 @@ void sptpu_pda_fill_mask(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Classification walk (xgrammar's adaptive-token-mask analogue): walk every
+// token from the STACK-AGNOSTIC projection of a configuration set (each
+// config = a bare (state) with an empty abstract stack). A pop past the
+// abstract base means the token's fate depends on the caller's real stack:
+// such tokens are reported context-DEPENDENT. Tokens that survive without
+// escaping are context-independently ACCEPTED (bit set in mask); tokens
+// whose every path dies without escaping are context-independently
+// rejected. Budget overflows are reported as context-dependent (the caller
+// re-walks them exactly).
+void sptpu_pda_classify(
+    const int32_t* trans, int32_t C, const uint8_t* accepting,
+    const int64_t* call_off, const int32_t* call_pairs, const int32_t* seqs,
+    const int64_t* offsets, int64_t vocab, const int32_t* states,
+    int32_t n_states_in,
+    uint32_t* mask,        // [ceil(vocab/32)] caller-zeroed: CI-accepted
+    int32_t* ctx_ids,      // [max_ctx] out: context-dependent token ids
+    int32_t max_ctx,
+    int32_t* n_ctx) {      // out; == max_ctx+1 signals ctx-list overflow
+  Tables t{trans, C, accepting, call_off, call_pairs, nullptr, nullptr};
+  *n_ctx = 0;
+
+  std::vector<Cfg> init;
+  init.reserve(n_states_in);
+  for (int32_t i = 0; i < n_states_in; ++i) {
+    Cfg c;
+    c.state = states[i];
+    c.base_cfg = 0;
+    c.base_len = 0;  // abstract base: pops below here = escape
+    init.push_back(std::move(c));
+  }
+
+  std::vector<Cfg> cur, nxt;
+  for (int64_t tid = 0; tid < vocab; ++tid) {
+    const int64_t a = offsets[tid], b = offsets[tid + 1];
+    if (a == b) continue;
+    cur = init;
+    bool ok = true, alive = true, escaped = false;
+    for (int64_t p = a; p < b && alive; ++p) {
+      const int32_t cls = seqs[p];
+      nxt.clear();
+      for (const Cfg& c : cur) {
+        const int32_t d = t.trans[static_cast<int64_t>(c.state) * C + cls];
+        if (d < 0) continue;
+        Cfg m = c;
+        m.state = d;
+        bool dup = false;
+        for (const Cfg& q : nxt)
+          if (q == m) { dup = true; break; }
+        if (!dup) {
+          if (nxt.size() >= kMaxConfigs) { ok = false; break; }
+          nxt.push_back(std::move(m));
+        }
+      }
+      if (!ok) break;
+      // closure with escape detection: accepting configs with an empty
+      // stack would pop the caller's real frame
+      for (size_t i = 0; i < nxt.size() && ok; ++i) {
+        Cfg cc = nxt[i];
+        for (int64_t k = t.call_off[cc.state]; k < t.call_off[cc.state + 1];
+             ++k) {
+          Cfg m = cc;
+          m.state = t.call_pairs[2 * k];
+          m.local.push_back(t.call_pairs[2 * k + 1]);
+          if (m.local.size() > kMaxLocalDepth) { ok = false; break; }
+          bool dup = false;
+          for (const Cfg& q : nxt)
+            if (q == m) { dup = true; break; }
+          if (!dup) {
+            if (nxt.size() >= kMaxConfigs) { ok = false; break; }
+            nxt.push_back(std::move(m));
+          }
+        }
+        if (!ok) break;
+        if (t.accepting[cc.state]) {
+          if (!cc.local.empty()) {
+            Cfg m = cc;
+            m.state = m.local.back();
+            m.local.pop_back();
+            bool dup = false;
+            for (const Cfg& q : nxt)
+              if (q == m) { dup = true; break; }
+            if (!dup) {
+              if (nxt.size() >= kMaxConfigs) { ok = false; break; }
+              nxt.push_back(std::move(m));
+            }
+          } else {
+            escaped = true;  // would pop past the abstract base
+          }
+        }
+      }
+      if (!ok) break;
+      if (nxt.empty()) { alive = false; break; }
+      cur.swap(nxt);
+    }
+    if (!ok || escaped) {
+      if (*n_ctx < max_ctx) {
+        ctx_ids[(*n_ctx)++] = tid;
+      } else {
+        *n_ctx = max_ctx + 1;  // overflow marker
+        return;
+      }
+      continue;
+    }
+    if (alive) mask[tid >> 5] |= (1u << (tid & 31));
+  }
+}
+
+}  // extern "C"

@@ -224,3 +224,40 @@ class TestRecursivePDA:
                 sorted(dst)[0],
             )
             configs = dst[pick]
+
+    def test_adaptive_ci_masks_match_exact(self):
+        """Context-independent classification + native subset re-walks
+        produce the same masks as the exact Python path across a nested
+        walk (xgrammar's adaptive-token-mask analogue)."""
+        import numpy as np
+        from scratchpad_tpu.constrained.pda import CompiledPDAGrammar
+
+        src = (
+            'root ::= value\n'
+            'value ::= "null" | [0-9]+ | array\n'
+            'array ::= "[" (value ("," value)*)? "]"\n'
+        )
+        rng = np.random.default_rng(2)
+        chars = list("0123456789[],nul")
+        toks = [
+            "".join(rng.choice(chars, rng.integers(1, 5))) for _ in range(512)
+        ]
+        toks[0] = None
+        cg = CompiledPDAGrammar(src, toks, {1})
+        assert cg._native_classify is not None
+        configs = cg.pda.initial_configs()
+        for step in range(12):
+            cg._mask_cache.clear()
+            m_ci, _ = cg.mask_and_dsts(configs)
+            native, cg._native = cg._native, None
+            cg._mask_cache.clear()
+            m_py, dst = cg.mask_and_dsts(configs)
+            cg._native = native
+            np.testing.assert_array_equal(m_ci, m_py, err_msg=str(step))
+            if not dst:
+                break
+            pick = next(
+                (t for t in sorted(dst) if toks[t] in ("[", "]", "1")),
+                sorted(dst)[0],
+            )
+            configs = dst[pick]
