@@ -26,6 +26,8 @@ def main() -> None:
     extra = {}
     if variant == "ngram":
         extra = dict(speculative_algorithm="ngram")
+    elif variant == "overlap":
+        extra = dict(enable_overlap=True, decode_window_size=4)
     args = ServerArgs(
         preset="tiny-debug",
         random_weights=True,

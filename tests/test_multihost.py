@@ -97,3 +97,11 @@ def test_two_process_ngram_spec_matches_single():
     """ngram speculative decoding across the 2-process cluster: drafts are
     host-computed on the leader; verification replays on every node."""
     assert _run_pair("ngram") == _reference("ngram")
+
+
+@pytest.mark.slow
+def test_two_process_overlap_matches_single():
+    """Window pipelining across the cluster: the follower's pending-window
+    FIFO must stay in lockstep with the leader's chained dispatch/fetch
+    interleaving."""
+    assert _run_pair("overlap") == _reference("plain")
