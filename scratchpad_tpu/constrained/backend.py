@@ -29,6 +29,17 @@ from scratchpad_tpu.utils import get_logger
 logger = get_logger("constrained")
 
 
+def single_set_bit(mask: np.ndarray):
+    """Token id when EXACTLY one bit is set in the u32 bitmask, else None —
+    the jump-forward primitive shared by both grammar cursors."""
+    total = int(np.unpackbits(mask.view(np.uint8)).sum())
+    if total != 1:
+        return None
+    word = int(np.argmax(mask != 0))
+    bit = int(mask[word]).bit_length() - 1
+    return word * 32 + bit
+
+
 def _load_fsm_native():
     """ctypes handle to the C++ token-walk kernel (csrc/fsm.cpp), or None."""
     from scratchpad_tpu.utils.native import load_native
@@ -184,13 +195,7 @@ class Grammar:
         Returns None when the choice is free."""
         if self.finished:
             return None
-        m = self.compiled.bitmask_for(self.state)
-        counts = np.array([bin(int(w)).count("1") for w in m], dtype=np.int32)
-        if counts.sum() != 1:
-            return None
-        word = int(np.argmax(counts))
-        bit = int(m[word]).bit_length() - 1
-        return word * 32 + bit
+        return single_set_bit(self.compiled.bitmask_for(self.state))
 
     def is_terminated(self) -> bool:
         return self.finished

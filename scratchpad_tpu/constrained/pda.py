@@ -28,6 +28,9 @@ from typing import Optional
 import numpy as np
 
 from scratchpad_tpu.constrained import ebnf as _ebnf
+from scratchpad_tpu.utils import get_logger
+
+logger = get_logger("pda")
 from scratchpad_tpu.constrained.regex_fsm import _CharSet, _Parser
 
 _MAX_STACK = 1024  # frames; also bounds closure growth (left recursion)
@@ -653,6 +656,8 @@ class CompiledPDAGrammar:
                 mask[tid >> 5] |= np.uint32(1 << (int(tid) & 31))
         return mask
 
+    _CTX_OVERFLOW = "ctx-overflow"  # cached negative-classification marker
+
     def _classify(self, proj):
         """(CI-accepted mask, ctx-dependent token ids) for a stack-agnostic
         state projection; None when the ctx list overflows."""
@@ -660,7 +665,7 @@ class CompiledPDAGrammar:
 
         hit = self._ci_cache.get(proj)
         if hit is not None:
-            return hit
+            return None if hit == self._CTX_OVERFLOW else hit
         states = np.asarray(
             sorted(self._off[rule] + st for rule, st in proj), np.int32
         )
@@ -687,7 +692,9 @@ class CompiledPDAGrammar:
             n_ctx.ctypes.data_as(i32p),
         )
         if int(n_ctx[0]) > MAXCTX:
-            out = None
+            with self._lock:
+                self._ci_cache[proj] = self._CTX_OVERFLOW
+            return None
         else:
             ctx_ids = ctx[: int(n_ctx[0])].copy()
             # compact sub-vocabulary of the ctx-dependent tokens so their
@@ -768,6 +775,8 @@ class CompiledPDAGrammar:
         """(bitmask words, {token_id: next_configs}) for a config set."""
         key = configs
         with self._lock:
+            if len(self._mask_cache) > 2048:
+                self._mask_cache.clear()  # coarse bound; ~16 KB/entry
             hit = self._mask_cache.get(key)
         if hit is not None:
             return hit
@@ -814,7 +823,11 @@ class CompiledPDAGrammar:
 
 
 class PDAGrammar:
-    """Per-request cursor (duck-types constrained.backend.Grammar)."""
+    """Per-request cursor (duck-types constrained.backend.Grammar).
+
+    Runtime blowups (config explosion / stack-depth bound on adversarial
+    generations) degrade the ONE request to unconstrained generation
+    instead of raising into the scheduler step loop."""
 
     def __init__(self, compiled: CompiledPDAGrammar):
         self.compiled = compiled
@@ -822,31 +835,41 @@ class PDAGrammar:
         self.finished = False
 
     def fill_vocab_bitmask(self, mask_row: np.ndarray, vocab_size: int) -> None:
-        m, _ = self.compiled.mask_and_dsts(self.configs)
+        if self.finished:
+            return
+        try:
+            m, _ = self.compiled.mask_and_dsts(self.configs)
+        except ValueError as e:
+            logger.warning("PDA grammar degraded to unconstrained: %s", e)
+            self.finished = True
+            mask_row[:] = np.uint32(0xFFFFFFFF)
+            return
         mask_row[: len(m)] = m
 
     def accept_token(self, token_id: int) -> None:
-        if token_id in self.compiled.eos_ids:
+        if self.finished or token_id in self.compiled.eos_ids:
             self.finished = True
             return
-        _, dst = self.compiled.mask_and_dsts(self.configs)
-        nxt = dst.get(token_id)
-        if nxt is None:
-            s = self.compiled.token_strs[token_id] or ""
-            nxt = self.compiled.pda.walk(self.configs, s)
+        try:
+            _, dst = self.compiled.mask_and_dsts(self.configs)
+            nxt = dst.get(token_id)
+            if nxt is None:
+                s = self.compiled.token_strs[token_id] or ""
+                nxt = self.compiled.pda.walk(self.configs, s)
+        except ValueError as e:
+            logger.warning("PDA grammar degraded to unconstrained: %s", e)
+            self.finished = True
+            return
         if nxt is not None:
             self.configs = nxt
 
     def forced_next_token(self) -> Optional[int]:
         if self.finished:
             return None
+        from scratchpad_tpu.constrained.backend import single_set_bit
+
         m, _ = self.compiled.mask_and_dsts(self.configs)
-        total = int(np.unpackbits(m.view(np.uint8)).sum())
-        if total != 1:
-            return None
-        word = int(np.argmax(m != 0))
-        bit = int(m[word]).bit_length() - 1
-        return word * 32 + bit
+        return single_set_bit(m)
 
     def is_terminated(self) -> bool:
         return self.finished

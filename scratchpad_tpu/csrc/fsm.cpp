@@ -41,18 +41,4 @@ void sptpu_fsm_compute_state(const int32_t* trans, int32_t num_classes,
   }
 }
 
-// Batch variant: compute several states in one call (amortises the ctypes
-// hop when the scheduler warms multiple states).
-void sptpu_fsm_compute_states(const int32_t* trans, int32_t num_classes,
-                              const int32_t* seqs, const int64_t* offsets,
-                              int64_t vocab, const int32_t* states,
-                              int32_t num_target_states, uint32_t* masks,
-                              int32_t* dsts) {
-  const int64_t words = (vocab + 31) / 32;
-  for (int32_t k = 0; k < num_target_states; ++k) {
-    sptpu_fsm_compute_state(trans, num_classes, seqs, offsets, vocab,
-                            states[k], masks + k * words, dsts + k * vocab);
-  }
-}
-
 }  // extern "C"

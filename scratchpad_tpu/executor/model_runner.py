@@ -1134,7 +1134,8 @@ class ModelRunner:
         hp = jnp.pad(h, [(0, pad), (0, 0)]).reshape(-1, C, h.shape[1])
         tp = jnp.pad(targets, [(0, pad)]).reshape(-1, C)
         lps = jax.lax.map(chunk_fn, (hp, tp)).reshape(-1)[:T]
-        return kv, lps  # [T] logprob of token t+1 given prefix..t
+        # [T] logprob of token t+1 given prefix..t
+        return kv, self._host_out(lps)
 
     def _spec_verify_impl(self, params, kv, meta):
         """Greedy speculative verification: one extend forward over

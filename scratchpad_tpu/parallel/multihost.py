@@ -202,8 +202,12 @@ def follower_loop(runner, ctrl: ControlPlane) -> None:
             prev = pending[-1][1] if chained else None
             pending.append(runner.dispatch_decode_window(wb, num_steps, prev))
         elif name == "fetch_decode_window":
-            if pending:
-                runner.fetch_decode_window(pending.popleft())
+            if not pending:
+                raise RuntimeError(
+                    "follower: fetch with no in-flight window "
+                    "(command stream desync)"
+                )
+            runner.fetch_decode_window(pending.popleft())
         else:
             args, kwargs = payload
             getattr(runner, name)(*args, **kwargs)

@@ -169,6 +169,14 @@ class Engine:
         quantized weight-delta adapter — for per-request serving
         (reference: RegisterToppingsReqInput, managers/structs.py:611;
         delta kind: toppings_manager.py:462 _load_delta)."""
+        if getattr(self, "_ctrl", None) is not None:
+            # followers would keep serving the un-adapted program while the
+            # leader's jits take the adapter branch — divergent SPMD
+            # programs over one mesh deadlock the collectives
+            raise ValueError(
+                "multi-host serving: runtime topping registration is not "
+                "relayed to follower nodes yet"
+            )
         if getattr(self, "toppings_manager", None) is None:
             from scratchpad_tpu.toppings import ToppingsManager
 

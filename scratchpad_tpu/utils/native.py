@@ -34,7 +34,21 @@ def _build(name: str) -> Optional[Path]:
     src = _CSRC / f"{name}.cpp"
     if not src.exists():
         return None
-    tag = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
+    # -march=native binaries are host-specific: include the machine/ISA in
+    # the cache key so a cache dir shared across heterogeneous hosts never
+    # serves a .so with unsupported instructions
+    import platform
+
+    isa = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    isa += line
+                    break
+    except OSError:
+        pass
+    tag = hashlib.sha256(src.read_bytes() + isa.encode()).hexdigest()[:16]
     out = _CACHE / f"{name}-{tag}.so"
     if out.exists():
         return out
