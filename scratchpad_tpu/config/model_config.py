@@ -136,6 +136,9 @@ class ModelConfig:
             kwargs["num_experts"] = cfg["num_local_experts"]  # HF Mixtral
         if cfg.get("n_shared_experts") is None:
             kwargs.pop("n_shared_experts", None)
+        # Qwen2-style configs carry a sliding_window VALUE but gate it off
+        if cfg.get("use_sliding_window") is False:
+            kwargs.pop("sliding_window", None)
         # HF variants of softcap naming (Gemma2)
         if "final_logit_softcapping" in cfg:
             kwargs["logit_softcap"] = cfg["final_logit_softcapping"]

@@ -342,7 +342,9 @@ class LlamaForCausalLM:
                 page_size=self.page_size,
                 sm_scale=self.sm_scale,
                 logit_cap=cfg.attn_logit_softcap,
-                sliding_window=None,
+                # uniform window (Mistral v0.1/v0.2); per-layer window
+                # models (Gemma, GPT-OSS) have their own forwards
+                sliding_window=cfg.sliding_window,
             )
             x = x + lin(attn.reshape(T, Hq * D), lp, "wo", lidx)
             h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)

@@ -46,6 +46,9 @@ def _ensure_builtin():
     from scratchpad_tpu.models.llama import LlamaForCausalLM
 
     _REGISTRY["LlamaForCausalLM"] = LlamaForCausalLM
+    # Mistral is llama-architecture (same weight names, optional uniform
+    # sliding window which the llama forward honors)
+    _REGISTRY["MistralForCausalLM"] = LlamaForCausalLM
     try:
         from scratchpad_tpu.models.qwen import (
             Phi3ForCausalLM,
