@@ -61,7 +61,7 @@ def main() -> None:
         # the ragged kernel serves batched chunked prefill directly
         max_prefill_tokens=4096 if on_tpu else prompt_len,
         chunked_prefill_size=2048 if on_tpu else prompt_len,
-        decode_window_size=64,
+        decode_window_size=int(os.environ.get("SPTPU_BENCH_WINDOW", "64")),
     )
     sched = Scheduler(cfg, args)
     rng = np.random.default_rng(0)

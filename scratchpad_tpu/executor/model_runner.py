@@ -232,17 +232,24 @@ class ModelRunner:
             )
 
             self.model.decode_attention = decode_attention_gqa
-            if (
-                jax.default_backend() != "cpu"
-                and self.args.kv_cache_dtype not in ("int8", "fp8")
-            ):
-                # extend rides the ragged kernel; with int8 KV it keeps the
-                # XLA gather path (the bundled kernel lacks per-row scales)
-                from scratchpad_tpu.ops.attention.ragged_backend import (
-                    attention_ragged,
-                )
+            if jax.default_backend() != "cpu":
+                if self.args.kv_cache_dtype in ("int8", "fp8"):
+                    # extend dequantizes the batch's pages into a compact
+                    # bf16 scratch pool and rides the same ragged kernel
+                    # (the bundled kernel lacks per-row scales; the old XLA
+                    # gather fallback materialised dense f32 KV + a
+                    # [B, Hkv, G, T, S] score tensor and dominated fp8 runs)
+                    from scratchpad_tpu.ops.attention.ragged_backend import (
+                        attention_ragged_quant,
+                    )
 
-                self.model.extend_attention = attention_ragged
+                    self.model.extend_attention = attention_ragged_quant
+                else:
+                    from scratchpad_tpu.ops.attention.ragged_backend import (
+                        attention_ragged,
+                    )
+
+                    self.model.extend_attention = attention_ragged
         elif backend == "gqa_tp":
             from scratchpad_tpu.ops.attention.gqa_decode import (
                 make_decode_attention_gqa_tp,

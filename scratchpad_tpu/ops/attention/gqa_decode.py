@@ -159,8 +159,27 @@ def _gqa_decode_kernel(
             if raw.dtype == jnp.int8:
                 # int8 -> f32 via int32 (no direct int8 -> float in mosaic)
                 buf = raw.astype(jnp.int32).astype(jnp.float32)
-            else:  # fp8 e4m3: direct cast is supported
-                buf = raw.astype(jnp.float32)
+            else:
+                # fp8 e4m3 -> f32: v5e has no native fp8, so mosaic's direct
+                # cast is a slow emulation. Rebuild the f32 bit pattern with
+                # native int ops instead: placing (exp:4, man:3) at f32 bit
+                # 20 yields exactly value * 2^-120 for every NORMAL e4m3
+                # (e4m3fn has no inf, and NaN never reaches a KV pool); the
+                # 2^120 rescale would flush e4m3 denormals (f32-denormal
+                # intermediates), so exp==0 codes take an exact integer
+                # path: value = sign * man * 2^-9
+                xb = jax.lax.bitcast_convert_type(raw, jnp.int8).astype(
+                    jnp.int32
+                )
+                bits = ((xb & 0x80) << 24) | ((xb & 0x7F) << 20)
+                normal = jax.lax.bitcast_convert_type(
+                    bits, jnp.float32
+                ) * jnp.float32(2.0**120)
+                mant = (xb & 0x7).astype(jnp.float32)
+                sgn = jnp.where(
+                    xb & 0x80, jnp.float32(-(2.0**-9)), jnp.float32(2.0**-9)
+                )
+                buf = jnp.where(xb & 0x78, normal, mant * sgn)
             sc = sc_buf[slot].reshape(CHUNK, SL)  # [CHUNK, SL] f32
             scale_k = jax.lax.dot_general(
                 sel_k, sc, (((1,), (1,)), ((), ())),

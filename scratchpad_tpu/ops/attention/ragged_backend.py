@@ -111,6 +111,75 @@ def attention_ragged(
 
 
 # ---------------------------------------------------------------------------
+# quantized-KV extend: dequantize the batch's pages, then run the kernel
+# ---------------------------------------------------------------------------
+
+
+def dequant_pages(kv: KVCache, layer_idx, page_table, out_dtype=jnp.bfloat16):
+    """Gather + dequantize ONE layer's batch pages into a compact scratch
+    pool [B*P, ps, 2Hkv, Dp] with an identity page table.
+
+    The int8/fp8 pool stores per-(row, head) scales (memory/kv_cache.py);
+    extend attention needs full-precision K/V tiles, so rather than teaching
+    the ragged kernel about scales we materialise just the pages this batch
+    touches (B*P pages vs the whole pool) and reuse the unmodified kernel.
+    Traffic per layer ~= read quant pages + write/read bf16 scratch — far
+    below the XLA gather path, which materialises dense f32 [B, S, H, D]
+    K/V plus a [B, Hkv, G, T, S] score tensor.
+
+    The gather is a whole-page axis-0 take: 1-D indices over the flattened
+    leading dim keep the s8 pool in its default layout (see the layout
+    landmine notes in xla_backend._gather_kv).
+    """
+    Pg, ps, H2, Dp = kv.kv.shape
+    Ptot = kv.pages_per_layer
+    B, P = page_table.shape
+    rows = (
+        page_table.astype(jnp.int32) + jnp.asarray(layer_idx, jnp.int32) * Ptot
+    ).reshape(-1)
+    pages = jnp.take(kv.kv, rows, axis=0)  # [B*P, ps, H2, Dp] quantized
+    sc = jnp.take(kv.scale, rows, axis=0)[..., :H2]  # [B*P, ps, H2] f32
+    if pages.dtype == jnp.int8:
+        # no direct int8 -> float on TPU; go via int32
+        deq = pages.astype(jnp.int32).astype(jnp.float32)
+    else:  # fp8 e4m3: direct cast
+        deq = pages.astype(jnp.float32)
+    deq = (deq * sc[..., None]).astype(out_dtype)
+    new_pt = jnp.arange(B * P, dtype=jnp.int32).reshape(B, P)
+    return deq, new_pt
+
+
+def attention_ragged_quant(
+    q: jax.Array,
+    kv: KVCache,
+    layer_idx: jax.Array,
+    meta: ForwardMeta,
+    *,
+    page_size: int,
+    sm_scale: float,
+    logit_cap: Optional[float] = None,
+    sliding_window: Optional[int] = None,
+) -> jax.Array:
+    """Extend attention over an int8/fp8 cache via a dequantized scratch
+    pool + the bundled ragged kernel (the decode side reads quantized pages
+    directly in the gqa kernel; extend tiles want full-precision K/V)."""
+    scratch, new_pt = dequant_pages(kv, layer_idx, meta.page_table, q.dtype)
+    return _ragged_call(
+        q,
+        scratch,
+        jnp.int32(0),
+        new_pt,
+        meta.seq_lens,
+        meta.extend_lens,
+        page_size=page_size,
+        sm_scale=sm_scale,
+        logit_cap=logit_cap,
+        sliding_window=sliding_window,
+        num_layers=1,
+    )
+
+
+# ---------------------------------------------------------------------------
 # tensor-parallel wrapper: shard_map over the head axis
 # ---------------------------------------------------------------------------
 

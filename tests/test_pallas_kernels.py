@@ -400,3 +400,90 @@ def test_gqa_decode_v2_fp8_kv_matches_xla():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
     )
+
+
+def _make_extend_case(B=3, Hq=8, Hkv=2, D=64, ps=16, P=8, L=2, seed=7,
+                      qdtype=jnp.int8):
+    """Quantized cache + a ragged extend batch whose new tokens are already
+    written (write-before-attend), as the runner guarantees."""
+    from scratchpad_tpu.ops.attention.xla_backend import _quantize_rows
+
+    rng = np.random.default_rng(seed)
+    Ptot = P * B + 1
+    Dp = padded_head_dim(D)
+    kv_f = rng.normal(size=(L * Ptot, ps, 2 * Hkv, Dp)).astype(np.float32)
+    kv_f[..., D:] = 0.0  # padded lanes
+    qvals, sc = _quantize_rows(jnp.asarray(kv_f.reshape(-1, 2 * Hkv, Dp)), qdtype)
+    SL = max(128, 2 * Hkv)
+    scale = np.zeros((L * Ptot, ps, SL), np.float32)
+    scale[..., : 2 * Hkv] = np.asarray(sc, np.float32).reshape(
+        L * Ptot, ps, 2 * Hkv
+    )
+    cache = KVCache(
+        kv=qvals.reshape(L * Ptot, ps, 2 * Hkv, Dp),
+        scale=jnp.asarray(scale),
+        num_layers=L,
+    )
+    seq_lens = rng.integers(4, P * ps, B).astype(np.int32)
+    extend_lens = np.minimum(rng.integers(1, 12, B), seq_lens).astype(np.int32)
+    pt = np.zeros((B, P), np.int32)
+    nxt = 1
+    for b in range(B):
+        for p in range(-(-int(seq_lens[b]) // ps)):
+            pt[b, p] = nxt
+            nxt += 1
+    T = int(extend_lens.sum())
+    q = jnp.asarray(rng.normal(size=(T, Hq, D)), jnp.float32)
+    req_indices = np.repeat(np.arange(B, dtype=np.int32), extend_lens)
+    starts = np.concatenate([[0], np.cumsum(extend_lens)[:-1]])
+    intra = np.arange(T, dtype=np.int32) - starts[req_indices]
+    positions = seq_lens[req_indices] - extend_lens[req_indices] + intra
+    meta = ForwardMeta(
+        mode=ForwardMode.EXTEND,
+        tokens=jnp.zeros(T, jnp.int32),
+        positions=jnp.asarray(positions.astype(np.int32)),
+        out_cache_loc=jnp.zeros(T, jnp.int32),
+        req_indices=jnp.asarray(req_indices),
+        page_table=jnp.asarray(pt),
+        seq_lens=jnp.asarray(seq_lens),
+        extend_lens=jnp.asarray(extend_lens),
+        last_token_idx=jnp.asarray(np.cumsum(extend_lens) - 1),
+    )
+    return q, cache, meta
+
+
+@pytest.mark.parametrize("qdtype", [jnp.int8, jnp.float8_e4m3fn])
+def test_quant_extend_dequant_pages_matches_xla(qdtype):
+    """Quantized-KV extend path: dequant_pages + the bundled ragged kernel's
+    reference impl must match the XLA gather backend on the same cache.
+    (On TPU the Mosaic kernel consumes the identical operands — see
+    ragged_backend.attention_ragged_quant.)"""
+    from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
+        ref_ragged_paged_attention,
+    )
+    from scratchpad_tpu.ops.attention.ragged_backend import dequant_pages
+    from scratchpad_tpu.ops.attention.xla_backend import extend_attention_xla
+
+    q, kv, meta = _make_extend_case(qdtype=qdtype)
+    T, Hq, D = q.shape
+    kw = dict(page_size=16, sm_scale=0.125)
+    ref = extend_attention_xla(q, kv, jnp.int32(1), meta, **kw)
+
+    scratch, new_pt = dequant_pages(kv, jnp.int32(1), meta.page_table, q.dtype)
+    Dp = scratch.shape[-1]
+    qp = jnp.pad(q, [(0, 0), (0, 0), (0, Dp - D)]) if Dp != D else q
+    cu = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(meta.extend_lens).astype(jnp.int32)]
+    )
+    out = ref_ragged_paged_attention(
+        (qp.astype(jnp.float32) * 0.125).astype(qp.dtype),
+        scratch,
+        meta.seq_lens.astype(jnp.int32),
+        new_pt,
+        cu,
+        jnp.asarray([meta.seq_lens.shape[0]], jnp.int32),
+        sm_scale=1.0,
+    )[..., :D]
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
