@@ -184,12 +184,9 @@ class ServerArgs:
             if self.control_plane_addr is None:
                 host, port = self.dist_init_addr.rsplit(":", 1)
                 self.control_plane_addr = f"{host}:{int(port) + 1}"
-            if self.speculative_algorithm in ("draft", "eagle"):
-                # ngram works (host drafts + replicated verify); the draft
-                # model / EAGLE head would need their own command relay
-                raise ValueError(
-                    "multi-host serving: draft/eagle speculation unsupported"
-                )
+            # speculative decoding works on multi-host engines: ngram drafts
+            # are host-computed, the draft model / EAGLE head relay their
+            # command streams to followers (parallel/multihost.py)
             if self.host_kv_cache_tokens or self.enable_param_offload:
                 raise ValueError(
                     "multi-host serving: host KV tier / param offload unsupported yet"

@@ -36,6 +36,42 @@ from scratchpad_tpu.utils import get_logger
 logger = get_logger("scheduler")
 
 
+def build_draft_runner(target_runner, args: ServerArgs, mesh=None) -> ModelRunner:
+    """Second ModelRunner for draft-model speculation; its KV pool mirrors
+    the target's page geometry so page tables / radix pages serve both.
+    Shared by the Scheduler and by multi-host follower nodes
+    (parallel/multihost.py), which must build the identical runner to
+    replay the leader's draft command stream."""
+    from scratchpad_tpu.config.model_config import get_preset
+
+    if getattr(target_runner.model, "is_multimodal", False):
+        raise ValueError("draft-model speculation requires a text model")
+    if args.speculative_draft_preset:
+        dcfg = get_preset(args.speculative_draft_preset, dtype=args.dtype)
+        if args.speculative_draft_model_path:
+            dcfg.model_path = args.speculative_draft_model_path
+    else:
+        dcfg = ModelConfig.from_pretrained(
+            args.speculative_draft_model_path, dtype=args.dtype
+        )
+    dcfg.max_position_embeddings = (
+        target_runner.model_config.max_position_embeddings
+    )
+    dargs = dataclasses.replace(
+        args,
+        max_total_tokens=target_runner.max_total_num_tokens,
+        quantization=None,
+        kv_cache_dtype="auto",
+        speculative_algorithm=None,
+    )
+    runner = ModelRunner(dcfg, dargs, mesh if mesh is not None else target_runner.mesh)
+    assert (
+        runner.page_allocator.num_pages
+        == target_runner.page_allocator.num_pages
+    ), "draft KV pool must mirror the target's page geometry"
+    return runner
+
+
 @dataclasses.dataclass
 class StepEvent:
     """One request's progress this step (may cover a multi-token window)."""
@@ -243,34 +279,7 @@ class Scheduler:
     # ------------------------------------------------- speculative decoding
 
     def _build_draft_runner(self, mesh) -> ModelRunner:
-        from scratchpad_tpu.config.model_config import get_preset
-
-        a = self.args
-        if getattr(
-            self.runner.model, "is_multimodal", False
-        ):
-            raise ValueError("draft-model speculation requires a text model")
-        if a.speculative_draft_preset:
-            dcfg = get_preset(a.speculative_draft_preset, dtype=a.dtype)
-            if a.speculative_draft_model_path:
-                dcfg.model_path = a.speculative_draft_model_path
-        else:
-            dcfg = ModelConfig.from_pretrained(
-                a.speculative_draft_model_path, dtype=a.dtype
-            )
-        dcfg.max_position_embeddings = self.model_config.max_position_embeddings
-        dargs = dataclasses.replace(
-            a,
-            max_total_tokens=self.runner.max_total_num_tokens,
-            quantization=None,
-            kv_cache_dtype="auto",
-            speculative_algorithm=None,
-        )
-        runner = ModelRunner(dcfg, dargs, mesh)
-        assert (
-            runner.page_allocator.num_pages == self.allocator.num_pages
-        ), "draft KV pool must mirror the target's page geometry"
-        return runner
+        return build_draft_runner(self.runner, self.args, mesh)
 
     def _propose_draft(self, batch: list[Req], k: int):
         """Run the draft model for k fused greedy steps; returns per-request

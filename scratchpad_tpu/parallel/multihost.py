@@ -19,11 +19,13 @@ stream* — which method to call with which host-side (numpy) batch.
   samples) are never shipped — each host uses its own.
 
 Scope: the generate path (extend / decode windows / window pipelining),
-embeddings, scoring, weight update, KV resize, capture, ngram
-speculative decoding (drafts are host-computed; verification is a
-replicated runner call), and multimodal (vision encode is a replicated
-call). Draft-model/EAGLE speculation and the host KV tier raise on
-multi-host engines for now.
+embeddings, scoring, weight update, KV resize, capture, speculative
+decoding (ngram drafts are host-computed; draft-model windows relay as
+"draft:<method>" to a mirrored second runner; the EAGLE head relays as
+"eagle:<method>"), runtime topping registration (followers rebuild the
+same adapter pools from the broadcast state), and multimodal (vision
+encode is a replicated call). The host KV tier raises on multi-host
+engines for now (gather_pages would need per-host shard arenas).
 """
 
 from __future__ import annotations
@@ -123,6 +125,7 @@ _PLAIN_METHODS = (
     "run_extend",
     "run_extend_with_hidden",
     "run_decode_window",
+    "decode_multi",  # draft-runner speculation windows
     "run_embed",
     "run_score",
     "run_kv_only",
@@ -139,11 +142,15 @@ _PLAIN_METHODS = (
 class LeaderRunner:
     """Wrap the leader's ModelRunner: broadcast each device-touching call,
     then run it locally. Host-only state (allocators, configs) passes
-    through untouched via __getattr__."""
+    through untouched via __getattr__.
 
-    def __init__(self, inner, ctrl: ControlPlane):
+    ``prefix`` namespaces a second runner's command stream (the draft-model
+    runner relays as "draft:<method>"; followers dispatch by prefix)."""
+
+    def __init__(self, inner, ctrl: ControlPlane, prefix: str = ""):
         self._inner = inner
         self._ctrl = ctrl
+        self._prefix = prefix
         for name in _PLAIN_METHODS:
             setattr(self, name, self._make_plain(name))
 
@@ -152,9 +159,10 @@ class LeaderRunner:
 
     def _make_plain(self, name):
         inner_fn = getattr(self._inner, name)
+        wire = self._prefix + name
 
         def call(*args, **kwargs):
-            self._ctrl.broadcast((name, (args, kwargs)))
+            self._ctrl.broadcast((wire, (args, kwargs)))
             return inner_fn(*args, **kwargs)
 
         return call
@@ -163,35 +171,78 @@ class LeaderRunner:
     # chain is active; every host substitutes its own last-samples array
     def dispatch_decode_window(self, wb, num_steps, prev_tokens=None):
         self._ctrl.broadcast(
-            ("dispatch_decode_window", ((wb, num_steps), prev_tokens is not None))
+            (
+                self._prefix + "dispatch_decode_window",
+                ((wb, num_steps), prev_tokens is not None),
+            )
         )
         return self._inner.dispatch_decode_window(wb, num_steps, prev_tokens)
 
     def fetch_decode_window(self, pending):
         # followers fetch too: it frees their copy of the pending handle and
         # keeps per-host dispatch depth in lockstep
-        self._ctrl.broadcast(("fetch_decode_window", None))
+        self._ctrl.broadcast((self._prefix + "fetch_decode_window", None))
         return self._inner.fetch_decode_window(pending)
 
     def shutdown(self):
         self._ctrl.close()
 
 
-def follower_loop(runner, ctrl: ControlPlane) -> None:
+class LeaderEagle:
+    """Relay wrapper for the EAGLE head (executor/eagle.py): its two
+    device-touching methods take numpy-only payloads, so they broadcast
+    verbatim under an "eagle:" prefix."""
+
+    def __init__(self, inner, ctrl: ControlPlane):
+        self._inner = inner
+        self._ctrl = ctrl
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def write_pairs(self, wb_like) -> None:
+        self._ctrl.broadcast(("eagle:write_pairs", ((wb_like,), {})))
+        self._inner.write_pairs(wb_like)
+
+    def propose(self, *args, **kwargs):
+        self._ctrl.broadcast(("eagle:propose", (args, kwargs)))
+        return self._inner.propose(*args, **kwargs)
+
+
+def follower_loop(
+    runner,
+    ctrl: ControlPlane,
+    draft_runner=None,
+    eagle=None,
+) -> None:
     """Replay the leader's command stream on this host's ModelRunner.
 
     Pending decode-window handles form a FIFO: with window pipelining the
     leader interleaves [dispatch W(n+1) chained, fetch W(n)], so the
     follower must chain from the NEWEST handle's device-resident samples
-    while fetching the OLDEST."""
+    while fetching the OLDEST. "draft:"/"eagle:" commands replay on this
+    host's draft runner / EAGLE head; "register_topping" builds the same
+    adapter pools the leader just registered."""
     from collections import deque
 
     pending: deque = deque()
+    toppings_manager = None
     while True:
         name, payload = ctrl.recv()
         if name == "stop":
             logger.info("follower: stop received")
             return
+        target = runner
+        if name.startswith("draft:"):
+            if draft_runner is None:
+                raise RuntimeError("follower: draft command without a draft runner")
+            target, name = draft_runner, name[len("draft:"):]
+        elif name.startswith("eagle:"):
+            if eagle is None:
+                raise RuntimeError("follower: eagle command without an EAGLE head")
+            args, kwargs = payload
+            getattr(eagle, name[len("eagle:"):])(*args, **kwargs)
+            continue
         if name == "dispatch_decode_window":
             (wb, num_steps), chained = payload
             if chained and not pending:
@@ -200,17 +251,36 @@ def follower_loop(runner, ctrl: ControlPlane) -> None:
                     "(command stream desync)"
                 )
             prev = pending[-1][1] if chained else None
-            pending.append(runner.dispatch_decode_window(wb, num_steps, prev))
+            pending.append(target.dispatch_decode_window(wb, num_steps, prev))
         elif name == "fetch_decode_window":
             if not pending:
                 raise RuntimeError(
                     "follower: fetch with no in-flight window "
                     "(command stream desync)"
                 )
-            runner.fetch_decode_window(pending.popleft())
+            target.fetch_decode_window(pending.popleft())
+        elif name == "register_topping":
+            if toppings_manager is None:
+                import jax.numpy as jnp
+
+                from scratchpad_tpu.toppings import ToppingsManager
+
+                toppings_manager = ToppingsManager(
+                    runner.model_config, dtype=runner._dtype()
+                )
+            kw = payload
+            if kw.get("delta_state") is not None:
+                toppings_manager.register_delta(
+                    kw["name"], kw["delta_state"], kw["scaling"]
+                )
+            else:
+                toppings_manager.register_state(
+                    kw["name"], kw["state"], kw["scaling"]
+                )
+            runner.attach_toppings(toppings_manager)
         else:
             args, kwargs = payload
-            getattr(runner, name)(*args, **kwargs)
+            getattr(target, name)(*args, **kwargs)
 
 
 def init_multihost(args):

@@ -77,8 +77,19 @@ def run_follower(server_args: ServerArgs) -> None:
     ctrl = ControlPlane(args.control_plane_addr, 0, is_leader=False)
     mesh = mesh_from_args(args)
     runner = ModelRunner(_resolve_model_config(args), args, mesh)
+    # mirror the leader's speculative machinery so its "draft:"/"eagle:"
+    # command streams replay on identical local state
+    draft_runner = eagle = None
+    if args.speculative_algorithm == "draft":
+        from scratchpad_tpu.core.scheduler import build_draft_runner
+
+        draft_runner = build_draft_runner(runner, args, mesh)
+    elif args.speculative_algorithm == "eagle":
+        from scratchpad_tpu.executor.eagle import EagleRunner
+
+        eagle = EagleRunner(runner, args)
     logger.info("follower %d ready", args.node_rank)
-    follower_loop(runner, ctrl)
+    follower_loop(runner, ctrl, draft_runner=draft_runner, eagle=eagle)
 
 
 class Engine:
@@ -126,9 +137,18 @@ class Engine:
             mesh = mesh_from_args(self.args)
         self.scheduler = Scheduler(model_config, self.args, mesh=mesh)
         if ctrl is not None:
-            from scratchpad_tpu.parallel.multihost import LeaderRunner
+            from scratchpad_tpu.parallel.multihost import (
+                LeaderEagle,
+                LeaderRunner,
+            )
 
             self.scheduler.runner = LeaderRunner(self.scheduler.runner, ctrl)
+            if self.scheduler.draft_runner is not None:
+                self.scheduler.draft_runner = LeaderRunner(
+                    self.scheduler.draft_runner, ctrl, prefix="draft:"
+                )
+            if self.scheduler.eagle is not None:
+                self.scheduler.eagle = LeaderEagle(self.scheduler.eagle, ctrl)
             self._ctrl = ctrl
         self.grammar_backend = None
         if self.tokenizer is not None and self.args.grammar_backend == "native":
@@ -169,14 +189,6 @@ class Engine:
         quantized weight-delta adapter — for per-request serving
         (reference: RegisterToppingsReqInput, managers/structs.py:611;
         delta kind: toppings_manager.py:462 _load_delta)."""
-        if getattr(self, "_ctrl", None) is not None:
-            # followers would keep serving the un-adapted program while the
-            # leader's jits take the adapter branch — divergent SPMD
-            # programs over one mesh deadlock the collectives
-            raise ValueError(
-                "multi-host serving: runtime topping registration is not "
-                "relayed to follower nodes yet"
-            )
         if getattr(self, "toppings_manager", None) is None:
             from scratchpad_tpu.toppings import ToppingsManager
 
@@ -184,12 +196,30 @@ class Engine:
 
             dt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[self.args.dtype]
             self.toppings_manager = ToppingsManager(self.model_config, dtype=dt)
+        if state is None and delta_state is None:
+            # resolve path -> numpy state on the leader so the relayed
+            # payload never depends on follower-side filesystem contents
+            state, scaling = self.toppings_manager.load_path(adapter_path)
+        if getattr(self, "_ctrl", None) is not None:
+            # followers must register the SAME adapter before any batch
+            # references it, else their jits keep the un-adapted branch and
+            # the divergent SPMD programs deadlock the collectives; the
+            # command stream is ordered, so broadcasting here suffices
+            self._ctrl.broadcast(
+                (
+                    "register_topping",
+                    dict(
+                        name=name,
+                        state=state,
+                        delta_state=delta_state,
+                        scaling=scaling,
+                    ),
+                )
+            )
         if delta_state is not None:
             idx = self.toppings_manager.register_delta(name, delta_state, scaling)
-        elif state is not None:
-            idx = self.toppings_manager.register_state(name, state, scaling)
         else:
-            idx = self.toppings_manager.register(name, adapter_path)
+            idx = self.toppings_manager.register_state(name, state, scaling)
         self.scheduler.runner.attach_toppings(self.toppings_manager)
         return idx
 

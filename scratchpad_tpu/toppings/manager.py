@@ -92,6 +92,13 @@ class ToppingsManager:
     def register(self, name: str, adapter_path: str) -> int:
         """Load a HF/peft LoRA checkpoint directory into a pool slot
         (reference: toppings_manager.py:441 _load_lora)."""
+        state, scaling = self.load_path(adapter_path)
+        return self.register_state(name, state, scaling=scaling)
+
+    def load_path(self, adapter_path: str):
+        """(state dict, lora_alpha/r scaling) from a HF/peft checkpoint dir.
+        Split from register() so multi-host leaders can broadcast the loaded
+        numpy state to follower nodes (parallel/multihost.py)."""
         state = self._load_adapter_state(adapter_path)
         cfg_path = os.path.join(adapter_path, "adapter_config.json")
         alpha, r = 16.0, self.max_rank
@@ -100,7 +107,7 @@ class ToppingsManager:
                 acfg = json.load(f)
             alpha = float(acfg.get("lora_alpha", 16))
             r = int(acfg.get("r", self.max_rank))
-        return self.register_state(name, state, scaling=alpha / r)
+        return state, alpha / r
 
     def register_state(
         self, name: str, state: dict[str, np.ndarray], scaling: float = 1.0

@@ -28,6 +28,16 @@ def main() -> None:
         extra = dict(speculative_algorithm="ngram")
     elif variant == "overlap":
         extra = dict(enable_overlap=True, decode_window_size=4)
+    elif variant == "draftspec":
+        # target == draft (same preset, same seed) -> 100% acceptance; the
+        # follower builds the mirrored draft runner and replays "draft:*"
+        extra = dict(
+            speculative_algorithm="draft", speculative_draft_preset="tiny-debug"
+        )
+    elif variant == "eagle":
+        # random-init EAGLE head (seeded identically on every node);
+        # verification is exact greedy so outputs match plain decode
+        extra = dict(speculative_algorithm="eagle")
     args = ServerArgs(
         preset="tiny-debug",
         random_weights=True,
@@ -60,9 +70,20 @@ def main() -> None:
     else:
         prompts = [rng.integers(1, 500, n).tolist() for n in (9, 25, 14)]
     sp = SamplingParams(temperature=0.0, max_new_tokens=6)
+    toppings = None
+    if variant == "toppings":
+        # runtime LoRA registration relays to the follower; rows mix
+        # adapter and base requests in one batch
+        from test_toppings import make_lora_state
+
+        state = make_lora_state(eng.model_config, rank=4, seed=10)
+        eng.register_topping("ad1", state=state, scaling=0.5)
+        toppings = ["ad1", None, "ad1"]
     outs = [
         o.output_ids
-        for o in eng.generate(input_ids=prompts, sampling_params=[sp] * 3)
+        for o in eng.generate(
+            input_ids=prompts, sampling_params=[sp] * 3, topping=toppings
+        )
     ]
     eng.scheduler.check_memory_leak()
     eng.shutdown()

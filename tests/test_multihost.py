@@ -81,15 +81,47 @@ def _reference(variant: str):
     else:
         prompts = [rng.integers(1, 500, n).tolist() for n in (9, 25, 14)]
     sp = SamplingParams(temperature=0.0, max_new_tokens=6)
+    toppings = None
+    if variant == "toppings":
+        from test_toppings import make_lora_state
+
+        state = make_lora_state(eng.model_config, rank=4, seed=10)
+        eng.register_topping("ad1", state=state, scaling=0.5)
+        toppings = ["ad1", None, "ad1"]
     return [
         o.output_ids
-        for o in eng.generate(input_ids=prompts, sampling_params=[sp] * 3)
+        for o in eng.generate(
+            input_ids=prompts, sampling_params=[sp] * 3, topping=toppings
+        )
     ]
 
 
 @pytest.mark.slow
 def test_two_process_engine_matches_single():
     assert _run_pair("plain") == _reference("plain")
+
+
+@pytest.mark.slow
+def test_two_process_draft_spec_matches_single():
+    """Draft-model speculation across the cluster: followers build the
+    mirrored draft runner and replay its "draft:" command stream. With
+    draft == target, acceptance is 100% and outputs equal plain decode."""
+    assert _run_pair("draftspec") == _reference("plain")
+
+
+@pytest.mark.slow
+def test_two_process_eagle_spec_matches_single():
+    """EAGLE speculation across the cluster: the head's write_pairs/propose
+    calls relay as "eagle:"; exact greedy verification keeps outputs equal
+    to plain decode regardless of the (random) head's acceptance rate."""
+    assert _run_pair("eagle") == _reference("plain")
+
+
+@pytest.mark.slow
+def test_two_process_topping_registration_matches_single():
+    """Runtime LoRA registration relays the loaded numpy state to the
+    follower before any batch references the adapter slot."""
+    assert _run_pair("toppings") == _reference("toppings")
 
 
 @pytest.mark.slow
