@@ -63,10 +63,16 @@ def _yarn_rope_scale(rs: Optional[dict]) -> float:
 class DeepseekV2ForCausalLM:
     page_size: int = 16
     supports_pallas_attention = False  # MLA uses its own latent backend
+    # V3 routing: sigmoid scores + per-expert correction bias ("noaux_tc",
+    # HF DeepseekV3TopkRouter). Class attr on V2 so a V2-architecture config
+    # carrying topk_method="noaux_tc" also routes correctly.
+    noaux_tc = False
 
     def __init__(self, cfg: ModelConfig):
         assert cfg.is_mla, "DeepseekV2 requires kv_lora_rank (MLA)"
         self.cfg = cfg
+        if cfg.topk_method == "noaux_tc":
+            self.noaux_tc = True
         # rope applies only to the qk_rope dims; a temporary config view
         # keeps compute_inv_freq's head_dim handling intact
         import dataclasses as _dc
@@ -165,6 +171,8 @@ class DeepseekV2ForCausalLM:
                     [jnp.stack([init((Im, H)) for _ in range(E)]) for _ in range(L)]
                 ),
             )
+            if self.noaux_tc:
+                g["router_bias"] = jnp.zeros((L, E), dtype)
             params["layers"] = g
         params["final_norm"] = jnp.ones((H,), dtype)
         if not cfg.tie_word_embeddings:
@@ -213,6 +221,8 @@ class DeepseekV2ForCausalLM:
                 w3=P(None, None, None, t),
                 w2=P(None, None, t, None),
             )
+            if self.noaux_tc:
+                g["router_bias"] = P(None, None)
             specs["layers"] = g
         specs["final_norm"] = P(None)
         if not self.cfg.tie_word_embeddings:
@@ -284,6 +294,8 @@ class DeepseekV2ForCausalLM:
                 put(group, "down", i, w.T, L)
             elif sub == "mlp.gate.weight":
                 put(group, "router", i, w.T, L)
+            elif sub == "mlp.gate.e_score_correction_bias":
+                put(group, "router_bias", i, w, L)
             elif sub.startswith("mlp.shared_experts."):
                 which = sub.split(".")[2]
                 tgt = {
@@ -365,20 +377,43 @@ class DeepseekV2ForCausalLM:
         cfg = self.cfg
         E, K = cfg.num_experts, cfg.num_experts_per_tok
         logits = (h.astype(jnp.float32) @ lp["router"].astype(jnp.float32))
-        scores = jax.nn.softmax(logits, axis=-1)
-        if cfg.topk_method == "group_limited_greedy":
+        if self.noaux_tc:
+            # HF DeepseekV3TopkRouter: sigmoid scores; group selection and
+            # expert choice use bias-corrected scores (sum of each group's
+            # top-2), but the combine WEIGHTS are the unbiased scores,
+            # renormalised over the chosen K and scaled.
             T = h.shape[0]
-            g = scores.reshape(T, cfg.n_group, -1)
-            g_best = jnp.max(g, axis=-1)  # [T, n_group]
+            scores = jax.nn.sigmoid(logits)
+            biased = scores + lp["router_bias"].astype(jnp.float32)[None, :]
+            g = biased.reshape(T, cfg.n_group, -1)
+            top2, _ = jax.lax.top_k(g, 2)
+            g_best = jnp.sum(top2, axis=-1)  # [T, n_group]
             _, g_idx = jax.lax.top_k(g_best, cfg.topk_group)
             g_mask = jnp.sum(
                 jax.nn.one_hot(g_idx, cfg.n_group, dtype=jnp.float32), axis=1
-            )  # [T, n_group]
+            )
             mask = jnp.repeat(g_mask, E // cfg.n_group, axis=-1)
-            scores = scores * mask
-        topv, topi = jax.lax.top_k(scores, K)
-        # HF DeepseekV2MoEGate: NO topk renormalisation, just the scale
-        topv = topv * cfg.routed_scaling_factor
+            choice = jnp.where(mask > 0, biased, 0.0)  # HF masked_fill(0.0)
+            _, topi = jax.lax.top_k(choice, K)
+            topv = jnp.take_along_axis(scores, topi, axis=-1)
+            if cfg.norm_topk_prob:
+                topv = topv / (jnp.sum(topv, axis=-1, keepdims=True) + 1e-20)
+            topv = topv * cfg.routed_scaling_factor
+        else:
+            scores = jax.nn.softmax(logits, axis=-1)
+            if cfg.topk_method == "group_limited_greedy":
+                T = h.shape[0]
+                g = scores.reshape(T, cfg.n_group, -1)
+                g_best = jnp.max(g, axis=-1)  # [T, n_group]
+                _, g_idx = jax.lax.top_k(g_best, cfg.topk_group)
+                g_mask = jnp.sum(
+                    jax.nn.one_hot(g_idx, cfg.n_group, dtype=jnp.float32), axis=1
+                )  # [T, n_group]
+                mask = jnp.repeat(g_mask, E // cfg.n_group, axis=-1)
+                scores = scores * mask
+            topv, topi = jax.lax.top_k(scores, K)
+            # HF DeepseekV2MoEGate: NO topk renormalisation, just the scale
+            topv = topv * cfg.routed_scaling_factor
         w_full = jnp.zeros((h.shape[0], E), jnp.float32)
         for k in range(K):
             w_full = w_full + jax.nn.one_hot(topi[:, k], E) * topv[:, k : k + 1]
@@ -445,10 +480,7 @@ class DeepseekV2ForCausalLM:
 
 
 class DeepseekV3ForCausalLM(DeepseekV2ForCausalLM):
-    """V3 shares MLA; its sigmoid/noaux-tc router is not implemented yet."""
+    """V3/R1: V2's MLA attention + the sigmoid noaux-tc router (HF
+    DeepseekV3TopkRouter) with the per-expert e_score_correction_bias."""
 
-    def __init__(self, cfg: ModelConfig):
-        raise NotImplementedError(
-            "DeepseekV3's sigmoid noaux-tc router is not implemented yet; "
-            "DeepseekV2 (softmax greedy / group-limited) is supported"
-        )
+    noaux_tc = True

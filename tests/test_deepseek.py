@@ -128,6 +128,75 @@ def test_moe_group_limited_parity():
     check_greedy(hf, runner, seed=10)
 
 
+def build_v3_pair(seed=3):
+    """Tiny DeepseekV3 (sigmoid noaux-tc router) vs HF, random bias."""
+    torch = pytest.importorskip("torch")
+    from transformers import DeepseekV3Config
+    from transformers.models.deepseek_v3.modeling_deepseek_v3 import (
+        DeepseekV3ForCausalLM as HFDeepseekV3,
+    )
+
+    kw = dict(
+        BASE,
+        num_key_value_heads=BASE["num_attention_heads"],
+        q_lora_rank=None,
+        n_routed_experts=4,
+        num_experts_per_tok=2,
+        moe_intermediate_size=32,
+        n_shared_experts=1,
+        first_k_dense_replace=1,
+        routed_scaling_factor=2.5,
+        norm_topk_prob=True,
+        n_group=2,
+        topk_group=1,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(seed)
+    hf = HFDeepseekV3(DeepseekV3Config(**kw)).eval().to(torch.float32)
+    # the correction bias initialises to zeros; randomise it so the test
+    # actually exercises the biased group/expert selection
+    sd = hf.state_dict()
+    for k in sd:
+        if "e_score_correction_bias" in k:
+            sd[k] = torch.randn_like(sd[k])
+    hf.load_state_dict(sd)
+    state = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+
+    cfg = ModelConfig(
+        architecture="DeepseekV3ForCausalLM",
+        **dict(BASE, num_key_value_heads=BASE["num_attention_heads"]),
+        q_lora_rank=None,
+        num_experts=4,
+        num_experts_per_tok=2,
+        moe_intermediate_size=32,
+        n_shared_experts=1,
+        first_k_dense_replace=1,
+        routed_scaling_factor=2.5,
+        norm_topk_prob=True,
+        topk_method="noaux_tc",
+        n_group=2,
+        topk_group=1,
+    )
+    from scratchpad_tpu.models.registry import get_model_class
+
+    model_cls = get_model_class("DeepseekV3ForCausalLM")
+    assert model_cls(cfg).noaux_tc
+    params = model_cls(cfg).convert_hf_state(state, dtype="float32")
+    args = ServerArgs(max_total_tokens=4096, page_size=4, dtype="float32")
+    runner = ModelRunner(cfg, args, params=params)
+    return hf, runner
+
+
+def test_v3_noaux_tc_parity():
+    hf, runner = build_v3_pair(seed=3)
+    check_greedy(hf, runner, seed=11)
+
+
+def test_v3_noaux_tc_parity_second_seed():
+    hf, runner = build_v3_pair(seed=4)
+    check_greedy(hf, runner, n_new=10, seed=12)
+
+
 def test_engine_e2e_mla():
     """Scheduler-level run with chunked prefill + radix over the MLA cache."""
     from scratchpad_tpu.sampling.sampling_params import SamplingParams
