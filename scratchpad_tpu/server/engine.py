@@ -417,10 +417,8 @@ class Engine:
         # zero-token warmup request, then expand into n stochastic clones
         # (reference: managers/tokenizer.py:321 _handle_batch_request)
         if any(s is not None and s.n > 1 for s in sps):
-            if any(im is not None for im in imgs):
-                raise NotImplementedError("n>1 with image_data not supported")
             warmups = []
-            for p, i, s, t in zip(prompts, idss, sps, tops):
+            for p, i, s, t, im in zip(prompts, idss, sps, tops, imgs):
                 if s is not None and s.n > 1:
                     warmups.append(
                         self._make_req(
@@ -428,6 +426,7 @@ class Engine:
                             i,
                             dataclasses.replace(s, max_new_tokens=0, n=1),
                             topping=t,
+                            image_data=im,
                         )
                     )
             for r in warmups:
@@ -435,8 +434,8 @@ class Engine:
             while any(not r.finished() for r in warmups):
                 if not self.scheduler.step() and not self.scheduler.has_work():
                     break
-            new = ([], [], [], [])
-            for p, i, s, t in zip(prompts, idss, sps, tops):
+            new = ([], [], [], [], [])
+            for p, i, s, t, im in zip(prompts, idss, sps, tops, imgs):
                 reps = s.n if s is not None else 1
                 for _ in range(reps):
                     new[0].append(p)
@@ -445,10 +444,9 @@ class Engine:
                         dataclasses.replace(s, n=1) if s is not None else None
                     )
                     new[3].append(t)
-            prompts, idss, sps, tops = new
+                    new[4].append(im)
+            prompts, idss, sps, tops, imgs = new
             batched = True
-        if len(imgs) != len(prompts):  # n>1 expansion grew the lists
-            imgs = [None] * len(prompts)
         reqs = [
             self._make_req(p, i, s, return_logprob, topping=t, image_data=im)
             for p, i, s, t, im in zip(prompts, idss, sps, tops, imgs)

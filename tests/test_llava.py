@@ -187,3 +187,30 @@ def test_chunked_prefill_with_images():
     whole = eng2.generate(input_ids=prompt, sampling_params=sp, image_data=px)
     assert chunked.output_ids == whole.output_ids
     eng.scheduler.check_memory_leak()
+
+
+def test_parallel_sampling_with_images():
+    """n>1 expands into clones that share the image prefix via the warmup."""
+    from scratchpad_tpu.sampling.sampling_params import SamplingParams
+    from scratchpad_tpu.server.engine import Engine
+
+    args = ServerArgs(
+        max_total_tokens=4096,
+        page_size=4,
+        dtype="float32",
+        random_weights=True,
+    )
+    eng = Engine(args, model_config=our_config())
+    rng = np.random.default_rng(6)
+    px = rng.standard_normal((1, 3, 24, 24)).astype(np.float32)
+    prompt = [3, IMG_TOK, 11, 13]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=4, ignore_eos=True, n=3)
+    outs = eng.generate(input_ids=prompt, sampling_params=sp, image_data=px)
+    assert len(outs) == 3
+    # greedy clones must agree with a plain n=1 run on the same image
+    sp1 = SamplingParams(temperature=0.0, max_new_tokens=4, ignore_eos=True)
+    single = eng.generate(input_ids=prompt, sampling_params=sp1, image_data=px)
+    assert all(o.output_ids == single.output_ids for o in outs)
+    # the warmup pre-cached the image prefix -> clones radix-hit
+    assert all(o.cached_tokens > 0 for o in outs)
+    eng.scheduler.check_memory_leak()
