@@ -118,12 +118,17 @@ def _gqa_decode_kernel(
 
     # block-diagonal Q: row r = h*G+g carries q_{h,g} in combined slot 2h
     # (head h's K lanes), zeros elsewhere — lane l of the tiled copy holds
-    # q[r, l % Dp], which is exactly q[r, l - 2h*Dp] inside the kept block
-    q = q_ref[0].astype(jnp.float32)  # [Hq, Dp]
+    # q[r, l % Dp], which is exactly q[r, l - 2h*Dp] inside the kept block.
+    # Dots run in the NATIVE dtype (bf16 on TPU): the MXU computes bf16
+    # products exactly and accumulates in f32, so this is bit-identical to
+    # upcasting both operands to f32 first — which would run the matmul at
+    # the ~8x slower f32 MXU rate and spend a 2 MiB VMEM upcast per chunk.
+    dt = q_ref.dtype
+    q = q_ref[0]  # [Hq, Dp]
     qt = jnp.concatenate([q] * H2, axis=1)  # [Hq, LANES]
     lane = jax.lax.broadcasted_iota(jnp.int32, (Hq, LANES), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (Hq, LANES), 0)
-    q_bd = jnp.where(lane // Dp == 2 * (row // G), qt, 0.0)
+    q_bd = jnp.where(lane // Dp == 2 * (row // G), qt, jnp.zeros((), dt))
 
     if quantized:
         # head-slot selectors over the PADDED scale lanes: row r reads
@@ -156,9 +161,11 @@ def _gqa_decode_kernel(
         # the ENTIRE pool per call — measured 26x slower end-to-end)
         raw = kv_buf[slot].reshape(CHUNK, LANES)
         if quantized:
+            # dequantised codes are EXACT in bf16: int8 magnitudes <= 127
+            # and every fp8-e4m3 value carry <= 8 mantissa bits
             if raw.dtype == jnp.int8:
                 # int8 -> f32 via int32 (no direct int8 -> float in mosaic)
-                buf = raw.astype(jnp.int32).astype(jnp.float32)
+                buf = raw.astype(jnp.int32).astype(jnp.float32).astype(dt)
             else:
                 # fp8 e4m3 -> f32: v5e has no native fp8, so mosaic's direct
                 # cast is a slow emulation. Rebuild the f32 bit pattern with
@@ -179,7 +186,7 @@ def _gqa_decode_kernel(
                 sgn = jnp.where(
                     xb & 0x80, jnp.float32(-(2.0**-9)), jnp.float32(2.0**-9)
                 )
-                buf = jnp.where(xb & 0x78, normal, mant * sgn)
+                buf = jnp.where(xb & 0x78, normal, mant * sgn).astype(dt)
             sc = sc_buf[slot].reshape(CHUNK, SL)  # [CHUNK, SL] f32
             scale_k = jax.lax.dot_general(
                 sel_k, sc, (((1,), (1,)), ((), ())),
@@ -193,7 +200,7 @@ def _gqa_decode_kernel(
             buf = raw
         s = jax.lax.dot_general(
             q_bd,
-            buf.astype(jnp.float32) if not quantized else buf,
+            buf,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [Hq, CHUNK]
@@ -211,7 +218,7 @@ def _gqa_decode_kernel(
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        pq = p * scale_v if quantized else p.astype(buf.dtype)
+        pq = (p * scale_v).astype(dt) if quantized else p.astype(buf.dtype)
         pv = jax.lax.dot_general(
             pq,
             buf,
