@@ -1,4 +1,4 @@
-"""Serving benchmark: Llama-3.2-1B decode throughput on one TPU chip.
+"""Serving benchmark: decode throughput on one TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is the fraction of the HBM-bandwidth speed-of-light for the
@@ -8,6 +8,14 @@ reference's simulator uses for GPUs
 
 Run on the real chip (default backend); falls back to CPU with a tiny model
 when no accelerator is available.
+
+Variants (env):
+  SPTPU_BENCH_PRESET  model preset (default llama-3.2-1b; north-star =
+                      llama-3.1-8b per BASELINE.json config 3)
+  SPTPU_BENCH_QUANT   w4a16 | fp8 (weight quantization)
+  SPTPU_BENCH_KV      int8 | fp8 (KV-cache quantization)
+  SPTPU_BENCH_BS      batch size (default 64 for 1B, 32 for 8B)
+  SPTPU_BENCH_SAMPLED temperature=0.8/top_p=0.9/top_k=64 instead of greedy
 """
 
 from __future__ import annotations
@@ -30,11 +38,18 @@ def main() -> None:
     attn = os.environ.get("SPTPU_ATTN", "auto")
     page_size = int(os.environ.get("SPTPU_PS", "16"))
     kv_dtype = os.environ.get("SPTPU_BENCH_KV", "auto")  # e.g. "int8"
+    sampled = os.environ.get("SPTPU_BENCH_SAMPLED", "") not in ("", "0")
     if on_tpu:
-        preset, dtype = "llama-3.2-1b", "bfloat16"
-        batch_size, prompt_len, decode_len = 64, 128, 128
+        preset = os.environ.get("SPTPU_BENCH_PRESET", "llama-3.2-1b")
+        dtype = "bfloat16"
+        default_bs = 32 if "8b" in preset or "70b" in preset else 64
+        batch_size = int(os.environ.get("SPTPU_BENCH_BS", str(default_bs)))
+        prompt_len, decode_len = 128, 128
         hbm_gbps = 819.0  # v5e
-        max_total_tokens = int(os.environ.get("SPTPU_BENCH_TOKENS", "65536"))
+        default_tokens = 65536 if default_bs == 64 else 32768
+        max_total_tokens = int(
+            os.environ.get("SPTPU_BENCH_TOKENS", str(default_tokens))
+        )
     else:
         preset, dtype = "tiny-debug", "float32"
         batch_size, prompt_len, decode_len = 8, 32, 16
@@ -66,6 +81,11 @@ def main() -> None:
     sched = Scheduler(cfg, args)
     rng = np.random.default_rng(0)
 
+    if sampled:
+        sp_kw = dict(temperature=0.8, top_p=0.9, top_k=64)
+    else:
+        sp_kw = dict(temperature=0.0)
+
     def submit():
         for i in range(batch_size):
             sched.add_request(
@@ -73,7 +93,7 @@ def main() -> None:
                     rid=f"r{i}",
                     origin_input_ids=rng.integers(1, 32000, prompt_len).tolist(),
                     sampling_params=SamplingParams(
-                        temperature=0.0, max_new_tokens=decode_len, ignore_eos=True
+                        max_new_tokens=decode_len, ignore_eos=True, **sp_kw
                     ),
                 )
             )
@@ -113,6 +133,8 @@ def main() -> None:
         tag += f"_{quant}"
     if kv_dtype not in ("auto",):
         tag += f"_kv{kv_dtype}"
+    if sampled:
+        tag += "_sampled"
     print(
         json.dumps(
             {

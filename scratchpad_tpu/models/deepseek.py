@@ -172,7 +172,9 @@ class DeepseekV2ForCausalLM:
                 ),
             )
             if self.noaux_tc:
-                g["router_bias"] = jnp.zeros((L, E), dtype)
+                # kept in f32: HF selects experts with the f32 correction
+                # bias, and a bf16 cast can flip near-tie expert choices
+                g["router_bias"] = jnp.zeros((L, E), jnp.float32)
             params["layers"] = g
         params["final_norm"] = jnp.ones((H,), dtype)
         if not cfg.tie_word_embeddings:
@@ -328,7 +330,16 @@ class DeepseekV2ForCausalLM:
             out["layers_dense"] = stack(dense)
         if moe:
             out["layers"] = stack(moe)
-        return jax.tree.map(lambda x: jnp.asarray(x, dtype), out)
+
+        def _cast(path, x):
+            # router_bias (e_score_correction_bias) stays f32 — it is only
+            # [L, E] and HF picks experts with the f32 bias; casting it to
+            # bf16 can flip near-tie expert selection vs HF.
+            if any(getattr(p, "key", None) == "router_bias" for p in path):
+                return jnp.asarray(x, jnp.float32)
+            return jnp.asarray(x, dtype)
+
+        return jax.tree_util.tree_map_with_path(_cast, out)
 
     # ---------------------------------------------------------------- forward
 

@@ -120,9 +120,14 @@ def _gqa_decode_kernel(
     # (head h's K lanes), zeros elsewhere — lane l of the tiled copy holds
     # q[r, l % Dp], which is exactly q[r, l - 2h*Dp] inside the kept block.
     # Dots run in the NATIVE dtype (bf16 on TPU): the MXU computes bf16
-    # products exactly and accumulates in f32, so this is bit-identical to
-    # upcasting both operands to f32 first — which would run the matmul at
-    # the ~8x slower f32 MXU rate and spend a 2 MiB VMEM upcast per chunk.
+    # products exactly and accumulates in f32, so the QK dot (and the
+    # unquantized PV dot) is bit-identical to upcasting both operands to
+    # f32 first — which would run the matmul at the ~8x slower f32 MXU
+    # rate and spend a 2 MiB VMEM upcast per chunk. The QUANTIZED PV path
+    # is not: `pq = (p * scale_v).astype(dt)` deliberately rounds the
+    # scaled probabilities to bf16 before the matmul (~2^-9 relative
+    # error on the attention output) to stay on the fast MXU path; see
+    # tests/test_pallas_kernels.py bf16-tolerance coverage.
     dt = q_ref.dtype
     q = q_ref[0]  # [Hq, Dp]
     qt = jnp.concatenate([q] * H2, axis=1)  # [Hq, LANES]

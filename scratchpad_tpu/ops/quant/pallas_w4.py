@@ -88,13 +88,16 @@ def _w4_call(x, q, s, z, layer_idx, *, group_size, out_block):
     # cannot live whole in VMEM. Buckets are powers of two, so ROW_BLK | B.
     ROW_BLK = min(B, 512)
 
-    # fit the ~16 MiB scoped-VMEM limit: x block (bf16) + packed nibbles (u8)
-    # + the dequant intermediates (int32/f32 casts of both planes, ~2.5 B/elem
-    # measured from compiler scoped-alloc reports) must all fit per program
+    # fit the ~16 MiB scoped-VMEM limit. Measured from compiler
+    # scoped-alloc reports (the 8B qkv proj hit exactly 16.04M):
+    #   x block bf16, double-buffered        -> 4 * r * In
+    #   packed nibbles u8, double-buffered,
+    #   + dequant intermediates (~5 B/elem)  -> 7 * half * o
+    #   out block bf16, double-buffered      -> 4 * r * o
     def vmem_cost(r, o):
-        return 2 * r * In + (half * o) + 5 * (half * o)
+        return 4 * r * In + 7 * (half * o) + 4 * r * o
 
-    BUDGET = 12 * 2**20
+    BUDGET = 14 * 2**20
     while vmem_cost(ROW_BLK, OUT_BLK) > BUDGET and OUT_BLK > 128:
         OUT_BLK //= 2
     while vmem_cost(ROW_BLK, OUT_BLK) > BUDGET and ROW_BLK > 64:

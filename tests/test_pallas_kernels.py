@@ -344,6 +344,37 @@ def test_gqa_decode_v2_int8_kv_matches_xla():
     )
 
 
+def test_gqa_decode_v2_int8_kv_bf16_tolerance():
+    """Quantized decode in bf16 (the TPU serving dtype): the kernel rounds
+    p*scale_v to bf16 before the PV matmul (deliberate MXU-speed tradeoff,
+    see gqa_decode.py), so the output is NOT bit-identical to the f32
+    dequant reference — assert it stays within bf16-roundoff tolerance."""
+    from scratchpad_tpu.ops.attention.gqa_decode import decode_attention_gqa
+    from scratchpad_tpu.ops.attention.xla_backend import _quantize_rows
+
+    q, kv, meta = make_case(seed=9)
+    Pg, ps, H2, Dp = kv.kv.shape
+    flat = kv.kv.reshape(Pg * ps, H2, Dp)
+    qvals, sc = _quantize_rows(flat, jnp.int8)
+    kv_q = KVCache(
+        kv=qvals.reshape(Pg, ps, H2, Dp),
+        scale=sc.reshape(Pg, ps, H2),
+        num_layers=kv.num_layers,
+    )
+    kw = dict(page_size=16, sm_scale=0.125)
+    # f32 dequant-then-attend reference (f32 query)
+    ref = decode_attention_xla(q, kv_q, jnp.int32(1), meta, **kw)
+    # bf16 query through the kernel: pq rounds to bf16 pre-PV
+    out = decode_attention_gqa(
+        q.astype(jnp.bfloat16), kv_q, jnp.int32(1), meta, **kw
+    )
+    # bf16 mantissa = 8 bits -> ~2^-8 relative per rounding, accumulated
+    # over the online-softmax chunks; 3e-2 abs on ~N(0,1) outputs
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), rtol=3e-2, atol=3e-2
+    )
+
+
 def test_gqa_backend_int8_engine_parity():
     """attention_backend='gqa' + int8 KV serves end-to-end and matches the
     XLA backend with the same int8 cache."""
