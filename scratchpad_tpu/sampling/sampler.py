@@ -3,8 +3,18 @@
 Replaces the reference Sampler + flashinfer fused sampling kernels
 (reference: scratchpad/nn/layers/sampler.py:23-160,
 scratchpad/nn/kernels/sampling.py). Pure jnp; runs inside the jitted
-forward+sample step so XLA fuses it with the logits epilogue. A Pallas
-fused top-k/p kernel can later replace the sort.
+forward+sample step so XLA fuses it with the logits epilogue.
+
+The top-k/top-p/min-p filter is SORT-FREE: all three reduce to a single
+per-row probability cutoff found by joint bisection (`_fused_cutoff`) —
+top-k by count-above-cutoff, top-p by mass-above-cutoff, min-p
+analytically from the row max. Each bisection step is one fused
+elementwise pass over the logits (two compares + two masked reductions),
+so the whole filter costs ~_BISECT_ITERS bandwidth passes instead of the
+full-vocab sort (which measures ~7 ms/step at 128k vocab, roughly
+halving decode throughput at bs=64). This is the flashinfer-sampling
+equivalent the reference gets from CUDA
+(reference: scratchpad/nn/kernels/sampling.py:8-340).
 """
 
 from __future__ import annotations
@@ -15,6 +25,86 @@ import jax.numpy as jnp
 from scratchpad_tpu.sampling.batch_info import SamplingBatchInfo
 
 _NEG = -1e30
+
+# Multi-way bisection schedule: each iteration evaluates _BISECT_TAPS
+# candidate thresholds per criterion in ONE pass over the logits, so the
+# interval shrinks by (taps+1)x per pass. 6 passes x 8 taps = 9^6 ~ 531k
+# narrowing over an <=80-unit z-range -> ~1.5e-4 absolute precision in
+# logit space, far below the spacing of adjacent order statistics at 128k
+# vocab except for exact ties (which are interchangeable under sampling).
+_BISECT_TAPS = 8
+_BISECT_ITERS = 6
+# softmax tail below z = max - 80 underflows f32 (e^-80 ~ 1.8e-35): those
+# tokens have probability zero and can never be drawn, so the bisection
+# domain is clamped there. Only matters when top_k exceeds the number of
+# non-underflowed tokens, where keeping/dropping them is unobservable.
+_Z_FLOOR = -80.0
+
+
+def _fused_cutoff(
+    scaled: jax.Array,  # f32[B, V] temperature-scaled logits
+    top_k: jax.Array,  # i32[B] (V = disabled)
+    top_p: jax.Array,  # f32[B] (1.0 = disabled)
+    min_p: jax.Array,  # f32[B] (0.0 = disabled)
+) -> jax.Array:
+    """Joint top-k/top-p/min-p cutoff in scaled-logit space, f32[B, 1].
+
+    Keeping `scaled >= cutoff` reproduces the intersection of the three
+    filters without sorting:
+      top-k   cutoff = k-th largest logit           (count-above bisection)
+      top-p   cutoff = largest t with mass(>=t)>=p  (mass-above bisection)
+      min-p   cutoff = max + log(min_p)             (analytic)
+    The two bisections share each pass over the data; disabled criteria
+    contribute -inf. Equivalent role to flashinfer's fused top-k/top-p
+    renorm kernels (reference: scratchpad/nn/kernels/sampling.py:8-340).
+    """
+    B, V = scaled.shape
+    rowmax = jnp.max(scaled, axis=-1, keepdims=True)  # [B, 1]
+    z = scaled - rowmax  # <= 0; bitmask-banned entries ~ -1e30
+    valid = z > -1e29
+    e = jnp.where(valid, jnp.exp(z), 0.0)
+    Z = jnp.sum(e, axis=-1, keepdims=True)  # [B, 1] softmax denom
+
+    zmin = jnp.min(jnp.where(valid, z, 0.0), axis=-1, keepdims=True)
+    lo0 = jnp.maximum(zmin, _Z_FLOOR) - 1e-3  # keep-everything side
+    hi0 = jnp.full_like(lo0, 1e-3)  # keep-nothing side (> rowmax)
+
+    k = jnp.clip(top_k, 1, V).astype(jnp.float32)[:, None]  # [B, 1]
+    p_target = jnp.clip(top_p, 1e-9, 1.0)[:, None] * Z  # unnormalized mass
+
+    taps = (
+        jnp.arange(1, _BISECT_TAPS + 1, dtype=jnp.float32) / (_BISECT_TAPS + 1)
+    )  # (0, 1) interior grid
+    lo_k = lo_p = lo0
+    hi_k = hi_p = hi0
+    for _ in range(_BISECT_ITERS):
+        mid_k = lo_k + (hi_k - lo_k) * taps[None, :]  # [B, S]
+        mid_p = lo_p + (hi_p - lo_p) * taps[None, :]
+        # one fused read of z/e: compares + masked reductions over V
+        cnt = jnp.sum(
+            (z[:, :, None] >= mid_k[:, None, :]).astype(jnp.float32), axis=1
+        )  # [B, S]
+        mass = jnp.sum(
+            jnp.where(z[:, :, None] >= mid_p[:, None, :], e[:, :, None], 0.0),
+            axis=1,
+        )  # [B, S]
+        ok_k = cnt >= k  # monotone: True then False along the grid
+        ok_p = mass >= p_target
+        lo_k = jnp.max(jnp.where(ok_k, mid_k, lo_k), axis=1, keepdims=True)
+        hi_k = jnp.min(jnp.where(ok_k, hi_k, mid_k), axis=1, keepdims=True)
+        lo_p = jnp.max(jnp.where(ok_p, mid_p, lo_p), axis=1, keepdims=True)
+        hi_p = jnp.min(jnp.where(ok_p, hi_p, mid_p), axis=1, keepdims=True)
+
+    ninf = jnp.float32(-jnp.inf)
+    c_k = jnp.where(top_k[:, None] < V, lo_k, ninf)
+    c_p = jnp.where(top_p[:, None] < 1.0, lo_p, ninf)
+    c_m = jnp.where(
+        min_p[:, None] > 0.0,
+        jnp.log(jnp.maximum(min_p[:, None], 1e-30)),
+        ninf,
+    )
+    cut_z = jnp.maximum(jnp.maximum(c_k, c_p), c_m)
+    return cut_z + rowmax
 
 
 def apply_penalties(logits: jax.Array, info: SamplingBatchInfo) -> jax.Array:
@@ -73,26 +163,10 @@ def sample(
     )
 
     def _filter(scaled):
-        probs = jax.nn.softmax(scaled, axis=-1)
-        sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]  # desc
-        # top-k: threshold at the k-th largest probability
-        k_idx = jnp.clip(info.top_k - 1, 0, V - 1)
-        kth = jnp.take_along_axis(sorted_probs, k_idx[:, None], axis=-1)
-        keep = probs >= kth
-        # top-p: smallest set with cumulative prob >= top_p
-        cumsum = jnp.cumsum(sorted_probs, axis=-1)
-        cum_before = cumsum - sorted_probs
-        sorted_cut = cum_before < info.top_p[:, None]
-        num_kept_sorted = jnp.sum(sorted_cut, axis=-1)
-        pth = jnp.take_along_axis(
-            sorted_probs,
-            jnp.clip(num_kept_sorted - 1, 0, V - 1)[:, None],
-            axis=-1,
-        )
-        keep &= probs >= pth
-        # min-p: keep probs >= max_prob * min_p
-        keep &= probs >= sorted_probs[:, :1] * info.min_p[:, None]
-        return jnp.where(keep, scaled, _NEG)
+        cutoff = _fused_cutoff(
+            scaled, info.top_k, info.top_p, info.min_p
+        )  # [B, 1] in scaled-logit space
+        return jnp.where(scaled >= cutoff, scaled, _NEG)
 
     def _sampled_branch(_):
         temp = jnp.maximum(info.temperature, 1e-6)[:, None]

@@ -1,0 +1,195 @@
+"""Sort-free fused sampling filter vs an explicit sort-based reference.
+
+The production filter (`scratchpad_tpu/sampling/sampler.py:_fused_cutoff`)
+finds the joint top-k/top-p/min-p cutoff by multi-way bisection; these
+tests assert it keeps the same token set as the O(V log V) sort-based
+construction (the round-1 implementation, and what the reference engine
+gets from flashinfer: scratchpad/nn/kernels/sampling.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scratchpad_tpu.sampling.batch_info import SamplingBatchInfo
+from scratchpad_tpu.sampling.sampler import _NEG, _fused_cutoff, sample
+
+
+def _sort_reference_keep(scaled, top_k, top_p, min_p):
+    """The exact sort-based joint filter (round-1 sampler semantics)."""
+    scaled = np.asarray(scaled, np.float32)
+    B, V = scaled.shape
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(scaled), axis=-1))
+    keep = np.ones((B, V), bool)
+    for b in range(B):
+        sp = np.sort(probs[b])[::-1]
+        kth = sp[min(max(int(top_k[b]) - 1, 0), V - 1)]
+        k_keep = probs[b] >= kth if top_k[b] < V else np.ones(V, bool)
+        cum_before = np.cumsum(sp) - sp
+        num_kept = int(np.sum(cum_before < top_p[b]))
+        pth = sp[min(max(num_kept - 1, 0), V - 1)]
+        p_keep = probs[b] >= pth if top_p[b] < 1.0 else np.ones(V, bool)
+        m_keep = (
+            probs[b] >= sp[0] * min_p[b] if min_p[b] > 0 else np.ones(V, bool)
+        )
+        keep[b] = k_keep & p_keep & m_keep
+    return keep
+
+
+def _fused_keep(scaled, top_k, top_p, min_p):
+    cutoff = _fused_cutoff(
+        jnp.asarray(scaled, jnp.float32),
+        jnp.asarray(top_k, jnp.int32),
+        jnp.asarray(top_p, jnp.float32),
+        jnp.asarray(min_p, jnp.float32),
+    )
+    return np.asarray(jnp.asarray(scaled) >= cutoff), np.asarray(cutoff)
+
+
+def _assert_keep_matches(scaled, top_k, top_p, min_p, tol=2e-3):
+    got, cutoff = _fused_keep(scaled, top_k, top_p, min_p)
+    want = _sort_reference_keep(scaled, top_k, top_p, min_p)
+    scaled = np.asarray(scaled)
+    for b in range(scaled.shape[0]):
+        diff = got[b] != want[b]
+        if diff.any():
+            # bisection converges to within ~1.5e-4 of the exact threshold;
+            # only near-tie tokens hugging the cutoff may flip
+            assert np.all(np.abs(scaled[b, diff] - cutoff[b, 0]) < tol), (
+                b,
+                np.abs(scaled[b, diff] - cutoff[b, 0]).max(),
+            )
+
+
+def test_topk_only_matches_sort():
+    rng = np.random.default_rng(0)
+    scaled = rng.normal(size=(6, 4096)).astype(np.float32) * 3
+    V = scaled.shape[1]
+    top_k = np.array([1, 5, 40, 500, V, 2], np.int32)
+    _assert_keep_matches(scaled, top_k, np.ones(6), np.zeros(6))
+
+
+def test_topp_only_matches_sort():
+    rng = np.random.default_rng(1)
+    scaled = rng.normal(size=(6, 4096)).astype(np.float32) * 4
+    top_p = np.array([0.1, 0.5, 0.9, 0.99, 1.0, 0.7], np.float32)
+    V = scaled.shape[1]
+    _assert_keep_matches(scaled, np.full(6, V, np.int32), top_p, np.zeros(6))
+
+
+def test_minp_only_matches_sort():
+    rng = np.random.default_rng(2)
+    scaled = rng.normal(size=(4, 2048)).astype(np.float32) * 5
+    min_p = np.array([0.01, 0.05, 0.2, 0.0], np.float32)
+    V = scaled.shape[1]
+    _assert_keep_matches(scaled, np.full(4, V, np.int32), np.ones(4), min_p)
+
+
+def test_joint_filter_matches_sort():
+    rng = np.random.default_rng(3)
+    scaled = rng.normal(size=(8, 4096)).astype(np.float32) * 3
+    V = scaled.shape[1]
+    top_k = np.array([50, V, 10, 1000, V, 3, 64, V], np.int32)
+    top_p = np.array([0.9, 0.8, 1.0, 0.95, 1.0, 0.5, 0.99, 0.3], np.float32)
+    min_p = np.array([0.0, 0.02, 0.0, 0.01, 0.1, 0.0, 0.0, 0.05], np.float32)
+    _assert_keep_matches(scaled, top_k, top_p, min_p)
+
+
+def test_low_temperature_scaled_logits():
+    # temperature 0.05 -> scaled-logit range ~hundreds; the z-floor clamp
+    # must still keep the head of the distribution exact
+    rng = np.random.default_rng(4)
+    scaled = (rng.normal(size=(4, 4096)).astype(np.float32) * 4) / 0.05
+    V = scaled.shape[1]
+    top_k = np.array([5, 20, V, 2], np.int32)
+    top_p = np.array([1.0, 0.9, 0.9, 1.0], np.float32)
+    got, _ = _fused_keep(scaled, top_k, top_p, np.zeros(4))
+    for b in range(4):
+        assert got[b, np.argmax(scaled[b])]
+        order = np.argsort(scaled[b])[::-1]
+        if top_k[b] < V:
+            # kept set is always within the top-k head...
+            assert not got[b, order[top_k[b] :]].any()
+            # ...and exactly the top-k head when top-p is disabled
+            if top_p[b] >= 1.0:
+                assert got[b, order[: top_k[b]]].all()
+
+
+def test_bitmask_banned_tokens_never_kept():
+    rng = np.random.default_rng(5)
+    scaled = rng.normal(size=(2, 1024)).astype(np.float32)
+    scaled[:, ::2] = _NEG  # banned half the vocab
+    got, _ = _fused_keep(
+        scaled,
+        np.array([10, 1024], np.int32),
+        np.array([1.0, 0.9], np.float32),
+        np.zeros(2, np.float32),
+    )
+    assert not got[:, ::2].any()
+    assert got[0].sum() == 10
+    assert got[1].any()
+
+
+def test_topk_wider_than_allowed_support():
+    # bitmask leaves 4 tokens but top_k=50: the filter must keep all 4
+    scaled = np.full((1, 512), _NEG, np.float32)
+    scaled[0, [7, 90, 200, 311]] = [1.0, 0.5, 2.0, -0.5]
+    got, _ = _fused_keep(
+        scaled,
+        np.array([50], np.int32),
+        np.array([1.0], np.float32),
+        np.zeros(1, np.float32),
+    )
+    assert got[0, [7, 90, 200, 311]].all()
+    assert got[0].sum() == 4
+
+
+def test_sampled_draws_respect_topk():
+    V = 512
+    rng = np.random.default_rng(6)
+    logits = rng.normal(size=(1, V)).astype(np.float32) * 2
+    info = SamplingBatchInfo(
+        temperature=jnp.ones(1, jnp.float32),
+        top_p=jnp.ones(1, jnp.float32),
+        top_k=jnp.full(1, 5, jnp.int32),
+        min_p=jnp.zeros(1, jnp.float32),
+    )
+    allowed = set(np.argsort(logits[0])[::-1][:5].tolist())
+    key = jax.random.PRNGKey(0)
+    draws = set()
+    for i in range(64):
+        ids, _ = sample(jnp.asarray(logits), info, jax.random.fold_in(key, i))
+        draws.add(int(ids[0]))
+    assert draws <= allowed
+    assert len(draws) > 1  # actually sampling, not argmax
+
+
+def test_greedy_rows_unaffected_by_sampled_rows():
+    V = 1024
+    rng = np.random.default_rng(7)
+    logits = rng.normal(size=(3, V)).astype(np.float32)
+    info = SamplingBatchInfo(
+        temperature=jnp.asarray([0.0, 0.8, 0.0], jnp.float32),
+        top_p=jnp.asarray([1.0, 0.9, 1.0], jnp.float32),
+        top_k=jnp.asarray([V, 40, V], jnp.int32),
+        min_p=jnp.zeros(3, jnp.float32),
+    )
+    ids, _ = sample(jnp.asarray(logits), info, jax.random.PRNGKey(1))
+    assert int(ids[0]) == int(np.argmax(logits[0]))
+    assert int(ids[2]) == int(np.argmax(logits[2]))
+
+
+@pytest.mark.parametrize("top_p", [1e-6, 0.0])
+def test_tiny_topp_keeps_argmax(top_p):
+    rng = np.random.default_rng(8)
+    scaled = rng.normal(size=(1, 2048)).astype(np.float32)
+    got, _ = _fused_keep(
+        scaled,
+        np.array([2048], np.int32),
+        np.array([top_p], np.float32),
+        np.zeros(1, np.float32),
+    )
+    if top_p > 0:
+        assert got[0, np.argmax(scaled[0])]
+        assert got[0].sum() == 1
