@@ -289,6 +289,16 @@ class GrammarBackend:
                 except ValueError:
                     pass
             pattern = ebnf_to_regex(value)
+        elif kind == "structural_tag":
+            # free text + trigger-committed structures as one DFA
+            # (reference: constrained/xgrammar_backend.py:204
+            # dispatch_structural_tag)
+            from scratchpad_tpu.constrained.structural_tag import (
+                compile_structural_tag,
+            )
+
+            dfa = compile_structural_tag(value)
+            return CompiledGrammar(dfa, self._tokens(), self.eos_ids)
         else:
             raise ValueError(f"unknown grammar kind {kind}")
         dfa = compile_regex(pattern)

@@ -273,6 +273,7 @@ class Scheduler:
             r.grammar is not None
             or r.sampling_params.top_logprobs > 0
             or r.sampling_params.needs_penalties()
+            or r.sampling_params.logit_bias
             for r in batch
         )
 
@@ -422,6 +423,7 @@ class Scheduler:
             and r.grammar is None
             and r.sampling_params.top_logprobs == 0
             and not r.sampling_params.needs_penalties()
+            and not r.sampling_params.logit_bias
             # the sampler masks EOS until min_new_tokens; raw argmax doesn't
             and r.sampling_params.min_new_tokens <= len(r.output_ids)
             for r in batch

@@ -705,6 +705,7 @@ class ModelRunner:
         return (
             wb.vocab_bitmask is None
             and si.output_token_counts is None
+            and si.logit_bias is None
             and wb.active_adapters is None
             and wb.input_embeds is None
             and wb.mrope_positions is None
@@ -1086,6 +1087,7 @@ class ModelRunner:
             vocab_bitmask=padB(wb.vocab_bitmask, 0xFFFFFFFF)
             if wb.vocab_bitmask is not None
             else None,
+            logit_bias=padB(si.logit_bias, 0.0),
         )
         return meta, sinfo
 

@@ -27,6 +27,8 @@ class SamplingBatchInfo:
     input_token_mask: Optional[jax.Array] = None  # bool[B, V]
     # grammar vocab bitmask (int32-packed, None when no grammar active)
     vocab_bitmask: Optional[jax.Array] = None  # u32[B, ceil(V/32)]
+    # additive OpenAI logit_bias (None when no request in the batch has one)
+    logit_bias: Optional[jax.Array] = None  # f32[B, V]
 
     @property
     def needs_penalties(self) -> bool:
@@ -54,6 +56,13 @@ class SamplingBatchInfo:
                 pres[i] = sp.presence_penalty
                 freq[i] = sp.frequency_penalty
                 rep[i] = sp.repetition_penalty
+        bias = None
+        if any(r.sampling_params.logit_bias for r in reqs):
+            bias = np.zeros((B, vocab_size), np.float32)
+            for i, r in enumerate(reqs):
+                for tid, b in (r.sampling_params.logit_bias or {}).items():
+                    if 0 <= int(tid) < vocab_size:
+                        bias[i, int(tid)] = b
         out_counts = None
         in_mask = None
         if any_pen:
@@ -76,6 +85,7 @@ class SamplingBatchInfo:
             repetition_penalty=rep,
             output_token_counts=out_counts,
             input_token_mask=in_mask,
+            logit_bias=bias,
         )
 
 
@@ -92,6 +102,7 @@ jax.tree_util.register_dataclass(
         "output_token_counts",
         "input_token_mask",
         "vocab_bitmask",
+        "logit_bias",
     ],
     meta_fields=[],
 )

@@ -147,6 +147,10 @@ def sample(
     (reference: scratchpad/nn/layers/sampler.py:63-125).
     """
     B, V = logits.shape
+    if info.logit_bias is not None:
+        # additive OpenAI logit_bias before penalties/softmax
+        # (reference: scratchpad/nn/layers/sampler.py:162 custom processors)
+        logits = logits + info.logit_bias
     logits = apply_penalties(logits, info)
     if info.vocab_bitmask is not None:
         logits = apply_vocab_bitmask(logits, info.vocab_bitmask)

@@ -32,6 +32,10 @@ class SamplingParams:
     json_schema: Optional[str] = None
     regex: Optional[str] = None
     ebnf: Optional[str] = None
+    structural_tag: Optional[str] = None  # JSON-encoded {structures, triggers}
+    # additive per-token-id logit bias (OpenAI logit_bias), applied on
+    # device before penalties/softmax (reference: nn/layers/sampler.py:162)
+    logit_bias: Optional[dict] = None  # {token_id: bias}
 
     def __post_init__(self):
         if self.stop is None:
@@ -68,11 +72,14 @@ class SamplingParams:
         )
 
     def grammar_key(self):
-        """(kind, value) when constrained decoding is requested, else None."""
+        """(kind, value) when constrained decoding is requested, else None
+        (reference: scheduler/scheduler.py:629-649 key dispatch)."""
         if self.json_schema is not None:
             return ("json", self.json_schema)
         if self.regex is not None:
             return ("regex", self.regex)
         if self.ebnf is not None:
             return ("ebnf", self.ebnf)
+        if self.structural_tag is not None:
+            return ("structural_tag", self.structural_tag)
         return None

@@ -42,6 +42,12 @@ logger = get_logger("http_server")
 
 
 def _sampling_from(req, max_tokens: int) -> SamplingParams:
+    # OpenAI logit_bias keys are token-id strings
+    bias = (
+        {int(k): float(v) for k, v in req.logit_bias.items()}
+        if req.logit_bias
+        else None
+    )
     return SamplingParams(
         max_new_tokens=max_tokens,
         temperature=req.temperature,
@@ -57,6 +63,7 @@ def _sampling_from(req, max_tokens: int) -> SamplingParams:
         regex=req.regex,
         ebnf=req.ebnf,
         json_schema=req.json_schema,
+        logit_bias=bias,
     )
 
 
@@ -453,6 +460,16 @@ class ServerApp:
             sp.json_schema = json.dumps(
                 (creq.response_format.json_schema or {}).get("schema", {})
             )
+        elif creq.response_format and creq.response_format.type == "structural_tag":
+            sp.structural_tag = json.dumps(
+                {
+                    "structures": [
+                        s.model_dump(by_alias=True)
+                        for s in (creq.response_format.structures or [])
+                    ],
+                    "triggers": creq.response_format.triggers or [],
+                }
+            )
         if creq.stream:
             return await self._stream_chat(
                 request, creq, prompt, sp, image_data=image_data
@@ -516,36 +533,56 @@ class ServerApp:
         await resp.prepare(request)
         first = True
         cid = None
+        # incremental tool-call extraction over the streamed text
+        # (reference: function_call_parser.py:141 parse_streaming_increment)
+        tool_parser = None
+        if creq.tools:
+            from scratchpad_tpu.server.openai_api.function_call_parser import (
+                StreamingToolParser,
+            )
+
+            tool_parser = StreamingToolParser(creq.tools)
+
+        async def _send(delta: DeltaMessage, finish=None, usage=None):
+            nonlocal first, cid
+            if first:
+                delta.role = "assistant"
+                first = False
+            chunk = ChatCompletionStreamResponse(
+                model=creq.model,
+                choices=[
+                    ChatCompletionStreamChoice(
+                        index=0, delta=delta, finish_reason=finish
+                    )
+                ],
+                usage=usage,
+            )
+            cid = cid or chunk.id
+            chunk.id = cid
+            await resp.write(f"data: {chunk.model_dump_json()}\n\n".encode())
+
+        async def _send_increment(res):
+            if res.normal_text:
+                await _send(DeltaMessage(content=res.normal_text))
+            for d in res.deltas:
+                await _send(DeltaMessage(tool_calls=[d]))
+
         async for kind, payload in self.runner.generate(
             prompt=prompt, sampling_params=sp
         ):
             if kind == "delta":
-                delta = DeltaMessage(content=payload)
-                if first:
-                    delta.role = "assistant"
-                    first = False
-                chunk = ChatCompletionStreamResponse(
-                    model=creq.model,
-                    choices=[ChatCompletionStreamChoice(index=0, delta=delta)],
-                )
-                cid = cid or chunk.id
-                chunk.id = cid
-                await resp.write(f"data: {chunk.model_dump_json()}\n\n".encode())
+                if tool_parser is not None:
+                    await _send_increment(tool_parser.feed(payload))
+                else:
+                    await _send(DeltaMessage(content=payload))
             elif kind == "done":
                 out: GenerationOutput = payload
-                chunk = ChatCompletionStreamResponse(
-                    id=cid or "chatcmpl-x",
-                    model=creq.model,
-                    choices=[
-                        ChatCompletionStreamChoice(
-                            index=0,
-                            delta=DeltaMessage(),
-                            finish_reason=out.finish_reason,
-                        )
-                    ],
-                    usage=_usage(out),
-                )
-                await resp.write(f"data: {chunk.model_dump_json()}\n\n".encode())
+                finish = out.finish_reason
+                if tool_parser is not None:
+                    await _send_increment(tool_parser.finish())
+                    if tool_parser.saw_tool_call:
+                        finish = "tool_calls"
+                await _send(DeltaMessage(), finish=finish, usage=_usage(out))
         await resp.write(b"data: [DONE]\n\n")
         await resp.write_eof()
         return resp

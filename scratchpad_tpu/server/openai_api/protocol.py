@@ -81,9 +81,25 @@ class ChatMessage(BaseModel):
     reasoning_content: Optional[str] = None
 
 
+class StructureFormat(BaseModel):
+    """One structural_tag structure (reference: protocol.py:33
+    StructuresResponseFormat)."""
+
+    begin: str
+    schema_: Optional[Dict[str, Any]] = Field(alias="schema", default=None)
+    end: str
+
+    model_config = {"populate_by_name": True}
+
+
 class ResponseFormat(BaseModel):
-    type: str = "text"  # text | json_object | json_schema
+    # text | json_object | json_schema | structural_tag
+    type: str = "text"
     json_schema: Optional[Dict[str, Any]] = None
+    # structural_tag payload (reference: protocol.py:39
+    # StructuralTagResponseFormat)
+    structures: Optional[List[StructureFormat]] = None
+    triggers: Optional[List[str]] = None
 
 
 class ChatCompletionRequest(BaseModel):

@@ -283,3 +283,132 @@ class TestGenericJsonPDA:
         c = p.walk(p.initial_configs(), deep)
         assert c is not None and p.accepts(c)
         assert p.walk(p.initial_configs(), '{"a": 01}') is None
+
+
+class TestStructuralTag:
+    """structural_tag response format on the AC x structure product DFA
+    (reference: constrained/xgrammar_backend.py:204 dispatch_structural_tag)."""
+
+    TAG = {
+        "structures": [
+            {
+                "begin": "<function=get_weather>",
+                "schema": {
+                    "type": "object",
+                    "properties": {"city": {"type": "string"}},
+                    "required": ["city"],
+                },
+                "end": "</function>",
+            },
+            {
+                "begin": "<function=search>",
+                "schema": {
+                    "type": "object",
+                    "properties": {"q": {"type": "string"}},
+                    "required": ["q"],
+                },
+                "end": "</function>",
+            },
+        ],
+        "triggers": ["<function="],
+    }
+
+    def _dfa(self):
+        from scratchpad_tpu.constrained.structural_tag import (
+            build_structural_tag_dfa,
+        )
+
+        return build_structural_tag_dfa(self.TAG)
+
+    def test_acceptance(self):
+        dfa = self._dfa()
+        good = [
+            "plain text, no calls at all",
+            'x <function=get_weather>{"city": "Bern"}</function> y',
+            '<function=search>{"q": "a"}</function><function=search>{"q": "b"}</function>',
+        ]
+        bad = [
+            '<function=get_weather>{"q": "wrong schema"}</function>',
+            '<function=get_weather>{"city": "Bern"}',  # missing end
+            "<function=unknown>{}</function>",
+            "<function=get_weather>",  # mid-structure EOS
+        ]
+        for s in good:
+            assert accepts(dfa, s), s
+        for s in bad:
+            assert not accepts(dfa, s), s
+
+    def test_free_text_mask_is_open(self):
+        """In free text every printable char must remain allowed."""
+        dfa = self._dfa()
+        for c in "aZ9 !<":
+            assert dfa.step(dfa.initial, c) >= 0, c
+
+    def test_trigger_commits(self):
+        """After the full trigger only structure begins may continue."""
+        dfa = self._dfa()
+        st = dfa.walk(dfa.initial, "<function=")
+        assert st >= 0 and not dfa.is_accepting(st)
+        assert dfa.walk(st, "get_weather>") >= 0
+        assert dfa.walk(st, "zzz") == -1
+
+    def test_backend_dispatch(self):
+        from scratchpad_tpu.constrained.backend import GrammarBackend
+
+        be = GrammarBackend(CharTokenizer(), vocab_size=257)
+        g = be.get_grammar("structural_tag", json.dumps(self.TAG))
+        mask = np.zeros(-(-257 // 32), np.uint32)
+        g.fill_vocab_bitmask(mask, 257)
+        # free text: char 'a' (id 98) allowed
+        tid = ord("a") + 1
+        assert (mask[tid // 32] >> (tid % 32)) & 1
+        for ch in "<function=":
+            g.accept_token(ord(ch) + 1)
+        mask2 = np.zeros_like(mask)
+        g.fill_vocab_bitmask(mask2, 257)
+        # committed: 'z' banned, 'g'/'s' (begins) allowed, EOS banned
+        zid = ord("z") + 1
+        assert not (mask2[zid // 32] >> (zid % 32)) & 1
+        gid = ord("g") + 1
+        assert (mask2[gid // 32] >> (gid % 32)) & 1
+        assert not mask2[0] & 1  # eos id 0
+
+    def test_e2e_engine(self):
+        """Greedy tiny-model output honors the structural constraint."""
+        from scratchpad_tpu.config import ServerArgs
+        from scratchpad_tpu.server.engine import Engine
+        from scratchpad_tpu.sampling.sampling_params import SamplingParams
+
+        args = ServerArgs(
+            preset="tiny-debug",
+            random_weights=True,
+            dtype="float32",
+            page_size=4,
+            max_total_tokens=2048,
+        )
+        engine = Engine(args, tokenizer=CharTokenizer())
+        tag = {
+            "structures": [
+                {
+                    "begin": "<f>",
+                    "schema": {"type": "boolean"},
+                    "end": "</f>",
+                }
+            ],
+            "triggers": ["<f>"],
+        }
+        sp = SamplingParams(
+            temperature=0.0,
+            max_new_tokens=24,
+            structural_tag=json.dumps(tag),
+        )
+        out = engine.generate(prompt="go:", sampling_params=sp)
+        # the output must be accepted by the tag DFA (free text and/or a
+        # complete <f>true|false</f> structure; never a dangling structure)
+        from scratchpad_tpu.constrained.structural_tag import (
+            build_structural_tag_dfa,
+        )
+
+        dfa = build_structural_tag_dfa(tag)
+        st = dfa.walk(dfa.initial, out.text)
+        assert st >= 0 and dfa.is_accepting(st), out.text

@@ -193,3 +193,49 @@ def test_tiny_topp_keeps_argmax(top_p):
     if top_p > 0:
         assert got[0, np.argmax(scaled[0])]
         assert got[0].sum() == 1
+
+
+def test_logit_bias_applied():
+    """OpenAI logit_bias shifts logits before penalties/softmax
+    (reference: nn/layers/sampler.py:162 custom processors)."""
+    key = jax.random.PRNGKey(0)
+    B, V = 2, 64
+    logits = jax.random.normal(jax.random.PRNGKey(1), (B, V), jnp.float32)
+    bias = np.zeros((B, V), np.float32)
+    bias[0, 7] = 100.0  # dominate row 0
+    bias[1, int(np.argmax(np.asarray(logits)[1]))] = -100.0  # ban row-1 argmax
+    info = SamplingBatchInfo(
+        temperature=jnp.zeros(B),
+        top_p=jnp.ones(B),
+        top_k=jnp.full(B, V, jnp.int32),
+        min_p=jnp.zeros(B),
+        logit_bias=jnp.asarray(bias),
+    )
+    ids, _ = sample(logits, info, key)
+    ids = np.asarray(ids)
+    assert ids[0] == 7
+    assert ids[1] != int(np.argmax(np.asarray(logits)[1]))
+
+
+def test_logit_bias_engine_e2e():
+    """Greedy decode with a +100 bias emits only the biased token."""
+    from scratchpad_tpu.config import ServerArgs
+    from scratchpad_tpu.server.engine import Engine
+    from scratchpad_tpu.sampling.sampling_params import SamplingParams
+
+    args = ServerArgs(
+        preset="tiny-debug",
+        random_weights=True,
+        dtype="float32",
+        page_size=4,
+        max_total_tokens=1024,
+    )
+    engine = Engine(args)
+    sp = SamplingParams(
+        temperature=0.0,
+        max_new_tokens=4,
+        ignore_eos=True,
+        logit_bias={5: 100.0},
+    )
+    out = engine.generate(input_ids=[1, 2, 3], sampling_params=sp)
+    assert out.output_ids == [5, 5, 5, 5], out.output_ids
