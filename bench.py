@@ -81,6 +81,36 @@ def main() -> None:
     sched = Scheduler(cfg, args)
     rng = np.random.default_rng(0)
 
+    # multi-adapter serving overhead: register N random rank-16 LoRA
+    # adapters and spread requests round-robin (VERDICT item 5 bench)
+    n_toppings = int(os.environ.get("SPTPU_BENCH_TOPPINGS", "0"))
+    if n_toppings:
+        from scratchpad_tpu.toppings import ToppingsManager
+
+        r = 16
+        tm = ToppingsManager(cfg, max_rank=r)
+        for a in range(n_toppings):
+            state = {}
+            for l in range(cfg.num_hidden_layers):
+                for proj, din in (
+                    ("q_proj", cfg.hidden_size),
+                    ("v_proj", cfg.hidden_size),
+                ):
+                    pre = f"base_model.model.layers.{l}.self_attn.{proj}"
+                    state[f"{pre}.lora_A.weight"] = (
+                        rng.standard_normal((r, din)).astype(np.float32) * 0.01
+                    )
+                    dout = (
+                        cfg.num_attention_heads * cfg.head_dim
+                        if proj == "q_proj"
+                        else cfg.num_kv_heads * cfg.head_dim
+                    )
+                    state[f"{pre}.lora_B.weight"] = (
+                        rng.standard_normal((dout, r)).astype(np.float32) * 0.01
+                    )
+            tm.register_state(f"adapter{a}", state, scaling=1.0)
+        sched.runner.attach_toppings(tm)
+
     if sampled:
         sp_kw = dict(temperature=0.8, top_p=0.9, top_k=64)
     else:
@@ -95,6 +125,7 @@ def main() -> None:
                     sampling_params=SamplingParams(
                         max_new_tokens=decode_len, ignore_eos=True, **sp_kw
                     ),
+                    topping_idx=(1 + i % n_toppings) if n_toppings else 0,
                 )
             )
 
@@ -135,6 +166,8 @@ def main() -> None:
         tag += f"_kv{kv_dtype}"
     if sampled:
         tag += "_sampled"
+    if n_toppings:
+        tag += f"_lora{n_toppings}"
     print(
         json.dumps(
             {

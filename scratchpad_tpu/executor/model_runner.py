@@ -112,6 +112,7 @@ class ModelRunner:
         self.model.page_size = self.page_size
         self.model.mesh = mesh
         self.model.use_ep = bool(self.args.enable_ep and mesh is not None)
+        self.toppings_manager = None
 
         # pipeline parallelism (parallel/pp.py): GPipe stages over a pure
         # "pp" mesh; the stacked layer axis and the layer-major page axis
@@ -574,7 +575,15 @@ class ModelRunner:
         return T, B, P
 
     def _pack_host(self, wb: WorkerBatch, T: int, B: int, P: int):
-        ints = np.zeros(4 * T + 4 * B + B * P + 1, np.int32)
+        # adapter ids/slots ride the packed buffer once toppings are
+        # attached (zero slots = the no-op adapter), so multi-adapter
+        # serving keeps the 2-buffer transfer + fused windows
+        from scratchpad_tpu.toppings.manager import MAX_ACTIVE_TOPPINGS
+
+        n_adapter = (
+            MAX_ACTIVE_TOPPINGS + B if self.toppings_manager is not None else 0
+        )
+        ints = np.zeros(4 * T + 4 * B + B * P + n_adapter + 1, np.int32)
         o = 0
 
         def put(x, n, fill=0):
@@ -599,6 +608,21 @@ class ModelRunner:
             B,
             fill=self.model_config.vocab_size,
         )
+        if self.toppings_manager is not None:
+            from scratchpad_tpu.toppings.manager import MAX_ACTIVE_TOPPINGS
+
+            put(
+                wb.active_adapters
+                if wb.active_adapters is not None
+                else np.zeros(MAX_ACTIVE_TOPPINGS, np.int32),
+                MAX_ACTIVE_TOPPINGS,
+            )
+            put(
+                wb.adapter_slots
+                if wb.adapter_slots is not None
+                else np.zeros(B, np.int32),
+                B,
+            )
         pt = np.zeros((B, P), np.int32)
         br, pr = wb.page_table.shape if wb.page_table.size else (0, 0)
         pt[:br, : min(pr, P)] = wb.page_table[:, :P]
@@ -630,6 +654,12 @@ class ModelRunner:
         extend_lens = take(B)
         last_idx = take(B)
         top_k = take(B)
+        active_adapters = adapter_slots = None
+        if self.toppings_manager is not None:
+            from scratchpad_tpu.toppings.manager import MAX_ACTIVE_TOPPINGS
+
+            active_adapters = take(MAX_ACTIVE_TOPPINGS)
+            adapter_slots = take(B)
         page_table = take(B * P).reshape(B, P)
         meta = ForwardMeta(
             mode=mode,
@@ -641,6 +671,8 @@ class ModelRunner:
             seq_lens=seq_lens,
             extend_lens=extend_lens,
             last_token_idx=last_idx,
+            active_adapters=active_adapters,
+            adapter_slots=adapter_slots,
         )
         sinfo = SamplingBatchInfo(
             temperature=floats[0:B],
@@ -706,7 +738,8 @@ class ModelRunner:
             wb.vocab_bitmask is None
             and si.output_token_counts is None
             and si.logit_bias is None
-            and wb.active_adapters is None
+            # adapters pack once the manager is attached (zero-slot no-op)
+            and (wb.active_adapters is None or self.toppings_manager is not None)
             and wb.input_embeds is None
             and wb.mrope_positions is None
             and wb.rope_delta is None

@@ -83,6 +83,7 @@ class ToppingsManager:
         # per-output-channel scales, pools allocated on first registration
         self._host_dq: Optional[dict[str, np.ndarray]] = None
         self._host_ds: Optional[dict[str, np.ndarray]] = None
+        self._delta_slots: set[int] = set()
         self.name_to_idx: dict[str, int] = {}
         self._next = 1
         self._device_pools: Optional[dict] = None
@@ -188,6 +189,7 @@ class ToppingsManager:
             self._host_dq[target][idx, int(layer_s)] = q
             self._host_ds[target][idx, int(layer_s)] = scale
             loaded += 1
+        self._delta_slots.add(idx)
         self._scaling[idx] = scaling
         self._device_pools = None
         logger.info(
@@ -248,6 +250,9 @@ class ToppingsManager:
                 self._device_pools["ds"] = {
                     t: jnp.asarray(v) for t, v in self._host_ds.items()
                 }
+                flags = np.zeros(self.max_adapters, np.int32)
+                flags[sorted(self._delta_slots)] = 1
+                self._device_pools["has_delta"] = jnp.asarray(flags)
         return self._device_pools
 
     def lookup(self, name: Optional[str]) -> int:
@@ -267,22 +272,44 @@ def apply_topping(
     active_adapters: jax.Array,  # i32[MAX_ACTIVE] pool slots (0 = zero adapter)
     token_slot: jax.Array,  # i32[T] position of each token's adapter
 ) -> jax.Array:
-    """base_out + masked sum of rank-r contributions of the active adapters."""
-    out = base_out
-    A = pools["a"][target]
-    Bp = pools["b"][target]
-    scaling = pools["scaling"]
+    """base_out + each token's OWN adapter contribution, token-grouped
+    (the triteia ldmm role, reference: nn/toppings/topping_layer.py:25):
+    rank-r factors ride two batched einsums; full-rank int8 deltas ride a
+    per-slot Pallas kernel that streams each weight panel once and skips
+    row tiles with no tokens of that slot (ops/ldmm.py)."""
+    from scratchpad_tpu.ops.ldmm import (
+        delta_matmul,
+        delta_matmul_xla,
+        lora_grouped,
+    )
+
+    S = MAX_ACTIVE_TOPPINGS
+    scaling = pools["scaling"][active_adapters]  # f32[S]
+    onehot = (
+        token_slot[:, None] == jnp.arange(1, S, dtype=token_slot.dtype)
+    ).astype(jnp.float32)  # [T, S-1]
+    slot_scale = onehot * scaling[1:][None, :]
+
+    A_act = pools["a"][target][active_adapters[1:], layer_idx]  # [S-1, In, r]
+    B_act = pools["b"][target][active_adapters[1:], layer_idx]  # [S-1, r, Out]
+    out = base_out + lora_grouped(x, A_act, B_act, slot_scale)
+
     dq = pools.get("dq")
-    for j in range(1, MAX_ACTIVE_TOPPINGS):
-        aid = active_adapters[j]
-        Aj = A[aid, layer_idx]  # [In, r]
-        Bj = Bp[aid, layer_idx]  # [r, Out]
-        contrib = ((x @ Aj) @ Bj) * scaling[aid].astype(x.dtype)
-        if dq is not None:
-            # full-rank delta: int8 [In, Out] dequantized by per-out-channel
-            # scales; slot stays all-zero for pure-LoRA adapters
-            dw = dq[target][aid, layer_idx].astype(x.dtype)
-            ds = pools["ds"][target][aid, layer_idx].astype(x.dtype)
-            contrib = contrib + (x @ dw) * ds * scaling[aid].astype(x.dtype)
-        out = out + jnp.where((token_slot == j)[:, None], contrib, 0)
+    if dq is not None:
+        has_delta = pools["has_delta"]  # i32[N]
+        on_tpu = jax.default_backend() == "tpu"
+        for j in range(1, S):
+            aid = active_adapters[j]
+            # pure-LoRA slots pin the weight block at the zero adapter so
+            # consecutive grid steps reuse one cached (skipped) block
+            aid_eff = aid * has_delta[aid]
+            ms = slot_scale[:, j - 1]
+            if on_tpu:
+                out = out + delta_matmul(
+                    x, dq[target], pools["ds"][target], aid_eff, layer_idx, ms
+                )
+            else:
+                out = out + delta_matmul_xla(
+                    x, dq[target], pools["ds"][target], aid_eff, layer_idx, ms
+                )
     return out

@@ -192,3 +192,73 @@ class TestDeltaToppings:
         )
         assert [o.output_ids for o in outs] == solo
         eng.scheduler.check_memory_leak()
+
+
+class TestLdmmKernel:
+    """Grouped adapter matmul (ops/ldmm.py) vs the masked-dense reference."""
+
+    def _inputs(self, T=40, In=128, Out=256, N=4, L=2, r=8, seed=0):
+        rng = np.random.default_rng(seed)
+        x = rng.standard_normal((T, In), np.float32)
+        dq = rng.integers(-127, 128, (N, L, In, Out)).astype(np.int8)
+        ds = (rng.random((N, L, Out), np.float32) * 0.02).astype(np.float32)
+        slots = rng.integers(0, 3, T).astype(np.int32)  # slot per token
+        return x, dq, ds, slots
+
+    def test_delta_kernel_matches_xla(self):
+        import jax.numpy as jnp
+        from scratchpad_tpu.ops.ldmm import delta_matmul, delta_matmul_xla
+
+        x, dq, ds, slots = self._inputs()
+        aid = jnp.asarray(2, jnp.int32)
+        layer = jnp.asarray(1, jnp.int32)
+        ms = (slots == 2).astype(np.float32) * 0.5
+        got = delta_matmul(
+            jnp.asarray(x), jnp.asarray(dq), jnp.asarray(ds),
+            aid, layer, jnp.asarray(ms), interpret=True,
+        )
+        want = delta_matmul_xla(
+            jnp.asarray(x), jnp.asarray(dq), jnp.asarray(ds),
+            aid, layer, jnp.asarray(ms),
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_delta_kernel_zero_slot_is_noop(self):
+        import jax.numpy as jnp
+        from scratchpad_tpu.ops.ldmm import delta_matmul
+
+        x, dq, ds, slots = self._inputs()
+        dq[0] = 0  # slot 0 = the zero adapter
+        got = delta_matmul(
+            jnp.asarray(x), jnp.asarray(dq), jnp.asarray(ds),
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+            jnp.ones(x.shape[0], jnp.float32), interpret=True,
+        )
+        assert np.abs(np.asarray(got)).max() == 0.0
+
+    def test_lora_grouped_matches_masked_loop(self):
+        import jax.numpy as jnp
+        from scratchpad_tpu.ops.ldmm import lora_grouped
+        from scratchpad_tpu.toppings.manager import MAX_ACTIVE_TOPPINGS
+
+        rng = np.random.default_rng(1)
+        T, In, r, Out = 24, 64, 8, 96
+        S = MAX_ACTIVE_TOPPINGS
+        A = rng.standard_normal((S, In, r), np.float32) * 0.1
+        B = rng.standard_normal((S, r, Out), np.float32) * 0.1
+        scaling = np.array([0.0, 0.5, 1.0, 2.0], np.float32)
+        slots = rng.integers(0, S, T).astype(np.int32)
+        x = rng.standard_normal((T, In), np.float32)
+
+        want = np.zeros((T, Out), np.float32)
+        for j in range(1, S):
+            contrib = (x @ A[j]) @ B[j] * scaling[j]
+            want += np.where((slots == j)[:, None], contrib, 0)
+
+        onehot = (slots[:, None] == np.arange(1, S)).astype(np.float32)
+        got = lora_grouped(
+            jnp.asarray(x), jnp.asarray(A[1:]), jnp.asarray(B[1:]),
+            jnp.asarray(onehot * scaling[1:][None, :]),
+        )
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
