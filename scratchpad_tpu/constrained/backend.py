@@ -287,7 +287,24 @@ class GrammarBackend:
                         value, self._tokens(), self.eos_ids
                     )
                 except ValueError:
-                    pass
+                    # left recursion: Paull-eliminate (exact, language-
+                    # preserving) and retry the PDA before falling back to
+                    # the DFA's bounded unroll (constrained/leftrec.py)
+                    try:
+                        from scratchpad_tpu.constrained.leftrec import (
+                            eliminate_left_recursion,
+                        )
+
+                        return CompiledPDAGrammar(
+                            eliminate_left_recursion(value),
+                            self._tokens(),
+                            self.eos_ids,
+                        )
+                    except ValueError:
+                        logger.warning(
+                            "EBNF left-recursion elimination failed; "
+                            "using the DFA bounded unroll"
+                        )
             pattern = ebnf_to_regex(value)
         elif kind == "structural_tag":
             # free text + trigger-committed structures as one DFA

@@ -261,3 +261,87 @@ class TestRecursivePDA:
                 sorted(dst)[0],
             )
             configs = dst[pick]
+
+
+class TestLeftRecursionExact:
+    """Paull elimination makes left-recursive EBNF exact on the PDA
+    (reference capability: xgrammar handles these natively)."""
+
+    SRC = (
+        'root ::= expr\n'
+        'expr ::= expr "+" term | term\n'
+        'term ::= term "*" factor | factor\n'
+        'factor ::= [0-9] | "(" expr ")"\n'
+    )
+
+    def _machine(self, src):
+        from scratchpad_tpu.constrained.leftrec import (
+            eliminate_left_recursion,
+        )
+        from scratchpad_tpu.constrained.pda import PDA
+
+        return PDA(eliminate_left_recursion(src))
+
+    def _accepts(self, p, s):
+        cfg = p.walk(p.initial_configs(), s)
+        return cfg is not None and any(
+            st in p.rules[r].accepting and f is None for r, st, f in cfg
+        )
+
+    def test_deep_chain_past_unroll_bound(self):
+        p = self._machine(self.SRC)
+        deep = "+".join("1" for _ in range(80))  # depth 80 > any unroll
+        assert self._accepts(p, deep)
+        assert self._accepts(p, "1+2*3+(4+5)*6")
+        for bad in ("1++2", "+1", "1+", "(1+2"):
+            assert not self._accepts(p, bad), bad
+
+    def test_indirect_cycle(self):
+        src = (
+            'root ::= a\n'
+            'a ::= b "x" | "z"\n'
+            'b ::= a "y" | "w"\n'
+        )
+        p = self._machine(src)
+        for good in ("z", "wx", "zyx", "wxyx", "zyxyx"):
+            assert self._accepts(p, good), good
+        for bad in ("zy", "x", "w", "zx"):
+            assert not self._accepts(p, bad), bad
+
+    def test_nullable_prefix_left_recursion(self):
+        src = 'root ::= root "a" | "b"? "c"\n'
+        p = self._machine(src)
+        for good in ("c", "bc", "ca", "bcaaa"):
+            assert self._accepts(p, good), good
+        for bad in ("a", "b", "cb"):
+            assert not self._accepts(p, bad), bad
+
+    def test_backend_routes_left_recursive_to_pda(self):
+        import numpy as np
+        from scratchpad_tpu.constrained.backend import GrammarBackend
+        from scratchpad_tpu.constrained.pda import PDAGrammar
+
+        class _Tok:
+            eos_token_id = 0
+
+            def get_vocab(self):
+                raise AttributeError
+
+            def decode(self, ids, **kw):
+                return "".join(chr(i - 1) for i in ids if 0 < i <= 256)
+
+        be = GrammarBackend(_Tok(), vocab_size=257)
+        g = be.get_grammar("ebnf", self.SRC)
+        assert isinstance(g, PDAGrammar), type(g)
+        # drive a depth-30 left chain through token masks
+        text = "+".join("7" for _ in range(30))
+        V = 257
+        for ch in text:
+            mask = np.zeros(-(-V // 32), np.uint32)
+            g.fill_vocab_bitmask(mask, V)
+            tid = ord(ch) + 1
+            assert (mask[tid // 32] >> (tid % 32)) & 1, ch
+            g.accept_token(tid)
+        mask = np.zeros(-(-V // 32), np.uint32)
+        g.fill_vocab_bitmask(mask, V)
+        assert mask[0] & 1  # eos allowed at a complete expression
