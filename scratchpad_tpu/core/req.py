@@ -89,6 +89,9 @@ class Req:
     surr_offset: int = 0
     read_offset: int = 0
     stream_sent_len: int = 0  # chars already streamed out
+    # latency-sensitive consumer: caps the fused decode window so token
+    # bursts stay interactive (scheduler._pick_decode_window)
+    stream: bool = False
 
     # logprobs
     return_logprob: bool = False

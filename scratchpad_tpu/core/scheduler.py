@@ -729,6 +729,21 @@ class Scheduler:
             return 1  # grammar FSM advances on host per token (for now)
         if any(r.sampling_params.top_logprobs > 0 for r in self.running):
             return 1  # top-logprobs fetched per step
+        # latency-sensitive streams see tokens once per window: cap the
+        # burst so inter-chunk latency stays interactive while throughput
+        # batches stay wide (reference stream_interval analogue,
+        # scratchpad/server/args.py stream_interval)
+        if any(r.stream for r in self.running):
+            w = min(w, max(self.args.stream_interval, 8))
+        # never decode past every request's remaining budget
+        rem = max(
+            (
+                r.sampling_params.max_new_tokens - len(r.output_ids)
+                for r in self.running
+            ),
+            default=w,
+        )
+        w = min(w, max(rem, 1))
         # round down to a power of two for compile-cache reuse
         k = 1
         while k * 2 <= w:

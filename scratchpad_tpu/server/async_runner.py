@@ -137,6 +137,7 @@ class AsyncEngineRunner:
         rid: Optional[str] = None,
         return_logprob: bool = False,
         image_data=None,
+        stream: bool = False,
     ):
         """Async generator yielding ("delta", str) then ("done", output)."""
         req = self.engine._make_req(
@@ -147,6 +148,7 @@ class AsyncEngineRunner:
             rid=rid,
             image_data=image_data,
         )
+        req.stream = stream
         st = _ReqState(asyncio.get_running_loop())
         self.submit_q.put((req, st))
         self._wake.set()

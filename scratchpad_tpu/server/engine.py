@@ -478,6 +478,7 @@ class Engine:
         req = self._make_req(
             prompt, input_ids, sampling_params, image_data=image_data
         )
+        req.stream = True
         self.scheduler.add_request(req)
         while not req.finished():
             events = self.scheduler.step()

@@ -341,7 +341,8 @@ class ServerApp:
         await resp.prepare(request)
         cid = None
         async for kind, payload in self.runner.generate(
-            prompt=prompts[0], input_ids=idss[0], sampling_params=sp
+            prompt=prompts[0], input_ids=idss[0], sampling_params=sp,
+            stream=True,
         ):
             if kind == "delta":
                 chunk = CompletionResponse(
@@ -568,7 +569,7 @@ class ServerApp:
                 await _send(DeltaMessage(tool_calls=[d]))
 
         async for kind, payload in self.runner.generate(
-            prompt=prompt, sampling_params=sp
+            prompt=prompt, sampling_params=sp, stream=True
         ):
             if kind == "delta":
                 if tool_parser is not None:

@@ -231,3 +231,59 @@ class TestOverlapPipeline:
         assert out.output_ids[-1] == stop_tok
         assert out.output_ids == base.output_ids[:6]
         ov.scheduler.check_memory_leak()
+
+
+class TestAdaptiveDecodeWindow:
+    """_pick_decode_window: stream cap, remaining-budget cap, admission."""
+
+    @pytest.fixture(scope="class")
+    def sched(self):
+        from scratchpad_tpu.config import ServerArgs
+        from scratchpad_tpu.config.model_config import get_preset
+        from scratchpad_tpu.core.scheduler import Scheduler
+
+        args = ServerArgs(
+            preset="tiny-debug",
+            random_weights=True,
+            dtype="float32",
+            page_size=4,
+            max_total_tokens=1024,
+            decode_window_size=64,
+        )
+        return Scheduler(get_preset("tiny-debug", dtype="float32"), args)
+
+    def _req(self, rid, max_new=100, stream=False, out=0):
+        from scratchpad_tpu.core.req import Req
+        from scratchpad_tpu.sampling.sampling_params import SamplingParams
+
+        r = Req(
+            rid=rid,
+            origin_input_ids=[1, 2, 3],
+            sampling_params=SamplingParams(
+                max_new_tokens=max_new, temperature=0.0
+            ),
+        )
+        r.stream = stream
+        r.output_ids = list(range(out))
+        return r
+
+    def test_throughput_batch_gets_full_window(self, sched):
+        sched.running = [self._req(f"a{i}") for i in range(4)]
+        sched.waiting = []
+        assert sched._pick_decode_window() == 64
+
+    def test_stream_caps_window(self, sched):
+        sched.running = [self._req("s", stream=True), self._req("b")]
+        sched.waiting = []
+        assert sched._pick_decode_window() == 8
+
+    def test_remaining_budget_caps_window(self, sched):
+        sched.running = [self._req("r", max_new=10, out=7)]
+        sched.waiting = []
+        assert sched._pick_decode_window() == 2  # rem=3 -> pow2 floor
+
+    def test_admission_pressure_caps_window(self, sched):
+        sched.running = [self._req("a")]
+        sched.waiting = [self._req("w")]
+        assert sched._pick_decode_window() == 4
+        sched.waiting = []
