@@ -1,0 +1,73 @@
+"""Quantization quality regression gate (VERDICT item 10).
+
+Real-checkpoint perplexity cannot run in this image (no weights, no
+egress), so this pins the quantization error on a FIXED synthetic setup:
+one random-seeded checkpoint, one deterministic token corpus, teacher-
+forcing perplexity via Engine.perplexity. The asserted bounds stand in
+for the reference's <=0.1 ppl-delta target (BASELINE.json) until real
+weights are available: a kernel regression that corrupts dequant math
+blows far past them (W4 round-trip error is ~1e-2 relative on logits;
+a sign/scale bug is O(1)).
+
+Recorded values live in QUALITY.md.
+"""
+
+import numpy as np
+import pytest
+
+from scratchpad_tpu.config import ServerArgs
+from scratchpad_tpu.server.engine import Engine
+
+
+def _engine(**kw):
+    args = ServerArgs(
+        preset="tiny-debug",
+        random_weights=True,
+        random_seed=7,
+        dtype="float32",
+        page_size=4,
+        max_total_tokens=2048,
+        **kw,
+    )
+    return Engine(args)
+
+
+def _corpus(n_seqs=4, n_tok=96):
+    rng = np.random.default_rng(123)
+    return [rng.integers(1, 250, n_tok).tolist() for _ in range(n_seqs)]
+
+
+def _ppl(engine, corpus):
+    import math
+
+    total_lp, total = 0.0, 0
+    for ids in corpus:
+        lps = engine.score(ids)
+        total_lp += sum(lps)
+        total += len(lps)
+    return math.exp(-total_lp / total)
+
+
+class TestQuantPplGate:
+    @pytest.fixture(scope="class")
+    def corpus(self):
+        return _corpus()
+
+    @pytest.fixture(scope="class")
+    def base_ppl(self, corpus):
+        return _ppl(_engine(), corpus)
+
+    def test_w4a16_ppl_delta(self, corpus, base_ppl):
+        ppl = _ppl(_engine(quantization="w4a16"), corpus)
+        rel = abs(ppl - base_ppl) / base_ppl
+        assert rel < 0.05, f"W4A16 ppl {ppl:.3f} vs fp {base_ppl:.3f} ({rel:.3%})"
+
+    def test_int8_kv_ppl_delta(self, corpus, base_ppl):
+        ppl = _ppl(_engine(kv_cache_dtype="int8"), corpus)
+        rel = abs(ppl - base_ppl) / base_ppl
+        assert rel < 0.02, f"int8-KV ppl {ppl:.3f} vs fp {base_ppl:.3f} ({rel:.3%})"
+
+    def test_fp8_kv_ppl_delta(self, corpus, base_ppl):
+        ppl = _ppl(_engine(kv_cache_dtype="fp8"), corpus)
+        rel = abs(ppl - base_ppl) / base_ppl
+        assert rel < 0.03, f"fp8-KV ppl {ppl:.3f} vs fp {base_ppl:.3f} ({rel:.3%})"
