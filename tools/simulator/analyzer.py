@@ -1,0 +1,271 @@
+"""Model analyzer + memory planner for the cluster simulator.
+
+The counterpart of the reference's 552-LoC ModelAnalyzer
+(reference: tools/simulator/internal/analyzer/model_analyzer.py:22 —
+per-layer OPs/memory-access/inference-time at a given batch/seqlen and
+bit-widths) plus its memory planner, rebuilt over THIS repo's real model
+presets (scratchpad_tpu/config/model_config.py) and the TPU hardware
+table, with a first-order ICI collective model for tensor parallelism.
+
+Entry points:
+  ModelAnalyzer(preset, hardware).analyze(bs, seqlen, w_bit, kv_bit)
+  plan_memory(...)   -> per-chip weight/KV budget, max tokens, max bs
+  capacity_plan(...) -> end-to-end sizing for a (model, quant, topology)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from tools.simulator.core import HARDWARE_PARAMS
+
+# ICI link bandwidth per chip, GB/s each direction (public v5e/v5p specs:
+# 4 links x ~100/200 GB/s usable aggregate per chip)
+ICI_BW = {"tpu-v5e": 400, "tpu-v5p": 1200, "tpu-v4": 600}
+# host -> device weight-load bandwidth (PCIe-ish), GB/s
+H2D_BW = 10.0
+
+
+def _preset_cfg(preset: str):
+    from scratchpad_tpu.config.model_config import get_preset
+
+    return get_preset(preset, dtype="bfloat16")
+
+
+@dataclass
+class LayerCosts:
+    """One decoder layer's per-pass numbers (one token position = decode;
+    T positions = prefill)."""
+
+    ops: float = 0.0  # MACs x2
+    load_weight: float = 0.0  # bytes
+    load_act: float = 0.0
+    store_act: float = 0.0
+    load_kv: float = 0.0
+    store_kv: float = 0.0
+
+    @property
+    def memory_access(self) -> float:
+        return (
+            self.load_weight
+            + self.load_act
+            + self.store_act
+            + self.load_kv
+            + self.store_kv
+        )
+
+
+class ModelAnalyzer:
+    """Analytic per-layer roofline over a real model preset."""
+
+    def __init__(self, preset: str, hardware: str = "tpu-v5e"):
+        self.preset = preset
+        self.cfg = _preset_cfg(preset)
+        self.hw = HARDWARE_PARAMS[hardware]
+        self.hardware = hardware
+
+    # -------------------------------------------------------------- weights
+
+    def weight_bytes(self, w_bit: int = 16) -> float:
+        c = self.cfg
+        H = c.hidden_size
+        inter = c.intermediate_size
+        Hq = c.num_attention_heads * c.head_dim
+        Hkv = c.num_kv_heads * c.head_dim
+        per_layer = H * (Hq + 2 * Hkv) + Hq * H + 3 * H * inter
+        n_experts = getattr(c, "num_local_experts", 0) or 0
+        if n_experts:
+            per_layer = H * (Hq + 2 * Hkv) + Hq * H + 3 * H * inter * n_experts
+        w = per_layer * c.num_hidden_layers * w_bit / 8
+        if w_bit < 16:  # group scales/zeros overhead ~6% at g=128
+            w *= 1.06
+        embed = c.vocab_size * H * 2  # embeddings stay bf16
+        if not getattr(c, "tie_word_embeddings", False):
+            embed *= 2
+        return w + embed
+
+    def kv_bytes_per_token(self, kv_bit: int = 16) -> float:
+        c = self.cfg
+        return 2 * c.num_hidden_layers * c.num_kv_heads * c.head_dim * kv_bit / 8
+
+    # -------------------------------------------------------------- analyze
+
+    def layer_costs(
+        self, bs: int, ctx: int, T: int, w_bit: int, kv_bit: int, a_byte: int = 2
+    ) -> LayerCosts:
+        """One decoder layer processing T new positions per request at
+        context length ctx (T=1 -> decode, T=seqlen -> prefill)."""
+        c = self.cfg
+        H = c.hidden_size
+        inter = c.intermediate_size
+        Hq = c.num_attention_heads * c.head_dim
+        Hkv = c.num_kv_heads * c.head_dim
+        n_experts = getattr(c, "num_local_experts", 0) or 0
+        topk = getattr(c, "num_experts_per_tok", 2) if n_experts else 1
+        rows = bs * T
+        lc = LayerCosts()
+        # projections
+        proj_in_out = [(H, Hq), (H, Hkv), (H, Hkv), (Hq, H)]
+        mlp_mult = topk if n_experts else 1
+        proj_in_out += [(H, inter), (H, inter), (inter, H)]
+        for i, (din, dout) in enumerate(proj_in_out):
+            mult = mlp_mult if i >= 4 else 1
+            lc.ops += 2 * rows * din * dout * mult
+            wb = din * dout * w_bit / 8
+            if i >= 4 and n_experts:
+                # MoE: weights touched = min(experts hit, all experts)
+                wb *= min(n_experts, max(topk * rows, 1)) if rows < n_experts else n_experts
+            lc.load_weight += wb
+            lc.load_act += rows * din * a_byte * mult
+            lc.store_act += rows * dout * a_byte * mult
+        # attention: scores + pv
+        lc.ops += 2 * bs * T * ctx * (Hq + Hq)
+        lc.load_kv += bs * ctx * 2 * Hkv * kv_bit / 8
+        lc.store_kv += rows * 2 * Hkv * kv_bit / 8
+        return lc
+
+    def analyze(
+        self,
+        bs: int,
+        seqlen: int,
+        w_bit: int = 16,
+        kv_bit: int = 16,
+        tp: int = 1,
+        mfu: float = 0.6,
+    ) -> dict:
+        """Prefill + decode step costs, reference ALL_DATA_NAMES equivalent
+        (OPs, memory_access, load_*, store_*, inference_time)."""
+        c = self.cfg
+        L = c.num_hidden_layers
+        out = {}
+        flops = self.hw["tflops"] * 1e12 * mfu * tp
+        bw = self.hw["bw"] * 1e9 * mfu * tp
+        ici = ICI_BW.get(self.hardware, 400) * 1e9
+        for phase, T, ctx in (
+            ("prefill", seqlen, seqlen),
+            ("decode", 1, seqlen),
+        ):
+            lc = self.layer_costs(bs, ctx, T, w_bit, kv_bit)
+            ops = lc.ops * L
+            mem = lc.memory_access * L + self.cfg.vocab_size * c.hidden_size * 2
+            t_compute = ops / flops
+            t_mem = mem / bw
+            # TP: 2 all-reduces of [bs*T, H] bf16 per layer over ICI
+            t_ici = (
+                2 * L * bs * T * c.hidden_size * 2 * 2 * (tp - 1) / tp / ici
+                if tp > 1
+                else 0.0
+            )
+            out[phase] = {
+                "OPs": ops,
+                "memory_access": mem,
+                "load_weight": lc.load_weight * L,
+                "load_act": lc.load_act * L,
+                "store_act": lc.store_act * L,
+                "load_kv_cache": lc.load_kv * L,
+                "store_kv_cache": lc.store_kv * L,
+                "ici_time": t_ici,
+                "inference_time": max(t_compute, t_mem) + t_ici,
+                "bound": "compute" if t_compute > t_mem else "memory",
+            }
+        step = out["decode"]["inference_time"]
+        out["decode_tok_s"] = bs / step if step > 0 else 0.0
+        out["prefill_tok_s"] = (
+            bs * seqlen / out["prefill"]["inference_time"]
+            if out["prefill"]["inference_time"] > 0
+            else 0.0
+        )
+        return out
+
+
+# ------------------------------------------------------------ memory plan
+
+
+@dataclass
+class MemoryPlan:
+    fits: bool
+    weight_bytes_per_chip: float
+    kv_budget_bytes_per_chip: float
+    kv_tokens_per_chip: int
+    max_running_at_ctx: int
+    notes: list = field(default_factory=list)
+
+
+def plan_memory(
+    preset: str,
+    hardware: str = "tpu-v5e",
+    w_bit: int = 16,
+    kv_bit: int = 16,
+    tp: int = 1,
+    pp: int = 1,
+    ctx: int = 4096,
+    mem_fraction: float = 0.88,
+) -> MemoryPlan:
+    """Per-chip weight/KV budget split (the reference memory planner's
+    role): weights shard over tp x pp; KV shards over tp (heads) and pp
+    (layers)."""
+    an = ModelAnalyzer(preset, hardware)
+    hbm = HARDWARE_PARAMS[hardware]["hbm"] * 1e9 * mem_fraction
+    w_chip = an.weight_bytes(w_bit) / (tp * pp)
+    kv_budget = hbm - w_chip
+    notes = []
+    if kv_budget <= 0:
+        return MemoryPlan(False, w_chip, 0, 0, 0, ["weights alone exceed HBM"])
+    kv_tok_chip = int(kv_budget / (an.kv_bytes_per_token(kv_bit) / (tp * pp)))
+    max_run = kv_tok_chip // ctx
+    if max_run == 0:
+        notes.append(f"cannot hold even one {ctx}-token request")
+    return MemoryPlan(max_run > 0, w_chip, kv_budget, kv_tok_chip, max_run, notes)
+
+
+def capacity_plan(
+    preset: str,
+    hardware: str = "tpu-v5e",
+    hosts: int = 2,
+    chips_per_host: int = 8,
+    w_bit: int = 4,
+    kv_bit: int = 8,
+    ctx: int = 4096,
+    target_bs: int = 64,
+    mfu: float = 0.6,
+) -> dict:
+    """End-to-end sizing for a deployment (BASELINE config-5 shape:
+    70B W4A16 across 2+ hosts): picks the smallest tp x pp that fits,
+    prefers tp within a host (ICI) and pp across hosts (DCN-friendly:
+    only activations cross the boundary once per stage)."""
+    total_chips = hosts * chips_per_host
+    an = ModelAnalyzer(preset, hardware)
+    chosen = None
+    # tp rides ICI and must stay within a host; pp crosses the host
+    # boundary (one activation hop per stage) — so pp >= hosts
+    for pp in [p for p in (1, 2, 4, 8, 16) if p >= hosts or hosts == 1]:
+        tp = total_chips // pp
+        if tp < 1 or tp * pp != total_chips or tp > chips_per_host:
+            continue
+        mp = plan_memory(preset, hardware, w_bit, kv_bit, tp, pp, ctx)
+        if mp.fits and mp.max_running_at_ctx * tp * pp >= 1:
+            chosen = (tp, pp, mp)
+            break
+    if chosen is None:
+        return {"fits": False, "preset": preset, "hosts": hosts}
+    tp, pp, mp = chosen
+    bs = min(target_bs, mp.max_running_at_ctx)
+    perf = an.analyze(bs, ctx, w_bit=w_bit, kv_bit=kv_bit, tp=tp, mfu=mfu)
+    return {
+        "fits": True,
+        "preset": preset,
+        "hardware": hardware,
+        "topology": {"hosts": hosts, "chips": total_chips, "tp": tp, "pp": pp},
+        "weights_gib_per_chip": round(mp.weight_bytes_per_chip / 2**30, 2),
+        "kv_tokens_per_chip": mp.kv_tokens_per_chip,
+        "max_running_at_ctx": mp.max_running_at_ctx,
+        "batch_size": bs,
+        "decode_tok_s": round(perf["decode_tok_s"], 1),
+        "decode_tok_s_per_chip": round(perf["decode_tok_s"] / total_chips, 1),
+        "decode_bound": perf["decode"]["bound"],
+        "prefill_tok_s": round(perf["prefill_tok_s"], 1),
+        "weight_load_s": round(
+            an.weight_bytes(w_bit) / (H2D_BW * 1e9 * hosts), 1
+        ),
+    }

@@ -128,6 +128,9 @@ class EngineSim:
 
     def step(self, now: float) -> float:
         """Run one scheduling iteration starting at `now`; returns end time."""
+        # a pending blocking operation (e.g. a fleet reprovision weight
+        # reload) pushes the start of this iteration
+        now = max(now, self.busy_until)
         # admission (fcfs, whole-prompt or chunk)
         budget = self.cfg.chunked_prefill_size
         prefill_batch = []
