@@ -71,6 +71,9 @@ class ForwardMeta:
     # and write into that slot
     cross_slots: Optional[jax.Array] = None  # i32[B]
     cross_states: Optional[jax.Array] = None  # f32[B, S_img, H]
+    # SP ring prefill: static bucket for the cached-prefix K/V gather
+    # (0 = no cached prefix); the valid length is positions[0] at runtime
+    sp_prefix_bucket: int = 0
     # embedding mode: models return pooled last-token hidden instead of logits
     capture_hidden: bool = False
     # scoring mode: models return the full [T, H] hidden sequence
@@ -108,5 +111,10 @@ jax.tree_util.register_dataclass(
         "cross_slots",
         "cross_states",
     ],
-    meta_fields=["mode", "capture_hidden", "capture_all_hidden"],
+    meta_fields=[
+        "mode",
+        "sp_prefix_bucket",
+        "capture_hidden",
+        "capture_all_hidden",
+    ],
 )

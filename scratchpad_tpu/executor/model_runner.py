@@ -457,7 +457,7 @@ class ModelRunner:
         )
         self._jit_packed_extend = jax.jit(
             self._packed_extend_impl,
-            static_argnames=("T", "B", "P", "use_sp"),
+            static_argnames=("T", "B", "P", "use_sp", "sp_prefix"),
             donate_argnames=("kv",),
         )
         self._jit_packed_decode = jax.jit(
@@ -492,8 +492,6 @@ class ModelRunner:
             and self.sp_size > 1
             and not cfg.is_mla
             and not getattr(self.model, "has_cross_attention", False)
-            and not cfg.attn_logit_softcap
-            and not cfg.sliding_window
             and self.args.kv_cache_dtype not in ("int8", "fp8")
         ):
             from scratchpad_tpu.parallel import make_sp_extend_attention
@@ -693,8 +691,10 @@ class ModelRunner:
         )
 
     def _packed_extend_impl(self, params, kv, ints, floats, key, T, B, P,
-                            use_sp=False):
+                            use_sp=False, sp_prefix=0):
         meta, sinfo = self._unpack(ints, floats, T, B, P, ForwardMode.EXTEND)
+        if sp_prefix:
+            meta = dataclasses.replace(meta, sp_prefix_bucket=sp_prefix)
         step_key = jax.random.fold_in(key, ints[-1])
         if use_sp:
             # trace-time swap: this jit variant's extend attention is the
@@ -806,10 +806,11 @@ class ModelRunner:
             )
         T, B, P = self._bucket_dims(wb)
         use_sp = self._sp_extend_ok(wb, T)
+        sp_prefix = self._sp_prefix_bucket(wb) if use_sp else 0
         ints, floats = self._pack_host(wb, T, B, P)
         self.kv_cache, out = self._jit_packed_extend(
             self.params, self.kv_cache, ints, floats, self._base_key, T, B, P,
-            use_sp=use_sp,
+            use_sp=use_sp, sp_prefix=sp_prefix,
         )
         host = np.asarray(out)  # ONE fetch
         ids = host[0, 0, :B_real]
@@ -817,16 +818,34 @@ class ModelRunner:
 
     def _sp_extend_ok(self, wb: WorkerBatch, T_bucket: int) -> bool:
         """Route this extend through sequence-parallel ring attention?
-        Scope: ONE fresh request (no cached prefix), long enough to matter,
-        padded T divisible by the sp axis (parallel/sp.py constraints)."""
-        return (
-            self.sp_prefill_tokens > 0
-            and len(wb.seq_lens) == 1
-            and int(wb.positions[0]) == 0
-            and int(wb.extend_lens[0]) == int(wb.seq_lens[0])
-            and len(wb.tokens) > self.args.chunked_prefill_size
-            and T_bucket % self.sp_size == 0
+        Scope (parallel/sp.py): several FRESH requests per batch (block-
+        diagonal ring masks), or ONE request with a cached radix prefix;
+        long enough to matter; padded T divisible by the sp axis."""
+        if self.sp_prefill_tokens <= 0:
+            return False
+        if len(wb.tokens) <= self.args.chunked_prefill_size:
+            return False
+        if T_bucket % self.sp_size != 0:
+            return False
+        B = len(wb.seq_lens)
+        fresh = all(
+            int(wb.extend_lens[i]) == int(wb.seq_lens[i]) for i in range(B)
         )
+        if fresh:
+            return True
+        # cached prefix: single request only (the replicated prefix block
+        # is gathered for request 0)
+        return B == 1
+
+    def _sp_prefix_bucket(self, wb: WorkerBatch) -> int:
+        """Static gather size covering request 0's cached prefix."""
+        c = int(wb.seq_lens[0]) - int(wb.extend_lens[0])
+        if len(wb.seq_lens) > 1 or c <= 0:
+            return 0
+        b = 64
+        while b < c:
+            b *= 2
+        return b
 
     def run_decode_window(self, wb: WorkerBatch, num_steps: int):
         """K fused decode steps; returns (ids[K, B_real], logprobs[K, B_real],

@@ -28,7 +28,15 @@ from scratchpad_tpu.ops.attention.ring import sp_ring_attention
 
 
 def make_sp_extend_attention(mesh: Mesh, axis: str = "sp"):
-    """Ring-attention adapter matching the model attention signature."""
+    """Ring-attention adapter matching the model attention signature.
+
+    Round-2 scope (VERDICT item 7): several fresh requests per SP batch
+    (block-diagonal masks from meta.req_indices/positions), a cached
+    radix prefix for single-request batches (prefix K/V gathered from the
+    paged cache into a replicated block, sized by the static
+    meta.sp_prefix_bucket), and softcap / sliding-window models."""
+
+    import jax.numpy as jnp
 
     def attend(
         q,
@@ -40,16 +48,51 @@ def make_sp_extend_attention(mesh: Mesh, axis: str = "sp"):
         logit_cap=None,
         sliding_window=None,
     ):
-        assert not logit_cap and sliding_window is None, (
-            "sp prefill: softcap/sliding-window not supported yet"
-        )
         D = q.shape[-1]
         ps = kv_c.kv.shape[1]
         rows = layer_idx * kv_c.slots_per_layer + meta.out_cache_loc
         g = kv_c.kv[rows // ps, rows % ps, :, :D]  # [T, 2Hkv, D] token order
         k = g[:, 0::2, :].astype(q.dtype)
         v = g[:, 1::2, :].astype(q.dtype)
-        return sp_ring_attention(mesh, q, k, v, sm_scale, axis)
+        pk = pv = plen = None
+        Cp = meta.sp_prefix_bucket
+        if Cp:
+            # cached prefix (request 0): token slots for positions < C
+            pos = jnp.arange(Cp, dtype=jnp.int32)
+            loc = (
+                meta.page_table[0, pos // page_size] * page_size
+                + pos % page_size
+            )
+            prow = layer_idx * kv_c.slots_per_layer + loc
+            gp = kv_c.kv[prow // ps, prow % ps, :, :D]
+            pk = gp[:, 0::2, :].astype(q.dtype)
+            pv = gp[:, 1::2, :].astype(q.dtype)
+            plen = meta.positions[0]
+        # bucket-padding rows are packed with req_idx = B-1 (in-bounds for
+        # per-request gathers) — give them unique NEGATIVE ids so they can
+        # never alias a real request in the block-diagonal mask
+        T = q.shape[0]
+        valid = jnp.arange(T, dtype=jnp.int32) < jnp.sum(meta.extend_lens)
+        ring_req = jnp.where(
+            valid,
+            meta.req_indices.astype(jnp.int32),
+            -1 - jnp.arange(T, dtype=jnp.int32),
+        )
+        return sp_ring_attention(
+            mesh,
+            q,
+            k,
+            v,
+            sm_scale,
+            axis,
+            positions=meta.positions,
+            req_ids=ring_req,
+            prefix_k=pk,
+            prefix_v=pv,
+            prefix_len=plen,
+            logit_cap=logit_cap,
+            sliding_window=sliding_window,
+        )
 
     return attend
 
