@@ -71,6 +71,36 @@ def _chat(args: argparse.Namespace) -> None:
         history.append({"role": "assistant", "content": text})
 
 
+class _HttpScorer:
+    """engine.score()-compatible scorer over /v1/completions echo+logprobs."""
+
+    def __init__(self, base_url: str):
+        self.base_url = base_url.rstrip("/")
+
+    def score(self, input_ids):
+        import json as _json
+        import urllib.request
+
+        body = _json.dumps(
+            {
+                "model": "model",
+                "prompt": [list(map(int, input_ids))],
+                "max_tokens": 0,
+                "echo": True,
+                "logprobs": 1,
+            }
+        ).encode()
+        req = urllib.request.Request(
+            f"{self.base_url}/v1/completions",
+            data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            out = _json.loads(resp.read())
+        lps = out["choices"][0]["logprobs"]["token_logprobs"]
+        return [float(x) for x in lps if x is not None]
+
+
 def _eval(args: argparse.Namespace) -> None:
     """Offline model evaluation (reference: `sp benchmark` wraps lm-eval over
     HTTP, cli/sp.py:59-68; this subcommand evaluates in-process and needs no
@@ -97,8 +127,15 @@ def _eval(args: argparse.Namespace) -> None:
             "--model local-completions pointing at the server"
         )
 
-    engine = Engine(ServerArgs.from_cli_args(args))
-    tok = engine.tokenizer
+    if args.base_url:
+        # HTTP mode: score through a running server's echo+logprobs
+        # completions (the reference lm-eval passthrough shape,
+        # reference: cli/sp.py:59-68) — no local engine needed
+        engine = _HttpScorer(args.base_url)
+        tok = None
+    else:
+        engine = Engine(ServerArgs.from_cli_args(args))
+        tok = engine.tokenizer
     rows = []
     with open(args.eval_data) as f:
         for line in f:
@@ -168,6 +205,12 @@ def main() -> None:
     pe.add_argument("--eval-data", help="JSONL: {'text'} or {'context','choices','label'}")
     pe.add_argument("--limit", type=int, default=0)
     pe.add_argument("--lm-eval", default=None, help="lm-eval task name (if installed)")
+    pe.add_argument(
+        "--base-url",
+        default=None,
+        help="score via a running server's echo+logprobs completions "
+        "instead of a local engine (lm-eval passthrough shape)",
+    )
     pe.set_defaults(func=_eval)
     sub.add_parser("version").set_defaults(func=_version)
     ns = parser.parse_args()

@@ -61,6 +61,11 @@ class Req:
     is_embedding: bool = False
     embedding: Any = None
 
+    # scoring request: teacher-forcing prompt logprobs (echo+logprobs /
+    # lm-eval loglikelihood); finishes without generating
+    is_score: bool = False
+    prompt_logprobs: Any = None
+
     # multimodal: prompt positions holding image-placeholder pseudo ids
     # (negative, content-hashed) and their precomputed embeddings [n, H]
     mm_positions: Optional[np.ndarray] = None

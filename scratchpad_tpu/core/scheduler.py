@@ -220,6 +220,14 @@ class Scheduler:
             return self._step_pipelined()
         self._sweep_external_finishes()
 
+        # teacher-forcing scoring requests (echo+logprobs / lm-eval
+        # loglikelihood primitive) run exclusively on an idle engine
+        if not self.running and self.chunked_req is None:
+            score = next((r for r in self.waiting if r.is_score), None)
+            if score is not None:
+                self.waiting.remove(score)
+                return self._run_score_req(score)
+
         batch, mode, chunk_lens = self._get_next_batch()
         if batch is None:
             return []
@@ -775,7 +783,12 @@ class Scheduler:
         # embedding requests run in exclusive batches (their jitted step
         # returns hidden states, not sampled tokens)
         embed_waiting = [r for r in self.waiting if r.is_embedding]
-        candidates = embed_waiting if embed_waiting else self.waiting
+        # scoring requests never join normal batches (exclusive step())
+        candidates = embed_waiting or [
+            r for r in self.waiting if not r.is_score
+        ]
+        if not candidates:
+            return None
         self.policy.calc_priority(candidates)
         # sequence-parallel prefill budget: fresh prompts up to this length
         # run unchunked (the runner shards the token axis over "sp")
@@ -1219,6 +1232,49 @@ class Scheduler:
                     self.running.append(req)
                 events.append(StepEvent(req, new_tokens, False))
         return events
+
+    def _run_score_req(self, req) -> list:
+        """Exclusive teacher-forcing pass over one prompt: per-position
+        next-token logprobs (reference quality-gate primitive: served
+        prompt logprobs for lm-eval loops, cli/sp.py:59-68). Pages are
+        borrowed and freed; nothing enters the radix cache."""
+        from scratchpad_tpu.executor.model_runner import WorkerBatch
+        from scratchpad_tpu.sampling.batch_info import SamplingBatchInfo
+
+        ids = req.origin_input_ids
+        n = len(ids)
+        ps = self.page_size
+        pages = self._alloc_pages(-(-n // ps))
+        if pages is None:
+            req.finished_reason = FinishReason.ABORT
+            return [StepEvent(req, [], True)]
+        try:
+            pos = np.arange(n)
+            loc = (pages[pos // ps] * ps + pos % ps).astype(np.int32)
+            sinfo = SamplingBatchInfo(
+                temperature=np.zeros(1, np.float32),
+                top_p=np.ones(1, np.float32),
+                top_k=np.full(1, self.model_config.vocab_size, np.int32),
+                min_p=np.zeros(1, np.float32),
+            )
+            wb = WorkerBatch(
+                mode=ForwardMode.EXTEND,
+                tokens=np.asarray(ids, np.int32),
+                positions=pos.astype(np.int32),
+                out_cache_loc=loc,
+                req_indices=np.zeros(n, np.int32),
+                page_table=pages[None, :].astype(np.int32),
+                seq_lens=np.array([n], np.int32),
+                extend_lens=np.array([n], np.int32),
+                sampling_info=sinfo,
+            )
+            lps = self.runner.run_score(wb)
+        finally:
+            self.allocator.free(pages)
+        # position t holds the logprob of token t+1; the last has no target
+        req.prompt_logprobs = [float(x) for x in lps[: n - 1]]
+        req.finished_reason = FinishReason.LENGTH
+        return [StepEvent(req, [], True)]
 
     def _process_embed_result(self, batch, chunk_lens, emb):
         events: list[StepEvent] = []

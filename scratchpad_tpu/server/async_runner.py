@@ -104,6 +104,10 @@ class AsyncEngineRunner:
                         st.push(("done", req.embedding))
                         del self.states[req.rid]
                         continue
+                    if req.is_score:
+                        st.push(("done", req.prompt_logprobs))
+                        del self.states[req.rid]
+                        continue
                     out = self.engine._to_output(req)
                     if len(req.decoded_text) > req.stream_sent_len:
                         st.push(
@@ -162,6 +166,25 @@ class AsyncEngineRunner:
             if not req.finished():
                 self.engine.scheduler.abort_request(req.rid)
                 self.states.pop(req.rid, None)
+
+    async def score(self, input_ids: list[int]):
+        """Teacher-forcing prompt logprobs through the scheduler thread
+        (the echo+logprobs / lm-eval loglikelihood primitive)."""
+        from scratchpad_tpu.sampling.sampling_params import SamplingParams
+
+        req = self.engine._make_req(
+            None, input_ids, SamplingParams(max_new_tokens=0)
+        )
+        req.is_score = True
+        st = _ReqState(asyncio.get_running_loop())
+        self.submit_q.put((req, st))
+        self._wake.set()
+        while True:
+            kind, payload = await st.q.get()
+            if kind == "error":
+                raise RuntimeError(payload)
+            if kind == "done":
+                return payload
 
     async def encode(
         self,

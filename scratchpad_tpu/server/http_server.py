@@ -313,16 +313,39 @@ class ServerApp:
                 for _ in range(creq.n)
             ]
         )
+        # echo + logprobs: prompt-token logprobs via a teacher-forcing
+        # scoring pass (the lm-eval loglikelihood primitive; reference
+        # quality loop: cli/sp.py:59-68 drives served prompt logprobs)
+        prompt_lps = [None] * len(prompts)
+        if creq.echo and creq.logprobs is not None:
+            tok = self.engine.tokenizer
+            all_ids = [
+                i if i is not None else tok.encode(p)
+                for p, i in zip(prompts, idss)
+            ]
+            prompt_lps = await asyncio.gather(
+                *[self.runner.score(ids) for ids in all_ids]
+            )
+            idss = all_ids
         for idx, out in enumerate(outs):
             text = out.text
-            if creq.echo and prompts[idx // creq.n] is not None:
-                text = prompts[idx // creq.n] + text
+            pidx = idx // creq.n
+            if creq.echo and prompts[pidx] is not None:
+                text = prompts[pidx] + text
+            lp = self._logprobs_block(out, creq.logprobs)
+            if lp is not None and prompt_lps[pidx] is not None:
+                ids = idss[pidx]
+                # the first prompt token has no conditional logprob
+                lp["token_logprobs"] = (
+                    [None] + prompt_lps[pidx] + lp["token_logprobs"]
+                )
+                lp["tokens"] = [str(t) for t in ids] + lp["tokens"]
             choices.append(
                 CompletionChoice(
                     index=idx,
                     text=text,
                     finish_reason=out.finish_reason,
-                    logprobs=self._logprobs_block(out, creq.logprobs),
+                    logprobs=lp,
                 )
             )
             usage.prompt_tokens += out.prompt_tokens
@@ -383,10 +406,10 @@ class ServerApp:
         return [prompt or ""], [None]
 
     def _logprobs_block(self, out: GenerationOutput, want: Optional[int]):
-        if want is None or out.output_token_logprobs is None:
+        if want is None:
             return None
         return {
-            "token_logprobs": out.output_token_logprobs,
+            "token_logprobs": list(out.output_token_logprobs or []),
             "top_logprobs": None,
             "tokens": [str(t) for t in out.output_ids],
             "text_offset": [],

@@ -217,3 +217,87 @@ class TestServer:
         results = [json.loads(x) for x in out.text.strip().splitlines()]
         assert {r["custom_id"] for r in results} == {"r0", "r1", "r2"}
         assert all(r["response"]["status_code"] == 200 for r in results)
+
+
+class TestEchoPromptLogprobs:
+    """echo + logprobs returns prompt-token logprobs (the lm-eval
+    loglikelihood primitive served over HTTP)."""
+
+    def test_echo_scoring(self, server):
+        ids = [5, 6, 7, 8, 9, 10]
+        r = httpx.post(
+            f"{server}/v1/completions",
+            json={
+                "model": "tiny",
+                "prompt": [ids],
+                "max_tokens": 0,
+                "temperature": 0.0,
+                "echo": True,
+                "logprobs": 1,
+            },
+            timeout=120,
+        )
+        assert r.status_code == 200, r.text
+        lp = r.json()["choices"][0]["logprobs"]
+        assert lp["token_logprobs"][0] is None
+        vals = lp["token_logprobs"][1:]
+        assert len(vals) == len(ids) - 1
+        assert all(isinstance(v, float) and v <= 0.0 for v in vals)
+        assert lp["tokens"][: len(ids)] == [str(t) for t in ids]
+
+    def test_echo_scoring_with_generation(self, server):
+        ids = [5, 6, 7, 8]
+        r = httpx.post(
+            f"{server}/v1/completions",
+            json={
+                "model": "tiny",
+                "prompt": [ids],
+                "max_tokens": 3,
+                "temperature": 0.0,
+                "ignore_eos": True,
+                "echo": True,
+                "logprobs": 1,
+            },
+            timeout=120,
+        )
+        assert r.status_code == 200, r.text
+        lp = r.json()["choices"][0]["logprobs"]
+        # [None, 3 prompt lps, 3 output lps]
+        assert len(lp["token_logprobs"]) == 1 + 3 + 3
+        assert len(lp["tokens"]) == 4 + 3
+
+    def test_scoring_under_load(self, server):
+        """Scoring requests interleave with generation without deadlock."""
+        import concurrent.futures as cf
+
+        def gen():
+            return httpx.post(
+                f"{server}/v1/completions",
+                json={
+                    "model": "tiny",
+                    "prompt": [[1, 2, 3, 4, 5]],
+                    "max_tokens": 8,
+                    "temperature": 0.0,
+                    "ignore_eos": True,
+                },
+                timeout=120,
+            ).status_code
+
+        def score():
+            return httpx.post(
+                f"{server}/v1/completions",
+                json={
+                    "model": "tiny",
+                    "prompt": [[7, 8, 9, 10]],
+                    "max_tokens": 0,
+                    "echo": True,
+                    "logprobs": 1,
+                },
+                timeout=120,
+            ).status_code
+
+        with cf.ThreadPoolExecutor(8) as ex:
+            futs = [ex.submit(gen) for _ in range(4)] + [
+                ex.submit(score) for _ in range(4)
+            ]
+            assert all(f.result() == 200 for f in futs)
