@@ -121,6 +121,16 @@ class ServerArgs:
     # (each device owns whole experts; one psum combines) instead of
     # sharding every expert's ffw dim
     enable_ep: bool = False
+    # DP attention: on dp x tp meshes, attention weights and the KV pool
+    # stay UNSHARDED (full kv heads on every device) and attention token
+    # rows shard over BOTH axes (dp, tp), while the MLP stays
+    # tensor-parallel over tp — XLA inserts the row gather at the
+    # attention/MLP boundary. Wins when num_kv_heads < tp_size (wide-TP GQA,
+    # MLA where the single latent head cannot shard at all). The reference
+    # has the flag + batch plumbing but no execution path
+    # (reference: server/args.py:68 enable_dp_attention,
+    # model_executor/forward_info.py:221-237 gathered_buffer).
+    enable_dp_attention: bool = False
 
     # pre-compile the decode bucket ladder at server startup (reference:
     # init_cuda_graphs captures CUDA graphs before serving); disable for

@@ -264,6 +264,33 @@ class ModelRunner:
         # else: keep the XLA reference backend
         self.attention_backend = backend
 
+        # DP attention (reference: flag + batch plumbing only,
+        # scratchpad/server/args.py:68, forward_info.py:221-237 — no
+        # execution path in-tree; this executes): on dp x tp meshes keep
+        # attention weights + the KV pool replicated (full kv heads per
+        # device) and shard attention token rows over BOTH axes; the model
+        # pins the residual stream back to dp rows so the MLP stays
+        # tensor-parallel. Needs the auto-partitioned XLA backend (the
+        # shard_map kernel wrappers assume head-sharded KV) and a model that
+        # declares its attention params (ATTN_PARAM_KEYS).
+        self.dp_attention = bool(
+            self.args.enable_dp_attention
+            and mesh is not None
+            and mesh.shape.get("dp", 1) > 1
+            and mesh.shape.get("tp", 1) > 1
+            and self.pp_size == 1
+            and backend == "xla"
+            and hasattr(type(self.model), "ATTN_PARAM_KEYS")
+            and self.args.quantization is None
+        )
+        if self.args.enable_dp_attention and not self.dp_attention:
+            logger.warning(
+                "enable_dp_attention ignored: needs a dp>1 x tp>1 mesh, the "
+                "XLA attention backend, unquantized weights, and a model "
+                "with ATTN_PARAM_KEYS"
+            )
+        self.model.dp_attention = self.dp_attention
+
         # ---- parameters
         t0 = time.monotonic()
         if params is not None:
@@ -350,6 +377,14 @@ class ModelRunner:
                 )
             elif mesh is not None:
                 specs = self.model.param_specs()
+                if self.dp_attention:
+                    from scratchpad_tpu.models.common import (
+                        dp_attention_respec,
+                    )
+
+                    specs = dp_attention_respec(
+                        specs, type(self.model).ATTN_PARAM_KEYS
+                    )
                 if "layers_q" in self.params:
                     if self.args.quantization == "fp8":
                         from scratchpad_tpu.ops.quant.fp8 import fp8_param_specs
@@ -422,7 +457,9 @@ class ModelRunner:
             mla=cfg.is_mla,
             **cross_kw,
         )
-        self.kv_cache = create_kv_cache(self.kv_config, mesh)
+        self.kv_cache = create_kv_cache(
+            self.kv_config, mesh, tp_axis=None if self.dp_attention else "tp"
+        )
 
         # ---- allocators (page 0 reserved as the padding dump page)
         self.page_allocator = PageAllocator(num_pages, self.page_size)
@@ -1486,7 +1523,11 @@ class ModelRunner:
         self.kv_config = dataclasses.replace(
             self.kv_config, num_pages=new_pages
         )
-        self.kv_cache = create_kv_cache(self.kv_config, self.mesh)
+        self.kv_cache = create_kv_cache(
+            self.kv_config,
+            self.mesh,
+            tp_axis=None if self.dp_attention else "tp",
+        )
         self.page_allocator = PageAllocator(new_pages, ps)
         dump = self.page_allocator.alloc(1)
         assert dump is not None and dump[0] == 0

@@ -113,8 +113,12 @@ jax.tree_util.register_dataclass(
 
 
 def create_kv_cache(
-    cfg: KVCacheConfig, mesh: Optional[Mesh] = None, tp_axis: str = "tp"
+    cfg: KVCacheConfig,
+    mesh: Optional[Mesh] = None,
+    tp_axis: Optional[str] = "tp",
 ) -> KVCache:
+    """``tp_axis=None`` keeps the head axis unsharded (DP attention: every
+    device attends its own token rows with full kv heads)."""
     shape = (
         cfg.total_pages,
         cfg.page_size,
@@ -128,7 +132,9 @@ def create_kv_cache(
         # (MQA-style: every tp shard attends the full latent). Meshes
         # without a tp axis (e.g. sp-only) replicate too.
         head_spec = (
-            None if (cfg.mla or tp_axis not in mesh.axis_names) else tp_axis
+            None
+            if (cfg.mla or tp_axis is None or tp_axis not in mesh.axis_names)
+            else tp_axis
         )
         # pipeline parallelism: the layer-major global page axis shards
         # exactly into per-stage layer blocks (parallel/pp.py)

@@ -13,6 +13,40 @@ import jax
 import jax.numpy as jnp
 
 
+def dp_attention_respec(specs: dict, attn_keys: frozenset) -> dict:
+    """Replicate attention weights for DP attention.
+
+    Rewrites every ``layers*`` group's attention-parameter specs to
+    all-``None`` (fully replicated) so each device attends over its own
+    token rows with FULL kv heads; MLP/router specs keep their tp sharding.
+    (Reference analogue: enable_dp_attention flag, scratchpad/server/args.py:68
+    — plumbing only there; this is the executing version.)
+    """
+    from jax.sharding import PartitionSpec as P
+
+    for gname, group in specs.items():
+        if not gname.startswith("layers") or not isinstance(group, dict):
+            continue
+        for name, spec in group.items():
+            if name in attn_keys:
+                group[name] = P(*([None] * len(spec)))
+    return specs
+
+
+def shard_rows(x, mesh, axes):
+    """Constrain the leading (token) dim of ``x`` over ``axes`` of ``mesh``.
+
+    No-op when mesh is None. Used by DP attention to pin attention
+    computation to (dp, tp)-sharded rows and the residual stream to
+    dp-sharded rows; XLA materialises the boundary collectives."""
+    if mesh is None or x is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P(axes, *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     """RMSNorm (reference: scratchpad/nn/layers/layernorm.py:12)."""
     dtype = x.dtype

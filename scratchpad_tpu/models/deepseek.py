@@ -35,6 +35,7 @@ from scratchpad_tpu.models.common import (
     apply_rope_interleaved,
     compute_inv_freq,
     rms_norm,
+    shard_rows,
     silu_mul,
 )
 from scratchpad_tpu.ops.attention.mla_backend import (
@@ -63,6 +64,12 @@ def _yarn_rope_scale(rs: Optional[dict]) -> float:
 class DeepseekV2ForCausalLM:
     page_size: int = 16
     supports_pallas_attention = False  # MLA uses its own latent backend
+    # DP attention: per-layer params that replicate when attention runs
+    # data-parallel (models/common.py dp_attention_respec)
+    ATTN_PARAM_KEYS = frozenset(
+        {"wq", "wq_a", "q_norm", "wq_b", "wkv_a", "kv_norm", "w_uk", "w_uv", "wo"}
+    )
+    dp_attention: bool = False
     # V3 routing: sigmoid scores + per-expert correction bias ("noaux_tc",
     # HF DeepseekV3TopkRouter). Class attr on V2 so a V2-architecture config
     # carrying topk_method="noaux_tc" also routes correctly.
@@ -357,7 +364,11 @@ class DeepseekV2ForCausalLM:
             ]
         else:
             q = h @ lp["wq"]
-        q = q.reshape(T, Hq, dn + dr)
+        # DP attention: the single latent kv "head" cannot shard over tp, so
+        # replicated attention weights + (dp, tp)-sharded rows is the only
+        # way tp devices help with attention at all for MLA
+        dpa_mesh = self.mesh if getattr(self, "dp_attention", False) else None
+        q = shard_rows(q.reshape(T, Hq, dn + dr), dpa_mesh, ("dp", "tp"))
         q_nope, q_rope = q[..., :dn], q[..., dn:]
         q_rope = apply_rope_interleaved(
             q_rope, meta.positions, inv_freq, self.rope_scale
@@ -381,8 +392,15 @@ class DeepseekV2ForCausalLM:
             q_lat, q_rope, kv_c, lidx, meta,
             page_size=self.page_size, sm_scale=self.sm_scale,
         )
-        attn = jnp.einsum("thr,hrv->thv", out_lat, lp["w_uv"])
-        return x + attn.reshape(T, Hq * dv) @ lp["wo"], kv_c
+        attn = shard_rows(
+            jnp.einsum("thr,hrv->thv", out_lat, lp["w_uv"]),
+            dpa_mesh,
+            ("dp", "tp"),
+        )
+        out = x + attn.reshape(T, Hq * dv) @ lp["wo"]
+        # row gather at the attention/MoE boundary: back to dp rows so the
+        # experts run tensor-parallel over tp
+        return shard_rows(out, dpa_mesh, "dp"), kv_c
 
     def _moe(self, h: jax.Array, lp: dict) -> jax.Array:
         cfg = self.cfg

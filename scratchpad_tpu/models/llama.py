@@ -27,6 +27,7 @@ from scratchpad_tpu.models.common import (
     apply_rope,
     compute_inv_freq,
     rms_norm,
+    shard_rows,
     silu_mul,
 )
 from scratchpad_tpu.ops.attention import (
@@ -273,6 +274,12 @@ class LlamaForCausalLM:
         else:
             attend = self.extend_attention
 
+        # DP attention (set by the executor on dp x tp meshes with
+        # enable_dp_attention): attention weights/KV are replicated, so pin
+        # attention rows over BOTH mesh axes and the residual stream back to
+        # dp rows for the tensor-parallel MLP
+        dpa_mesh = self.mesh if getattr(self, "dp_attention", False) else None
+
         # quantized weights are captured (not scan-sliced): the Pallas W4
         # kernel indexes the layer via a prefetched BlockSpec so no
         # per-layer dynamic-slice copy ever materialises
@@ -313,9 +320,9 @@ class LlamaForCausalLM:
                 q = q + lp["bq"]
                 kn = kn + lp["bk"]
                 vn = vn + lp["bv"]
-            q = q.reshape(T, Hq, D)
-            kn = kn.reshape(T, Hkv, D)
-            vn = vn.reshape(T, Hkv, D)
+            q = shard_rows(q.reshape(T, Hq, D), dpa_mesh, ("dp", "tp"))
+            kn = shard_rows(kn.reshape(T, Hkv, D), dpa_mesh, ("dp", "tp"))
+            vn = shard_rows(vn.reshape(T, Hkv, D), dpa_mesh, ("dp", "tp"))
             if cfg.use_qk_norm:
                 q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
                 kn = rms_norm(kn, lp["k_norm"], cfg.rms_norm_eps)
@@ -346,7 +353,11 @@ class LlamaForCausalLM:
                 # models (Gemma, GPT-OSS) have their own forwards
                 sliding_window=cfg.sliding_window,
             )
+            attn = shard_rows(attn, dpa_mesh, ("dp", "tp"))
             x = x + lin(attn.reshape(T, Hq * D), lp, "wo", lidx)
+            # row gather at the attention/MLP boundary: back to dp-sharded
+            # rows so gate/up/down run tensor-parallel over tp
+            x = shard_rows(x, dpa_mesh, "dp")
             h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
             x = x + lin(
                 silu_mul(lin(h2, lp, "gate", lidx), lin(h2, lp, "up", lidx)),
@@ -365,6 +376,12 @@ class LlamaForCausalLM:
 
     # set by the executor before jit (page size is static per engine)
     page_size: int = 16
+    # DP attention (models/common.py dp_attention_respec): the per-layer
+    # params that must replicate when attention runs data-parallel
+    ATTN_PARAM_KEYS = frozenset(
+        {"wq", "wk", "wv", "wo", "bq", "bk", "bv", "q_norm", "k_norm"}
+    )
+    dp_attention: bool = False
     # pipeline parallelism: set by the executor when the mesh has a "pp"
     # axis (parallel/pp.py pp_call takes over __call__)
     pp_mesh = None
