@@ -223,6 +223,48 @@ PRESETS: dict[str, dict[str, Any]] = {
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
         head_dim=32, max_position_embeddings=1024, rope_theta=10000.0,
     ),
+    # GPT-OSS-20B geometry (random weights): sinks + alternating 128-wide
+    # sliding / full layers; exercises the gqa_xla dynamic-mask decode
+    "gpt-oss-20b": dict(
+        architecture="GptOssForCausalLM",
+        vocab_size=201088, hidden_size=2880, intermediate_size=2880,
+        num_hidden_layers=24, num_attention_heads=64, num_key_value_heads=8,
+        head_dim=64, num_experts=32, num_experts_per_tok=4,
+        sliding_window=128, max_position_embeddings=131072,
+        rms_norm_eps=1e-5, rope_theta=150000.0, attention_bias=True,
+        rope_scaling={"rope_type": "yarn", "factor": 32.0,
+                      "original_max_position_embeddings": 4096,
+                      "beta_fast": 32.0, "beta_slow": 1.0},
+    ),
+    # Gemma-2-2B geometry (random weights): alternating 4096-wide sliding /
+    # full layers with logit softcaps
+    "gemma-2-2b": dict(
+        architecture="Gemma2ForCausalLM",
+        vocab_size=256000, hidden_size=2304, intermediate_size=9216,
+        num_hidden_layers=26, num_attention_heads=8, num_key_value_heads=4,
+        head_dim=256, max_position_embeddings=8192, rms_norm_eps=1e-6,
+        rope_theta=10000.0, query_pre_attn_scalar=256, sliding_window=4096,
+        attn_logit_softcap=50.0, logit_softcap=30.0,
+        tie_word_embeddings=True,
+    ),
+    "tiny-gpt-oss": dict(
+        architecture="GptOssForCausalLM",
+        vocab_size=512, hidden_size=128, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, num_experts=4, num_experts_per_tok=2, sliding_window=8,
+        layer_types=["sliding_attention", "full_attention"],
+        attention_bias=True, max_position_embeddings=1024,
+        rms_norm_eps=1e-5,
+    ),
+    "tiny-gemma2": dict(
+        architecture="Gemma2ForCausalLM",
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=1024, rms_norm_eps=1e-5,
+        rope_theta=10000.0, query_pre_attn_scalar=32, sliding_window=16,
+        attn_logit_softcap=50.0, logit_softcap=30.0,
+        tie_word_embeddings=True,
+    ),
 }
 
 

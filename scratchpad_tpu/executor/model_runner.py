@@ -262,6 +262,31 @@ class ModelRunner:
             self.model.decode_attention = make_decode_attention_gqa_tp(mesh)
             self.model.extend_attention = make_attention_ragged_tp(mesh)
         # else: keep the XLA reference backend
+
+        # hybrid decode: models whose masks vary per layer (Gemma window
+        # alternation, GPT-OSS sinks, Llama-4 chunking) keep the masked XLA
+        # extend but decode through the gqa kernel's dynamic-mask path
+        # (traced per-layer window, in-kernel sinks, chunk masks — plus
+        # whole-chunk skipping below the window start)
+        if (
+            backend == "xla"
+            and self.args.attention_backend in ("auto", "gqa")
+            # on CPU the kernel runs in interpret mode; only an explicit
+            # backend=gqa opts in (tests) — auto keeps the pure XLA path
+            and (
+                jax.default_backend() != "cpu"
+                or self.args.attention_backend == "gqa"
+            )
+            and mesh is None
+            and not cfg.is_mla
+            and getattr(self.model, "dynamic_mask_decode", False)
+        ):
+            from scratchpad_tpu.ops.attention.gqa_decode import (
+                decode_attention_gqa,
+            )
+
+            self.model.decode_attention = decode_attention_gqa
+            backend = "gqa_xla"
         self.attention_backend = backend
 
         # DP attention (reference: flag + batch plumbing only,
@@ -420,7 +445,7 @@ class ModelRunner:
         # the cache tight when XLA serves attention
         cache_head_dim = (
             padded_head_dim(cfg.head_dim)
-            if self.attention_backend in ("pallas", "ragged", "ragged_tp", "gqa", "gqa_tp")
+            if self.attention_backend in ("pallas", "ragged", "ragged_tp", "gqa", "gqa_tp", "gqa_xla")
             else cfg.head_dim
         )
         if cfg.is_mla:
@@ -579,7 +604,7 @@ class ModelRunner:
         )
         hd = (
             padded_head_dim(cfg.head_dim)
-            if getattr(self, "attention_backend", "xla") in ("pallas", "ragged", "ragged_tp", "gqa", "gqa_tp")
+            if getattr(self, "attention_backend", "xla") in ("pallas", "ragged", "ragged_tp", "gqa", "gqa_tp", "gqa_xla")
             else cfg.head_dim
         )
         if cfg.is_mla:

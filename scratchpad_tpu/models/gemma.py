@@ -48,8 +48,10 @@ def gemma_rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
 
 class GemmaForCausalLM:
     page_size: int = 16
-    # dynamic per-layer sliding windows need the masked XLA backend
+    # dynamic per-layer sliding windows need the masked XLA backend (extend)
     supports_pallas_attention = False
+    # decode rides the gqa kernel's dynamic-mask path (traced window)
+    dynamic_mask_decode = True
 
     def __init__(self, cfg: ModelConfig):
         self.cfg = cfg

@@ -50,7 +50,10 @@ _LIMIT = 7.0
 
 class GptOssForCausalLM:
     page_size: int = 16
-    supports_pallas_attention = False  # per-layer windows + sinks
+    supports_pallas_attention = False  # per-layer windows + sinks (extend)
+    # decode rides the gqa kernel's dynamic-mask path (traced window +
+    # in-kernel sinks) when serving single-device TPU
+    dynamic_mask_decode = True
 
     def __init__(self, cfg: ModelConfig):
         assert cfg.num_experts > 0, "GPT-OSS is MoE"

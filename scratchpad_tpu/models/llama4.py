@@ -45,7 +45,9 @@ from scratchpad_tpu.ops.attention.xla_backend import (
 
 class Llama4ForCausalLM:
     page_size: int = 16
-    supports_pallas_attention = False  # per-layer chunked/global masks
+    supports_pallas_attention = False  # per-layer chunked/global masks (extend)
+    # decode rides the gqa kernel's dynamic-mask path (chunked masks)
+    dynamic_mask_decode = True
 
     def __init__(self, cfg: ModelConfig):
         assert cfg.num_experts > 0, "Llama4 text is MoE"

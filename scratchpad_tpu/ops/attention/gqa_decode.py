@@ -59,15 +59,37 @@ def _gqa_decode_kernel(
     logit_cap: Optional[float],
     sliding_window: Optional[int],
     quantized: bool,
+    dynamic_window: bool,
+    chunk_size: Optional[int],
+    with_sinks: bool,
 ):
+    if dynamic_window:
+        # i32[1] per-CALL window (a per-layer value traced through the
+        # model's layer scan — Gemma/GPT-OSS alternate local/global layers;
+        # global layers pass a >= 2^30 sentinel)
+        win_ref, *refs = refs
+    else:
+        win_ref = None
+    q_ref, kv_hbm, *refs = refs
     if quantized:
         # sc_hbm [Pg, ps, SL] f32: the scale pool lane-padded to SL >= 128
         # (16-lane pages are not DMA-sliceable in mosaic); scale pages
         # stream alongside the kv pages
-        (q_ref, kv_hbm, sc_hbm, o_ref, kv_buf, sc_buf, sems, cursor) = refs
+        sc_hbm, *refs = refs
     else:
-        (q_ref, kv_hbm, o_ref, kv_buf, sems, cursor) = refs
-        sc_hbm = sc_buf = None
+        sc_hbm = None
+    if with_sinks:
+        # f32[Hq, 128] lane-tiled learned sink logits (GPT-OSS): the sink
+        # joins the softmax denominator but contributes no value
+        sinks_ref, *refs = refs
+    else:
+        sinks_ref = None
+    o_ref, kv_buf, *refs = refs
+    if quantized:
+        sc_buf, *refs = refs
+    else:
+        sc_buf = None
+    sems, cursor = refs
     b = pl.program_id(0)
     B = pl.num_programs(0)
     CP = chunk_pages
@@ -81,6 +103,25 @@ def _gqa_decode_kernel(
         # every row owns >= 1 chunk so the prefetch chain stays uniform;
         # padding rows stream the dump page and mask everything out
         return jnp.maximum(pl.cdiv(len_ref[seq], CHUNK), 1)
+
+    def mask_start(seq_len):
+        """First kv position the query may attend to (0 = unmasked)."""
+        if chunk_size is not None:
+            # Llama-4 chunked attention: only the chunk holding the query
+            return jnp.maximum(seq_len - 1, 0) // chunk_size * chunk_size
+        if dynamic_window:
+            return jnp.maximum(seq_len - win_ref[0], 0)
+        if sliding_window is not None:
+            return jnp.maximum(seq_len - sliding_window, 0)
+        return jnp.int32(0)
+
+    def first_chunk(seq):
+        # windowed/chunked layers skip whole masked-out chunks: the loop
+        # (and the DMA stream) starts at the first live chunk, so a 128-wide
+        # GPT-OSS sliding layer reads ~CHUNK tokens instead of the full
+        # context
+        c = mask_start(len_ref[seq]) // CHUNK
+        return jnp.minimum(c, nchunks(seq) - 1)
 
     def chunk_dmas(seq, c, slot):
         out = []
@@ -110,11 +151,12 @@ def _gqa_decode_kernel(
     @pl.when(b == 0)
     def _():
         cursor[0] = 0
-        start_chunk(0, 0, 0)
+        start_chunk(0, first_chunk(0), 0)
 
     slot0 = cursor[0]
     seq_len = len_ref[b]
     live = nchunks(b)
+    c0 = first_chunk(b)
 
     # block-diagonal Q: row r = h*G+g carries q_{h,g} in combined slot 2h
     # (head h's K lanes), zeros elsewhere — lane l of the tiled copy holds
@@ -147,13 +189,15 @@ def _gqa_decode_kernel(
 
     def body(c, carry):
         m, l, acc = carry
-        slot = jax.lax.rem(slot0 + c, 2)
+        slot = jax.lax.rem(slot0 + c - c0, 2)
 
         # prefetch successor chunk: next chunk of this seq, else the next
-        # sequence's first chunk — the pipeline never drains mid-batch
+        # sequence's first LIVE chunk — the pipeline never drains mid-batch
         last_of_seq = c + 1 >= live
         nseq = jnp.where(last_of_seq, b + 1, b)
-        nc = jnp.where(last_of_seq, 0, c + 1)
+        nc = jnp.where(
+            last_of_seq, first_chunk(jnp.minimum(nseq, B - 1)), c + 1
+        )
 
         @pl.when(nseq < B)
         def _():
@@ -214,9 +258,7 @@ def _gqa_decode_kernel(
         if logit_cap is not None:
             s = logit_cap * jnp.tanh(s / logit_cap)
         col = c * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (Hq, CHUNK), 1)
-        valid = col < seq_len
-        if sliding_window is not None:
-            valid &= col >= seq_len - sliding_window
+        valid = (col < seq_len) & (col >= mask_start(seq_len))
         s = jnp.where(valid, s, _NEG)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -236,9 +278,14 @@ def _gqa_decode_kernel(
     m0 = jnp.full((Hq, 1), _NEG, jnp.float32)
     l0 = jnp.zeros((Hq, 1), jnp.float32)
     acc0 = jnp.zeros((Hq, LANES), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, live, body, (m0, l0, acc0))
-    cursor[0] = jax.lax.rem(slot0 + live, 2)
+    m, l, acc = jax.lax.fori_loop(c0, live, body, (m0, l0, acc0))
+    cursor[0] = jax.lax.rem(slot0 + live - c0, 2)
 
+    if with_sinks:
+        # the sink competes in the softmax denominator only; padding rows
+        # (m = -1e30) give exp(sink - m) = inf -> acc/inf = 0, masked below
+        sink = sinks_ref[:, :1].astype(jnp.float32)  # [Hq, 1]
+        l = l + jnp.exp(sink - m)
     l_safe = jnp.where(l > 0, l, 1.0)
     acc = acc / l_safe
     # pick each row's own V block: rows h*G..h*G+G-1 read combined slot
@@ -259,6 +306,7 @@ def _gqa_decode_kernel(
         "sm_scale",
         "logit_cap",
         "sliding_window",
+        "chunk_size",
         "num_layers",
     ),
 )
@@ -269,17 +317,22 @@ def _gqa_decode_call(
     layer_idx,
     page_table,  # [B, P] per-layer page ids
     seq_lens,  # [B]
+    window_dyn=None,  # i32[1] per-call window (traced per-layer), else None
+    sinks=None,  # f32[Hq] learned sink logits (GPT-OSS), else None
     *,
     page_size,
     sm_scale,
     logit_cap,
     sliding_window,
+    chunk_size=None,
     num_layers,
 ):
     B, Hq, D = q.shape
     Pg, ps, H2, Dp = kv_pages.shape
     Ptot = Pg // num_layers
     quantized = kv_scale is not None
+    dynamic_window = window_dyn is not None
+    with_sinks = sinks is not None
 
     import os
 
@@ -307,6 +360,9 @@ def _gqa_decode_call(
         logit_cap=logit_cap,
         sliding_window=sliding_window,
         quantized=quantized,
+        dynamic_window=dynamic_window,
+        chunk_size=chunk_size,
+        with_sinks=with_sinks,
     )
     in_specs = [
         pl.BlockSpec((1, Hq, Dp), lambda b, *_: (b, 0, 0)),
@@ -315,15 +371,27 @@ def _gqa_decode_call(
     scratch = [
         pltpu.VMEM((2, CP, ps, H2, Dp), kv_pages.dtype),
     ]
-    operands = [pt_global, seq_lens.astype(jnp.int32), qs, kv_pages]
+    operands = [pt_global, seq_lens.astype(jnp.int32)]
+    if dynamic_window:
+        operands.append(window_dyn.astype(jnp.int32).reshape(1))
+    operands += [qs, kv_pages]
     if quantized:
         SL = kv_scale.shape[-1]
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch.append(pltpu.VMEM((2, CP, ps, SL), jnp.float32))
         operands.append(kv_scale)
+    if with_sinks:
+        # lane-tile the [Hq] sink vector so it lands in VMEM as a normal
+        # (sublane, lane) block
+        in_specs.append(pl.BlockSpec((Hq, 128), lambda b, *_: (0, 0)))
+        operands.append(
+            jnp.broadcast_to(
+                sinks.astype(jnp.float32)[:, None], (Hq, 128)
+            )
+        )
     scratch += [pltpu.SemaphoreType.DMA((2,)), pltpu.SMEM((1,), jnp.int32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=2 + int(dynamic_window),
         grid=(B,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, Hq, Dp), lambda b, *_: (b, 0, 0)),
@@ -350,14 +418,26 @@ def decode_attention_gqa(
     page_size: int,
     sm_scale: float,
     logit_cap: Optional[float] = None,
-    sliding_window: Optional[int] = None,
+    sliding_window=None,  # int (static), traced i32 scalar (per-layer), None
+    sinks: Optional[jax.Array] = None,  # f32[Hq] learned sink logits
+    chunk_size: Optional[int] = None,  # Llama-4 chunked attention
 ) -> jax.Array:
-    """Drop-in replacement for decode_attention_xla (same signature)."""
+    """Drop-in replacement for decode_attention_xla (same signature).
+
+    Per-layer dynamic windows (Gemma/GPT-OSS pass a traced scalar from the
+    layer scan), attention sinks, and Llama-4 chunked masks all run
+    in-kernel; windowed/chunked layers additionally skip whole masked-out
+    KV chunks, so a 128-wide sliding layer streams ~one chunk instead of
+    the full context."""
     scale = (
         kv.scale
         if kv.kv.dtype in (jnp.int8, jnp.float8_e4m3fn)
         else None
     )
+    window_dyn = None
+    if isinstance(sliding_window, jax.Array):
+        window_dyn = sliding_window
+        sliding_window = None
     return _gqa_decode_call(
         q,
         kv.kv,
@@ -365,10 +445,13 @@ def decode_attention_gqa(
         jnp.asarray(layer_idx),
         meta.page_table,
         meta.seq_lens,
+        window_dyn,
+        sinks,
         page_size=page_size,
         sm_scale=sm_scale,
         logit_cap=logit_cap,
         sliding_window=sliding_window,
+        chunk_size=chunk_size,
         num_layers=kv.num_layers,
     )
 

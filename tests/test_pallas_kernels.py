@@ -518,3 +518,147 @@ def test_quant_extend_dequant_pages_matches_xla(qdtype):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
     )
+
+
+# ---------------- dynamic-mask decode (per-layer windows / sinks / chunks)
+
+
+@pytest.mark.parametrize("W", [48, 17, 1 << 30])
+def test_gqa_decode_v2_dynamic_window_matches_xla(W):
+    """Traced per-layer window (Gemma/GPT-OSS layer scan): equals the XLA
+    backend's static-window mask, including the >= 2^30 'global' sentinel
+    and windows that skip whole leading KV chunks."""
+    from scratchpad_tpu.ops.attention.gqa_decode import decode_attention_gqa
+
+    q, kv, meta = make_case(seed=4, P=24)
+    kw = dict(page_size=16, sm_scale=0.125)
+    ref = decode_attention_xla(
+        q, kv, jnp.int32(1), meta,
+        sliding_window=W if W < (1 << 29) else None, **kw
+    )
+    out = decode_attention_gqa(
+        q, kv, jnp.int32(1), meta, sliding_window=jnp.int32(W), **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_gqa_decode_v2_dynamic_window_under_scan():
+    """The serving shape: window values scanned over layers (one traced
+    scalar per step), all layers sharing one compiled kernel."""
+    from scratchpad_tpu.ops.attention.gqa_decode import decode_attention_gqa
+
+    q, kv, meta = make_case(seed=5)
+    kw = dict(page_size=16, sm_scale=0.125)
+    windows = jnp.asarray([13, 1 << 30], jnp.int32)
+
+    def step(_, lw):
+        lidx, w = lw
+        return None, decode_attention_gqa(
+            q, kv, lidx, meta, sliding_window=w, **kw
+        )
+
+    _, outs = jax.lax.scan(
+        step, None, (jnp.arange(2, dtype=jnp.int32), windows)
+    )
+    for l, w in ((0, 13), (1, None)):
+        ref = decode_attention_xla(
+            q, kv, jnp.int32(l), meta, sliding_window=w, **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs[l]), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_gqa_decode_v2_sinks_matches_xla():
+    """Attention sinks (GPT-OSS): learned per-head logits join the softmax
+    denominator in-kernel."""
+    from scratchpad_tpu.ops.attention.gqa_decode import decode_attention_gqa
+
+    rng = np.random.default_rng(11)
+    q, kv, meta = make_case(seed=6)
+    Hq = q.shape[1]
+    sinks = jnp.asarray(rng.normal(size=(Hq,)), jnp.float32)
+    kw = dict(page_size=16, sm_scale=0.125)
+    ref = decode_attention_xla(q, kv, jnp.int32(0), meta, sinks=sinks, **kw)
+    out = decode_attention_gqa(q, kv, jnp.int32(0), meta, sinks=sinks, **kw)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_gqa_decode_v2_sinks_dynamic_window():
+    """GPT-OSS serving shape: sinks + traced sliding window together."""
+    from scratchpad_tpu.ops.attention.gqa_decode import decode_attention_gqa
+
+    rng = np.random.default_rng(12)
+    q, kv, meta = make_case(seed=7, P=24)
+    Hq = q.shape[1]
+    sinks = jnp.asarray(rng.normal(size=(Hq,)), jnp.float32)
+    kw = dict(page_size=16, sm_scale=0.125)
+    ref = decode_attention_xla(
+        q, kv, jnp.int32(1), meta, sinks=sinks, sliding_window=32, **kw
+    )
+    out = decode_attention_gqa(
+        q, kv, jnp.int32(1), meta, sinks=sinks,
+        sliding_window=jnp.int32(32), **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_gqa_decode_v2_sinks_padding_rows():
+    from scratchpad_tpu.ops.attention.gqa_decode import decode_attention_gqa
+
+    q, kv, meta = make_case(B=4, seed=8)
+    seq = np.asarray(meta.seq_lens).copy()
+    seq[2:] = 0
+    meta = dataclasses.replace(meta, seq_lens=jnp.asarray(seq))
+    sinks = jnp.ones((q.shape[1],), jnp.float32)
+    out = decode_attention_gqa(
+        q, kv, jnp.int32(0), meta, page_size=16, sm_scale=0.125, sinks=sinks
+    )
+    a = np.asarray(out)
+    assert np.isfinite(a).all()
+    assert np.abs(a[2:]).max() == 0.0
+
+
+def test_gqa_decode_v2_chunked_matches_xla():
+    """Llama-4 chunked attention: only the chunk holding the query."""
+    from scratchpad_tpu.ops.attention.gqa_decode import decode_attention_gqa
+
+    q, kv, meta = make_case(seed=9, P=24)
+    kw = dict(page_size=16, sm_scale=0.125, chunk_size=48)
+    ref = decode_attention_xla(q, kv, jnp.int32(1), meta, **kw)
+    out = decode_attention_gqa(q, kv, jnp.int32(1), meta, **kw)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_gqa_decode_v2_dynamic_window_int8_kv():
+    """Dynamic window + quantized KV compose (Gemma with int8 cache)."""
+    from scratchpad_tpu.ops.attention.gqa_decode import decode_attention_gqa
+    from scratchpad_tpu.ops.attention.xla_backend import _quantize_rows
+
+    q, kv, meta = make_case(seed=10, P=24)
+    Pg, ps, H2, Dp = kv.kv.shape
+    flat = kv.kv.reshape(Pg * ps, H2, Dp)
+    qvals, sc = _quantize_rows(flat, jnp.int8)
+    kv_q = KVCache(
+        kv=qvals.reshape(Pg, ps, H2, Dp),
+        scale=sc.reshape(Pg, ps, H2),
+        num_layers=kv.num_layers,
+    )
+    kw = dict(page_size=16, sm_scale=0.125)
+    ref = decode_attention_xla(
+        q, kv_q, jnp.int32(1), meta, sliding_window=40, **kw
+    )
+    out = decode_attention_gqa(
+        q, kv_q, jnp.int32(1), meta, sliding_window=jnp.int32(40), **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
