@@ -425,17 +425,28 @@ class Scheduler:
         return [[int(t) for t in drafts[:, i]] for i in range(len(batch))]
 
     def _spec_ok(self, batch: list[Req]) -> bool:
-        """ngram speculation preserves outputs only for pure greedy rows."""
-        return all(
-            r.sampling_params.temperature == 0.0
-            and r.grammar is None
+        """Speculation preserves outputs for greedy rows trivially and for
+        sampled rows via sampled verification (the proposals are
+        deterministic, so sample-and-compare is distribution-exact — see
+        ModelRunner._spec_verify_sampled_impl). Grammar/penalties/logit-bias
+        rows need per-position sampler state and stay on the plain decode
+        path; EAGLE keeps greedy-only for now (its verify variant returns
+        hidden features and has no sampled version yet)."""
+        ok = all(
+            r.grammar is None
             and r.sampling_params.top_logprobs == 0
             and not r.sampling_params.needs_penalties()
             and not r.sampling_params.logit_bias
-            # the sampler masks EOS until min_new_tokens; raw argmax doesn't
+            # the sampler masks EOS until min_new_tokens; the verify
+            # samplers don't
             and r.sampling_params.min_new_tokens <= len(r.output_ids)
             for r in batch
         )
+        if not ok:
+            return False
+        if any(r.sampling_params.temperature > 0.0 for r in batch):
+            return self.eagle is None
+        return True
 
     def _propose_ngram(self, req: Req, k: int) -> list[int]:
         """Prompt-lookup drafts: the longest recent suffix n-gram that
@@ -531,6 +542,9 @@ class Scheduler:
         )
         if self.eagle is not None:
             ids, lps, vh = self.runner.run_spec_verify_h(wb)
+        elif any(r.sampling_params.temperature > 0.0 for r in batch):
+            ids, lps = self.runner.run_spec_verify_sampled(wb)
+            vh = None
         else:
             ids, lps = self.runner.run_spec_verify(wb)
             vh = None

@@ -1387,6 +1387,80 @@ class ModelRunner:
         T_real = len(wb.tokens)
         return np.asarray(ids)[:T_real], np.asarray(lps)[:T_real]
 
+    def _spec_verify_sampled_impl(self, params, kv, meta, sinfo, rng):
+        """SAMPLED speculative verification: one extend forward over
+        [last_token, draft...] rows, sampling the target continuation at
+        every row with the owning request's temperature/top-k/top-p/min-p.
+
+        With deterministic proposals (ngram suffix lookup, greedy draft
+        chains), the draft distribution q is a point mass, so the standard
+        speculative-sampling accept rule min(1, p/q) with its residual
+        resample reduces to: sample t_j ~ p_j at every row, accept while
+        t_j equals the draft, and emit the first mismatching t_j as the
+        correction — the emitted token is p_j-distributed either way, so
+        the target sampling distribution is preserved exactly. (The
+        reference never implemented speculative execution at all —
+        model_executor/speculative/spec_info.py:4-24.)"""
+        from scratchpad_tpu.sampling.batch_info import SamplingBatchInfo
+        from scratchpad_tpu.sampling.sampler import sample
+
+        meta2 = dataclasses.replace(meta, capture_all_hidden=True)
+        kv, h = self.model(params, kv, meta2)  # [T, H]
+        head = (
+            params["embed"]
+            if self.model_config.tie_word_embeddings
+            else params["lm_head"]
+        )
+        # per-TOKEN sampling params: gather the padded per-request rows by
+        # the flat rows' owning request (padding rows point at a zeroed
+        # request row -> greedy, harmless)
+        ri = meta.req_indices
+        softcap = self.model_config.logit_softcap
+
+        def chunk_fn(args):
+            hc, ric, idx = args
+            logits = (hc @ head.T).astype(jnp.float32)  # [C, V]
+            if softcap:
+                # unlike greedy verify (argmax is softcap-invariant), the
+                # sampled distribution needs the served logits exactly
+                logits = softcap * jnp.tanh(logits / softcap)
+            info_c = SamplingBatchInfo(
+                temperature=sinfo.temperature[ric],
+                top_p=sinfo.top_p[ric],
+                top_k=sinfo.top_k[ric],
+                min_p=sinfo.min_p[ric],
+            )
+            ids, logprobs = sample(logits, info_c, jax.random.fold_in(rng, idx))
+            chosen = jnp.take_along_axis(logprobs, ids[:, None], axis=-1)[:, 0]
+            return ids, chosen
+
+        T = h.shape[0]
+        C = 128
+        pad = (-T) % C
+        hp = jnp.pad(h, [(0, pad), (0, 0)]).reshape(-1, C, h.shape[1])
+        rip = jnp.pad(ri, [(0, pad)]).reshape(-1, C)
+        ids, lps = jax.lax.map(
+            chunk_fn, (hp, rip, jnp.arange(hp.shape[0], dtype=jnp.int32))
+        )
+        return kv, *map(
+            self._host_out, (ids.reshape(-1)[:T], lps.reshape(-1)[:T])
+        )
+
+    def run_spec_verify_sampled(self, wb: WorkerBatch):
+        """Returns (sampled_ids[T_real], chosen_logprobs[T_real])."""
+        self._no_offload("speculative verification")
+        if not hasattr(self, "_jit_spec_verify_sampled"):
+            self._jit_spec_verify_sampled = jax.jit(
+                self._spec_verify_sampled_impl, donate_argnums=(1,)
+            )
+        meta, sinfo = self._pad_to_buckets(wb)
+        self._rng, rng = jax.random.split(self._rng)
+        self.kv_cache, ids, lps = self._jit_spec_verify_sampled(
+            self.params, self.kv_cache, meta, sinfo, rng
+        )
+        T_real = len(wb.tokens)
+        return np.asarray(ids)[:T_real], np.asarray(lps)[:T_real]
+
     # ------------------------------------------------------ parameter offload
 
     def _no_offload(self, what: str) -> None:

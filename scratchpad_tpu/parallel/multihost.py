@@ -131,6 +131,7 @@ _PLAIN_METHODS = (
     "run_kv_only",
     "run_spec_verify",
     "run_spec_verify_h",
+    "run_spec_verify_sampled",  # consumes _rng in lockstep on every host
     "encode_images",
     "image_token_embedding",
     "resize_kv_pool",

@@ -154,10 +154,90 @@ def test_spec_respects_stop_and_sampled_fallback():
     sp = SamplingParams(temperature=0.0, max_new_tokens=16)
     out = eng.generate(input_ids=[3, 4] * 8, sampling_params=sp)
     assert len(out.output_ids) <= 16
-    # sampled requests bypass speculation entirely (still correct)
+    # sampled requests ride the sampled verify path (still correct)
     sp2 = SamplingParams(temperature=0.8, max_new_tokens=8, ignore_eos=True)
     out2 = eng.generate(input_ids=[9, 10, 9, 10], sampling_params=sp2)
     assert len(out2.output_ids) == 8
+    eng.scheduler.check_memory_leak()
+
+
+def test_spec_sampled_topk1_matches_greedy():
+    """Sampled speculative decoding, exactness corner: temperature > 0 with
+    top_k = 1 IS argmax, so the sampled-verify path must reproduce the
+    plain greedy output token-for-token while still accepting drafts."""
+    rng = np.random.default_rng(0)
+    base = rng.integers(1, 100, 6).tolist()
+    prompts = [base * 4, (base + [7, 9]) * 3]
+    greedy = SamplingParams(temperature=0.0, max_new_tokens=24, ignore_eos=True)
+    ref = [
+        o.output_ids
+        for o in make_engine().generate(
+            input_ids=prompts, sampling_params=[greedy] * 2
+        )
+    ]
+    k1 = SamplingParams(
+        temperature=0.7, top_k=1, max_new_tokens=24, ignore_eos=True
+    )
+    eng = make_engine(speculative_algorithm="ngram")
+    got = [
+        o.output_ids
+        for o in eng.generate(input_ids=prompts, sampling_params=[k1] * 2)
+    ]
+    assert got == ref
+    sched = eng.scheduler
+    assert sched.num_spec_steps > 0 and sched.num_spec_accepted > 0
+    sched.check_memory_leak()
+
+
+def test_spec_sampled_mixed_batch():
+    """Greedy and sampled rows verify together; the greedy row's output is
+    unaffected by its sampled neighbours."""
+    rng = np.random.default_rng(1)
+    base = rng.integers(1, 100, 5).tolist()
+    prompts = [base * 5, (base + [3]) * 4]
+    greedy = SamplingParams(temperature=0.0, max_new_tokens=20, ignore_eos=True)
+    ref = make_engine().generate(input_ids=prompts[0], sampling_params=greedy)
+    eng = make_engine(speculative_algorithm="ngram")
+    sampled = SamplingParams(
+        temperature=0.9, top_p=0.8, max_new_tokens=20, ignore_eos=True
+    )
+    outs = eng.generate(
+        input_ids=prompts, sampling_params=[greedy, sampled]
+    )
+    assert outs[0].output_ids == ref.output_ids
+    assert len(outs[1].output_ids) == 20
+    eng.scheduler.check_memory_leak()
+
+
+def test_spec_sampled_draft_model():
+    """Draft-model speculation with sampled verification (top_k=1 corner):
+    same-weight draft proposes the target's greedy chain; with top_k=1 the
+    sampled verify must accept everything after warmup."""
+    eng = make_engine(
+        speculative_algorithm="draft",
+        speculative_draft_preset="tiny-debug",
+    )
+    k1 = SamplingParams(
+        temperature=0.5, top_k=1, max_new_tokens=16, ignore_eos=True
+    )
+    rng = np.random.default_rng(2)
+    out = eng.generate(
+        input_ids=rng.integers(1, 500, 12).tolist(), sampling_params=k1
+    )
+    assert len(out.output_ids) == 16
+    sched = eng.scheduler
+    assert sched.num_spec_accepted > 0
+    # same tiny-debug weights: the top_k=1 chain must agree with plain
+    # greedy on an equal prompt
+    prompt = [11, 12, 13, 14] * 4
+    a = eng.generate(input_ids=prompt, sampling_params=k1).output_ids
+    b = make_engine().generate(
+        input_ids=prompt,
+        sampling_params=SamplingParams(
+            temperature=0.0, max_new_tokens=16, ignore_eos=True
+        ),
+    ).output_ids
+    assert a == b
     eng.scheduler.check_memory_leak()
 
 
