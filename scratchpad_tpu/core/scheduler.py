@@ -430,8 +430,7 @@ class Scheduler:
         deterministic, so sample-and-compare is distribution-exact — see
         ModelRunner._spec_verify_sampled_impl). Grammar/penalties/logit-bias
         rows need per-position sampler state and stay on the plain decode
-        path; EAGLE keeps greedy-only for now (its verify variant returns
-        hidden features and has no sampled version yet)."""
+        path."""
         ok = all(
             r.grammar is None
             and r.sampling_params.top_logprobs == 0
@@ -442,11 +441,7 @@ class Scheduler:
             and r.sampling_params.min_new_tokens <= len(r.output_ids)
             for r in batch
         )
-        if not ok:
-            return False
-        if any(r.sampling_params.temperature > 0.0 for r in batch):
-            return self.eagle is None
-        return True
+        return ok
 
     def _propose_ngram(self, req: Req, k: int) -> list[int]:
         """Prompt-lookup drafts: the longest recent suffix n-gram that
@@ -540,9 +535,15 @@ class Scheduler:
             ),
             rope_delta=rope_delta,
         )
+        sampled = any(r.sampling_params.temperature > 0.0 for r in batch)
         if self.eagle is not None:
-            ids, lps, vh = self.runner.run_spec_verify_h(wb)
-        elif any(r.sampling_params.temperature > 0.0 for r in batch):
+            if sampled:
+                ids, lps, vh = self.runner.run_spec_verify_sampled(
+                    wb, return_hidden=True
+                )
+            else:
+                ids, lps, vh = self.runner.run_spec_verify_h(wb)
+        elif sampled:
             ids, lps = self.runner.run_spec_verify_sampled(wb)
             vh = None
         else:

@@ -1387,7 +1387,9 @@ class ModelRunner:
         T_real = len(wb.tokens)
         return np.asarray(ids)[:T_real], np.asarray(lps)[:T_real]
 
-    def _spec_verify_sampled_impl(self, params, kv, meta, sinfo, rng):
+    def _spec_verify_sampled_impl(
+        self, params, kv, meta, sinfo, rng, return_hidden=False
+    ):
         """SAMPLED speculative verification: one extend forward over
         [last_token, draft...] rows, sampling the target continuation at
         every row with the owning request's temperature/top-k/top-p/min-p.
@@ -1442,23 +1444,37 @@ class ModelRunner:
         ids, lps = jax.lax.map(
             chunk_fn, (hp, rip, jnp.arange(hp.shape[0], dtype=jnp.int32))
         )
-        return kv, *map(
-            self._host_out, (ids.reshape(-1)[:T], lps.reshape(-1)[:T])
-        )
+        out = (ids.reshape(-1)[:T], lps.reshape(-1)[:T])
+        if return_hidden:
+            out = out + (h,)  # EAGLE feature conditioning
+        return kv, *map(self._host_out, out)
 
-    def run_spec_verify_sampled(self, wb: WorkerBatch):
-        """Returns (sampled_ids[T_real], chosen_logprobs[T_real])."""
+    def run_spec_verify_sampled(self, wb: WorkerBatch, return_hidden=False):
+        """Returns (sampled_ids[T_real], chosen_logprobs[T_real]) plus the
+        target hidden rows when ``return_hidden`` (EAGLE conditioning)."""
         self._no_offload("speculative verification")
         if not hasattr(self, "_jit_spec_verify_sampled"):
             self._jit_spec_verify_sampled = jax.jit(
-                self._spec_verify_sampled_impl, donate_argnums=(1,)
+                self._spec_verify_sampled_impl,
+                donate_argnums=(1,),
+                static_argnames=("return_hidden",),
             )
         meta, sinfo = self._pad_to_buckets(wb)
         self._rng, rng = jax.random.split(self._rng)
+        T_real = len(wb.tokens)
+        if return_hidden:
+            self.kv_cache, ids, lps, h = self._jit_spec_verify_sampled(
+                self.params, self.kv_cache, meta, sinfo, rng,
+                return_hidden=True,
+            )
+            return (
+                np.asarray(ids)[:T_real],
+                np.asarray(lps)[:T_real],
+                np.asarray(h)[:T_real],
+            )
         self.kv_cache, ids, lps = self._jit_spec_verify_sampled(
             self.params, self.kv_cache, meta, sinfo, rng
         )
-        T_real = len(wb.tokens)
         return np.asarray(ids)[:T_real], np.asarray(lps)[:T_real]
 
     # ------------------------------------------------------ parameter offload

@@ -264,6 +264,31 @@ def test_eagle_matches_plain_greedy():
     eng.scheduler.check_memory_leak()
 
 
+def test_eagle_sampled_topk1_matches_greedy():
+    """EAGLE with sampled requests: the sampled verify (with hidden-feature
+    capture for draft conditioning) at top_k=1 must equal plain greedy."""
+    rng = np.random.default_rng(12)
+    prompts = [rng.integers(1, 500, n).tolist() for n in (9, 26)]
+    greedy = SamplingParams(temperature=0.0, max_new_tokens=16, ignore_eos=True)
+    ref = [
+        o.output_ids
+        for o in make_engine().generate(
+            input_ids=prompts, sampling_params=[greedy] * 2
+        )
+    ]
+    eng = make_engine(speculative_algorithm="eagle")
+    k1 = SamplingParams(
+        temperature=0.6, top_k=1, max_new_tokens=16, ignore_eos=True
+    )
+    got = [
+        o.output_ids
+        for o in eng.generate(input_ids=prompts, sampling_params=[k1] * 2)
+    ]
+    assert got == ref
+    assert eng.scheduler.num_spec_steps > 0
+    eng.scheduler.check_memory_leak()
+
+
 def test_eagle_multi_turn_and_radix():
     """Repeat prompts (radix hits) keep exactness; plain-decode fallback
     after a sampled request doesn't corrupt later greedy runs."""
