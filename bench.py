@@ -139,12 +139,17 @@ def main() -> None:
     # drive all prefills first
     while sched.num_queued() > 0 or sched.chunked_req is not None:
         sched.step()
+    prof_dir = os.environ.get("SPTPU_BENCH_PROFILE")
+    if prof_dir:
+        jax.profiler.start_trace(prof_dir)
     decode_tokens = 0
     t0 = time.perf_counter()
     while sched.has_work():
         events = sched.step()
         decode_tokens += sum(len(ev.new_tokens) for ev in events)
     dt = time.perf_counter() - t0
+    if prof_dir:
+        jax.profiler.stop_trace()
 
     tok_s = decode_tokens / dt
 

@@ -13,6 +13,21 @@ import jax
 import jax.numpy as jnp
 
 
+def make_quant_matmul():
+    """Per-layer W4A16 matmul: Pallas on accelerators, XLA reference path on
+    CPU (SPTPU_W4_IMPL=xla forces the XLA fused-dequant path for A/B
+    tests). Shared by every model class that supports quantization."""
+    import os
+
+    if jax.default_backend() == "cpu" or os.environ.get("SPTPU_W4_IMPL") == "xla":
+        from scratchpad_tpu.ops.quant import slice_layer, w4a16_matmul_xla
+
+        return lambda x, ql, l: w4a16_matmul_xla(x, slice_layer(ql, l))
+    from scratchpad_tpu.ops.quant.pallas_w4 import w4a16_matmul_pallas
+
+    return w4a16_matmul_pallas
+
+
 def dp_attention_respec(specs: dict, attn_keys: frozenset) -> dict:
     """Replicate attention weights for DP attention.
 

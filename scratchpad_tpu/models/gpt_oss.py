@@ -62,6 +62,9 @@ class GptOssForCausalLM:
         self.sm_scale = rope_attention_scale(cfg) / np.sqrt(cfg.head_dim)
         self.decode_attention = decode_attention_xla
         self.extend_attention = extend_attention_xla
+        from scratchpad_tpu.models.common import make_quant_matmul
+
+        self.quant_matmul = make_quant_matmul()
 
     def _layer_windows(self) -> np.ndarray:
         cfg = self.cfg
@@ -199,7 +202,7 @@ class GptOssForCausalLM:
 
     # ---------------------------------------------------------------- moe
 
-    def _moe(self, h: jax.Array, lp: dict) -> jax.Array:
+    def _moe(self, h: jax.Array, lp: dict, lidx=None, qlayers=None) -> jax.Array:
         cfg = self.cfg
         E, K = cfg.num_experts, cfg.num_experts_per_tok
         logits = (h @ lp["router_w"] + lp["router_b"]).astype(jnp.float32)
@@ -208,14 +211,28 @@ class GptOssForCausalLM:
         w_full = jnp.zeros((h.shape[0], E), jnp.float32)
         for k in range(K):
             w_full = w_full + jax.nn.one_hot(topi[:, k], E) * topv[:, k : k + 1]
+        # quantized experts: flat (layer, expert) index into the W4 stacks
+        # (the triteia-sbmm role, reference: llama_quant_moe.py:29-36);
+        # biases stay bf16 in lp
+        quant = qlayers is not None and "gate_up" in qlayers
         y = jnp.zeros_like(h)
         for e in range(E):
-            gu = h @ lp["gate_up"][e] + lp["gate_up_b"][e]
+            if quant:
+                fe = lidx * E + e
+                gu = self.quant_matmul(h, qlayers["gate_up"], fe)
+                gu = gu + lp["gate_up_b"][e]
+            else:
+                gu = h @ lp["gate_up"][e] + lp["gate_up_b"][e]
             gate, up = gu[..., 0::2], gu[..., 1::2]
             gate = jnp.minimum(gate, _LIMIT)
             up = jnp.clip(up, -_LIMIT, _LIMIT)
             glu = gate * jax.nn.sigmoid(gate * _ALPHA)
-            contrib = ((up + 1.0) * glu) @ lp["down"][e] + lp["down_b"][e]
+            act = (up + 1.0) * glu
+            if quant:
+                contrib = self.quant_matmul(act, qlayers["down"], fe)
+                contrib = contrib + lp["down_b"][e]
+            else:
+                contrib = act @ lp["down"][e] + lp["down_b"][e]
             y = y + contrib * w_full[:, e : e + 1].astype(h.dtype)
         return y
 
@@ -236,13 +253,25 @@ class GptOssForCausalLM:
             else self.extend_attention
         )
 
+        qlayers = params.get("layers_q")
+
+        def lin(x_, lp, name, lidx):
+            if qlayers is not None and name in qlayers:
+                ql = qlayers[name]
+                from scratchpad_tpu.ops.quant.fp8 import Fp8Linear, fp8_matmul
+
+                if isinstance(ql, Fp8Linear):
+                    return fp8_matmul(x_, ql, lidx)
+                return self.quant_matmul(x_, ql, lidx)
+            return x_ @ lp[name]
+
         def body(carry, layer):
             x, kv_c = carry
             lp, lidx, window = layer
             h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-            q = (h @ lp["wq"] + lp["bq"]).reshape(T, Hq, D)
-            kn = (h @ lp["wk"] + lp["bk"]).reshape(T, Hkv, D)
-            vn = (h @ lp["wv"] + lp["bv"]).reshape(T, Hkv, D)
+            q = (lin(h, lp, "wq", lidx) + lp["bq"]).reshape(T, Hq, D)
+            kn = (lin(h, lp, "wk", lidx) + lp["bk"]).reshape(T, Hkv, D)
+            vn = (lin(h, lp, "wv", lidx) + lp["bv"]).reshape(T, Hkv, D)
             q = apply_rope(q, meta.positions, inv_freq)
             kn = apply_rope(kn, meta.positions, inv_freq)
             kv_c = write_kv(kv_c, kn, vn, lidx, meta.out_cache_loc)
@@ -257,9 +286,9 @@ class GptOssForCausalLM:
                 sliding_window=window,
                 sinks=lp["sinks"],
             )
-            x = x + (attn.reshape(T, Hq * D) @ lp["wo"] + lp["bo"])
+            x = x + (lin(attn.reshape(T, Hq * D), lp, "wo", lidx) + lp["bo"])
             h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
-            x = x + self._moe(h2, lp)
+            x = x + self._moe(h2, lp, lidx, qlayers)
             return (x, kv_c), None
 
         (x, kv_out), _ = jax.lax.scan(

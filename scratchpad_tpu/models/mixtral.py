@@ -42,6 +42,9 @@ class MixtralForCausalLM:
         self.sm_scale = cfg.head_dim**-0.5
         self.decode_attention = decode_attention_xla
         self.extend_attention = extend_attention_xla
+        from scratchpad_tpu.models.common import make_quant_matmul
+
+        self.quant_matmul = make_quant_matmul()
 
     # ------------------------------------------------------------ parameters
 
@@ -175,9 +178,12 @@ class MixtralForCausalLM:
 
     # ---------------------------------------------------------------- forward
 
-    def _moe(self, h: jax.Array, lp: dict) -> jax.Array:
+    def _moe(self, h: jax.Array, lp: dict, lidx=None, qlayers=None) -> jax.Array:
         """Masked expert loop (reference: fused_moe_forward_native,
-        nn/layers/fused_moe/patch.py:92)."""
+        nn/layers/fused_moe/patch.py:92). Quantized experts ride the W4
+        kernel with the (layer, expert) dims flattened into its prefetched
+        index — the triteia-sbmm role (reference:
+        nn/models/llama/llama_quant_moe.py:29-36)."""
         cfg = self.cfg
         E, K = cfg.num_experts, cfg.num_experts_per_tok
         logits = (h @ lp["router"]).astype(jnp.float32)  # [T, E]
@@ -189,17 +195,37 @@ class MixtralForCausalLM:
         w_full = jnp.zeros((h.shape[0], E), jnp.float32)
         for k in range(K):
             w_full = w_full + jax.nn.one_hot(topi[:, k], E) * topv[:, k : k + 1]
+        quant = qlayers is not None and "w1" in qlayers
         mesh = getattr(self, "mesh", None)
         if (
             getattr(self, "use_ep", False)
+            and not quant  # EP shards whole experts; the flat (L*E) quant
+            # stacks interleave experts fastest, so EP + W4 stays dense
             and mesh is not None
             and mesh.shape.get("tp", 1) > 1
             and E % mesh.shape["tp"] == 0
         ):
             return self._moe_ep(h, lp, w_full, mesh)
+        if quant:
+            from scratchpad_tpu.ops.quant.fp8 import Fp8Linear, fp8_matmul
+
+            def qmm(x_, name, fe):
+                ql = qlayers[name]
+                if isinstance(ql, Fp8Linear):
+                    return fp8_matmul(x_, ql, fe)
+                return self.quant_matmul(x_, ql, fe)
+
         y = jnp.zeros_like(h)
         for e in range(E):
-            contrib = silu_mul(h @ lp["w1"][e], h @ lp["w3"][e]) @ lp["w2"][e]
+            if quant:
+                fe = lidx * E + e  # flat (layer, expert) index
+                contrib = qmm(
+                    silu_mul(qmm(h, "w1", fe), qmm(h, "w3", fe)), "w2", fe
+                )
+            else:
+                contrib = (
+                    silu_mul(h @ lp["w1"][e], h @ lp["w3"][e]) @ lp["w2"][e]
+                )
             y = y + contrib * w_full[:, e : e + 1].astype(h.dtype)
         return y
 
@@ -249,13 +275,25 @@ class MixtralForCausalLM:
             else self.extend_attention
         )
 
+        qlayers = params.get("layers_q")
+
+        def lin(x_, lp, name, lidx):
+            if qlayers is not None and name in qlayers:
+                ql = qlayers[name]
+                from scratchpad_tpu.ops.quant.fp8 import Fp8Linear, fp8_matmul
+
+                if isinstance(ql, Fp8Linear):
+                    return fp8_matmul(x_, ql, lidx)
+                return self.quant_matmul(x_, ql, lidx)
+            return x_ @ lp[name]
+
         def body(carry, layer):
             x, kv_c = carry
             lp, lidx = layer
             h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-            q = (h @ lp["wq"]).reshape(T, Hq, D)
-            kn = (h @ lp["wk"]).reshape(T, Hkv, D)
-            vn = (h @ lp["wv"]).reshape(T, Hkv, D)
+            q = lin(h, lp, "wq", lidx).reshape(T, Hq, D)
+            kn = lin(h, lp, "wk", lidx).reshape(T, Hkv, D)
+            vn = lin(h, lp, "wv", lidx).reshape(T, Hkv, D)
             if cfg.use_qk_norm:
                 q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
                 kn = rms_norm(kn, lp["k_norm"], cfg.rms_norm_eps)
@@ -269,9 +307,9 @@ class MixtralForCausalLM:
                 logit_cap=None,
                 sliding_window=None,
             )
-            x = x + attn.reshape(T, Hq * D) @ lp["wo"]
+            x = x + lin(attn.reshape(T, Hq * D), lp, "wo", lidx)
             h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
-            x = x + self._moe(h2, lp)
+            x = x + self._moe(h2, lp, lidx, qlayers)
             return (x, kv_c), None
 
         (x, kv_out), _ = jax.lax.scan(

@@ -29,8 +29,13 @@ jax.tree_util.register_dataclass(Fp8Linear, data_fields=["w8", "s"], meta_fields
 
 
 def quantize_fp8_stacked(w_stacked: Any) -> Fp8Linear:
-    """Quantize a layer-stacked weight [L, In, Out] to fp8 + channel scales."""
+    """Quantize a layer-stacked weight [L, In, Out] to fp8 + channel scales.
+
+    Expert stacks [L, E, In, Out] flatten (layer, expert) into one leading
+    axis; callers index layer*E + e (matches w4a16.quantize_stacked)."""
     w = np.asarray(w_stacked, np.float32)
+    if w.ndim == 4:
+        w = w.reshape(-1, *w.shape[2:])
     amax = np.abs(w).max(axis=-2, keepdims=True)  # [L, 1, Out]
     scale = np.maximum(amax / F8_MAX, 1e-12)
     w8 = jnp.asarray(w / scale, F8)
@@ -70,7 +75,7 @@ def fp8_param_specs(base_specs: dict, params: dict, tp_axis: str = "tp"):
     }
     lq = {}
     for name in params["layers_q"]:
-        if name in ("wo", "down"):
+        if name in ("wo", "down", "w2"):
             lq[name] = Fp8Linear(w8=P(None, tp_axis, None), s=P(None, None))
         else:
             lq[name] = Fp8Linear(w8=P(None, None, tp_axis), s=P(None, tp_axis))

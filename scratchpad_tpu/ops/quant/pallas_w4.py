@@ -82,8 +82,11 @@ def _w4_call(x, q, s, z, layer_idx, *, group_size, out_block):
     B, In = x.shape
     L, half, Out = q.shape
     G = s.shape[1]
+    # largest block <= out_block that divides Out (GPT-OSS gate_up is 5760,
+    # not a multiple of 512 -> 480)
     OUT_BLK = min(out_block, Out)
-    assert Out % OUT_BLK == 0
+    while Out % OUT_BLK:
+        OUT_BLK -= 128 if OUT_BLK > 128 else 1
     # block the token dim too: a 4096-token prefill bucket's x (16 MiB bf16)
     # cannot live whole in VMEM. Buckets are powers of two, so ROW_BLK | B.
     ROW_BLK = min(B, 512)
@@ -127,8 +130,10 @@ def _w4_call(x, q, s, z, layer_idx, *, group_size, out_block):
 def w4a16_matmul_pallas(
     x: jax.Array, ql: QuantizedLinear, layer_idx, out_block: int = 512
 ) -> jax.Array:
-    """x [B, In] @ stacked quantized W[L][In, Out], selecting layer_idx."""
-    return _w4_call(
+    """x [B, In] @ stacked quantized W[L][In, Out], selecting layer_idx.
+
+    For expert stacks quantized as [L*E, In, Out] pass layer*E + e."""
+    y = _w4_call(
         x,
         ql.q,
         ql.s,
@@ -137,3 +142,6 @@ def w4a16_matmul_pallas(
         group_size=ql.group_size,
         out_block=out_block,
     )
+    if ql.out_true:
+        y = y[..., : ql.out_true]
+    return y

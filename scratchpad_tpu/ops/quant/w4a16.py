@@ -35,6 +35,9 @@ class QuantizedLinear:
     s: jax.Array  # [..., In/group, Out]
     z: jax.Array  # [..., In/group, Out]
     group_size: int = 128  # static
+    # true output width when Out was padded up to a 128-lane multiple
+    # (e.g. GPT-OSS hidden 2880 -> stored 2944); 0 = unpadded
+    out_true: int = 0
 
     @property
     def in_features(self) -> int:
@@ -42,11 +45,13 @@ class QuantizedLinear:
 
     @property
     def out_features(self) -> int:
-        return self.q.shape[-1]
+        return self.out_true or self.q.shape[-1]
 
 
 jax.tree_util.register_dataclass(
-    QuantizedLinear, data_fields=["q", "s", "z"], meta_fields=["group_size"]
+    QuantizedLinear,
+    data_fields=["q", "s", "z"],
+    meta_fields=["group_size", "out_true"],
 )
 
 
@@ -90,16 +95,28 @@ def dequantize_w4(ql: QuantizedLinear, dtype=jnp.bfloat16) -> jax.Array:
     nibbles = jnp.concatenate([lo, hi], axis=-2)  # [In, Out]
     s = _expand_groups(ql.s.astype(jnp.float32), ql.group_size)
     z = _expand_groups(ql.z.astype(jnp.float32), ql.group_size)
-    return ((nibbles - z) * s).astype(dtype)
+    w = ((nibbles - z) * s).astype(dtype)
+    return w[..., : ql.out_true] if ql.out_true else w
 
 
 def quantize_stacked(
     w_stacked: Any, group_size: int = 128, dtype=jnp.bfloat16
 ) -> QuantizedLinear:
-    """Quantize a layer-stacked weight [L, In, Out] (vectorised over layers)."""
+    """Quantize a layer-stacked weight [L, In, Out] (vectorised over layers).
+
+    Expert-stacked weights [L, E, In, Out] flatten the (layer, expert) dims
+    to one leading axis — the Pallas kernel's scalar-prefetch index then
+    selects layer*E + e (the triteia-sbmm role,
+    reference: scratchpad/nn/models/llama/llama_quant_moe.py:29-36)."""
     w = np.asarray(w_stacked, np.float32)
+    if w.ndim == 4:
+        w = w.reshape(-1, *w.shape[2:])
     L, In, Out = w.shape
+    # largest group <= group_size that divides the nibble-plane height
+    # (GPT-OSS hidden 2880 -> half 1440 -> g 120)
     g = min(group_size, In // 2)
+    while (In // 2) % g:
+        g -= 1
     G = In // g
     wg = w.reshape(L * G, g, Out)
     wmin = wg.min(axis=1)
@@ -111,15 +128,32 @@ def quantize_stacked(
     ).astype(np.uint8)
     q = q.reshape(L, In, Out)
     packed = (q[:, : In // 2] | (q[:, In // 2 :] << 4)).astype(np.uint8)
+    scale = scale.reshape(L, G, Out)
+    zero = zero.reshape(L, G, Out)
+    out_true = 0
+    pad = (-Out) % 128
+    if pad and Out > 128:
+        # lane-pad Out so Pallas output/weight blocks tile (padded columns
+        # dequantize to exactly zero; callers slice back to out_features)
+        out_true = Out
+        packed = np.pad(packed, ((0, 0), (0, 0), (0, pad)))
+        scale = np.pad(scale, ((0, 0), (0, 0), (0, pad)), constant_values=1.0)
+        zero = np.pad(zero, ((0, 0), (0, 0), (0, pad)))
     return QuantizedLinear(
         q=jnp.asarray(packed),
-        s=jnp.asarray(scale.reshape(L, G, Out), dtype),
-        z=jnp.asarray(zero.reshape(L, G, Out), dtype),
+        s=jnp.asarray(scale, dtype),
+        z=jnp.asarray(zero, dtype),
         group_size=g,
+        out_true=out_true,
     )
 
 
-QUANT_TARGETS = ("wq", "wk", "wv", "wo", "gate", "up", "down")
+QUANT_TARGETS = (
+    "wq", "wk", "wv", "wo", "gate", "up", "down",
+    # MoE expert stacks [L, E, In, Out] (flattened to L*E on the lead axis;
+    # "down" doubles as GPT-OSS's 4-D expert down projection)
+    "w1", "w2", "w3", "gate_up",
+)
 
 
 def quantize_model_params(params: dict, group_size: int = 128) -> dict:
@@ -129,6 +163,11 @@ def quantize_model_params(params: dict, group_size: int = 128) -> dict:
     quantized arrays are NOT scan-sliced (the model captures them and indexes
     by layer id inside the Pallas kernel's prefetched BlockSpec).
     """
+    if not isinstance(params.get("layers"), dict):
+        raise ValueError(
+            "quantization needs stacked-layer params (dict of [L, ...] "
+            "arrays); this model stores per-layer dicts"
+        )
     layers = dict(params["layers"])
     layers_q = {}
     for t in QUANT_TARGETS:
@@ -155,12 +194,13 @@ def quant_param_specs(base_specs: dict, params: dict, tp_axis: str = "tp"):
     }
     lq = {}
     for name, ql in params["layers_q"].items():
-        if name in ("wo", "down"):
+        if name in ("wo", "down", "w2"):
             spec = P(None, tp_axis, None)
         else:
             spec = P(None, None, tp_axis)
         lq[name] = QuantizedLinear(
-            q=spec, s=spec, z=spec, group_size=ql.group_size
+            q=spec, s=spec, z=spec,
+            group_size=ql.group_size, out_true=ql.out_true,
         )
     specs["layers_q"] = lq
     return specs
@@ -172,6 +212,7 @@ def slice_layer(ql: QuantizedLinear, layer_idx) -> QuantizedLinear:
         s=ql.s[layer_idx],
         z=ql.z[layer_idx],
         group_size=ql.group_size,
+        out_true=ql.out_true,
     )
 
 
@@ -190,4 +231,5 @@ def w4a16_matmul_xla(x: jax.Array, ql: QuantizedLinear) -> jax.Array:
     z = _expand_groups(ql.z, ql.group_size).astype(dtype)
     w_lo = (lo - z[..., :half, :]) * s[..., :half, :]
     w_hi = (hi - z[..., half:, :]) * s[..., half:, :]
-    return x[..., :half] @ w_lo + x[..., half:] @ w_hi
+    y = x[..., :half] @ w_lo + x[..., half:] @ w_hi
+    return y[..., : ql.out_true] if ql.out_true else y
