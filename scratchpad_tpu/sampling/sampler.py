@@ -32,8 +32,16 @@ _NEG = -1e30
 # narrowing over an <=80-unit z-range -> ~1.5e-4 absolute precision in
 # logit space, far below the spacing of adjacent order statistics at 128k
 # vocab except for exact ties (which are interchangeable under sampling).
-_BISECT_TAPS = 8
-_BISECT_ITERS = 6
+# Each (tap x criterion) is a fused compare+masked-reduce over [B, V] and
+# the schedule dominates sampled-decode overhead at 128k vocab; a smaller
+# budget (SPTPU_BISECT_TAPS / SPTPU_BISECT_ITERS) trades cutoff precision
+# — tokens within the residual band carry near-identical probabilities —
+# for throughput. top_k == 1 stays exact under ANY budget via the
+# analytic fast path below.
+import os as _os
+
+_BISECT_TAPS = int(_os.environ.get("SPTPU_BISECT_TAPS", "8"))
+_BISECT_ITERS = int(_os.environ.get("SPTPU_BISECT_ITERS", "6"))
 # softmax tail below z = max - 80 underflows f32 (e^-80 ~ 1.8e-35): those
 # tokens have probability zero and can never be drawn, so the bisection
 # domain is clamped there. Only matters when top_k exceeds the number of
@@ -96,7 +104,10 @@ def _fused_cutoff(
         hi_p = jnp.min(jnp.where(ok_p, hi_p, mid_p), axis=1, keepdims=True)
 
     ninf = jnp.float32(-jnp.inf)
-    c_k = jnp.where(top_k[:, None] < V, lo_k, ninf)
+    # top_k == 1 is argmax: the cutoff is the row max itself (z = 0),
+    # exact regardless of the bisection budget
+    c_k = jnp.where(top_k[:, None] == 1, 0.0, lo_k)
+    c_k = jnp.where(top_k[:, None] < V, c_k, ninf)
     c_p = jnp.where(top_p[:, None] < 1.0, lo_p, ninf)
     c_m = jnp.where(
         min_p[:, None] > 0.0,
