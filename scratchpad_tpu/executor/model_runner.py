@@ -286,6 +286,20 @@ class ModelRunner:
             )
 
             self.model.decode_attention = decode_attention_gqa
+            # fixed-window alternation (Gemma): extend also leaves the XLA
+            # gather path — both window variants compile and lax.cond picks
+            # per layer (sinks/chunked models keep the masked XLA extend)
+            if (
+                getattr(self.model, "window_cond_extend", False)
+                and self.args.kv_cache_dtype not in ("int8", "fp8")
+            ):
+                from scratchpad_tpu.ops.attention.ragged_backend import (
+                    make_window_cond_extend,
+                )
+
+                self.model.extend_attention = make_window_cond_extend(
+                    cfg.sliding_window or 1
+                )
             backend = "gqa_xla"
         self.attention_backend = backend
 

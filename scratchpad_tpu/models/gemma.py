@@ -52,6 +52,9 @@ class GemmaForCausalLM:
     supports_pallas_attention = False
     # decode rides the gqa kernel's dynamic-mask path (traced window)
     dynamic_mask_decode = True
+    # extend alternates ONE fixed window with full attention -> the ragged
+    # kernel serves both variants under lax.cond (make_window_cond_extend)
+    window_cond_extend = True
 
     def __init__(self, cfg: ModelConfig):
         self.cfg = cfg

@@ -68,17 +68,32 @@ def _ragged_call(
 
     if Dp != D:
         q = jnp.pad(q, [(0, 0), (0, 0), (0, Dp - D)])
-    out = ragged_paged_attention(
-        q * jnp.asarray(sm_scale, q.dtype),
-        kv_pages,
-        kv_lens.astype(jnp.int32),
-        pt_global.astype(jnp.int32),
-        cu_q,
-        num_seqs,
-        sm_scale=1.0,
-        sliding_window=sliding_window,
-        soft_cap=logit_cap,
-    )
+    if jax.default_backend() == "cpu":
+        # tests: the jittable dense equivalent stands in for the Mosaic
+        # kernel (same interface/masks — see _ragged_dense_ref)
+        out = _ragged_dense_ref(
+            q * jnp.asarray(sm_scale, q.dtype),
+            kv_pages,
+            kv_lens.astype(jnp.int32),
+            pt_global.astype(jnp.int32),
+            cu_q,
+            num_seqs,
+            sm_scale=1.0,
+            logit_cap=logit_cap,
+            sliding_window=sliding_window,
+        )
+    else:
+        out = ragged_paged_attention(
+            q * jnp.asarray(sm_scale, q.dtype),
+            kv_pages,
+            kv_lens.astype(jnp.int32),
+            pt_global.astype(jnp.int32),
+            cu_q,
+            num_seqs,
+            sm_scale=1.0,
+            sliding_window=sliding_window,
+            soft_cap=logit_cap,
+        )
     return out[..., :D]
 
 
@@ -108,6 +123,43 @@ def attention_ragged(
         sliding_window=sliding_window,
         num_layers=kv.num_layers,
     )
+
+
+def make_window_cond_extend(static_window: int):
+    """Extend attention for models that alternate a FIXED sliding window
+    with full attention per layer (Gemma 2/3).
+
+    The bundled ragged kernel takes the window statically, but the layer
+    scan passes it as a traced scalar (>= 2^30 sentinel = global). Compile
+    both variants and pick per layer with lax.cond — one branch executes
+    at runtime, so windowed prefill rides the Pallas kernel instead of the
+    XLA gather path."""
+
+    def attend(
+        q, kv, layer_idx, meta, *,
+        page_size, sm_scale, logit_cap=None, sliding_window=None, **_,
+    ):
+        def local_fn(q_):
+            return attention_ragged(
+                q_, kv, layer_idx, meta, page_size=page_size,
+                sm_scale=sm_scale, logit_cap=logit_cap,
+                sliding_window=static_window,
+            )
+
+        def global_fn(q_):
+            return attention_ragged(
+                q_, kv, layer_idx, meta, page_size=page_size,
+                sm_scale=sm_scale, logit_cap=logit_cap,
+                sliding_window=None,
+            )
+
+        if sliding_window is None:
+            return global_fn(q)
+        return jax.lax.cond(
+            jnp.asarray(sliding_window) < (1 << 29), local_fn, global_fn, q
+        )
+
+    return attend
 
 
 # ---------------------------------------------------------------------------
