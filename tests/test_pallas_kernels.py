@@ -662,3 +662,33 @@ def test_gqa_decode_v2_dynamic_window_int8_kv():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
     )
+
+
+def test_gqa_decode_v2_sinks_window_int8_kv():
+    """GPT-OSS with a quantized cache: sinks + traced window + int8 pages
+    compose in one kernel call."""
+    from scratchpad_tpu.ops.attention.gqa_decode import decode_attention_gqa
+    from scratchpad_tpu.ops.attention.xla_backend import _quantize_rows
+
+    rng = np.random.default_rng(13)
+    q, kv, meta = make_case(seed=14, P=24)
+    Pg, ps, H2, Dp = kv.kv.shape
+    flat = kv.kv.reshape(Pg * ps, H2, Dp)
+    qvals, sc = _quantize_rows(flat, jnp.int8)
+    kv_q = KVCache(
+        kv=qvals.reshape(Pg, ps, H2, Dp),
+        scale=sc.reshape(Pg, ps, H2),
+        num_layers=kv.num_layers,
+    )
+    sinks = jnp.asarray(rng.normal(size=(q.shape[1],)), jnp.float32)
+    kw = dict(page_size=16, sm_scale=0.125)
+    ref = decode_attention_xla(
+        q, kv_q, jnp.int32(1), meta, sinks=sinks, sliding_window=40, **kw
+    )
+    out = decode_attention_gqa(
+        q, kv_q, jnp.int32(1), meta, sinks=sinks,
+        sliding_window=jnp.int32(40), **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
