@@ -16,6 +16,8 @@ Variants (env):
   SPTPU_BENCH_KV      int8 | fp8 (KV-cache quantization)
   SPTPU_BENCH_BS      batch size (default 64 for 1B, 32 for 8B)
   SPTPU_BENCH_SAMPLED temperature=0.8/top_p=0.9/top_k=64 instead of greedy
+  SPTPU_BENCH_SPEC    ngram | draft | eagle: speculative decoding over a
+                      repetitive prompt set (drafts actually hit)
 """
 
 from __future__ import annotations
@@ -39,6 +41,7 @@ def main() -> None:
     page_size = int(os.environ.get("SPTPU_PS", "16"))
     kv_dtype = os.environ.get("SPTPU_BENCH_KV", "auto")  # e.g. "int8"
     sampled = os.environ.get("SPTPU_BENCH_SAMPLED", "") not in ("", "0")
+    spec = os.environ.get("SPTPU_BENCH_SPEC") or None  # ngram|draft|eagle
     if on_tpu:
         preset = os.environ.get("SPTPU_BENCH_PRESET", "llama-3.2-1b")
         dtype = "bfloat16"
@@ -77,6 +80,8 @@ def main() -> None:
         max_prefill_tokens=4096 if on_tpu else prompt_len,
         chunked_prefill_size=2048 if on_tpu else prompt_len,
         decode_window_size=int(os.environ.get("SPTPU_BENCH_WINDOW", "64")),
+        speculative_algorithm=spec,
+        speculative_draft_preset=preset if spec == "draft" else None,
     )
     sched = Scheduler(cfg, args)
     rng = np.random.default_rng(0)
@@ -116,12 +121,20 @@ def main() -> None:
     else:
         sp_kw = dict(temperature=0.0)
 
+    def bench_prompt():
+        if spec:
+            # periodic prompts: greedy decode of a random model on a cycle
+            # almost always cycles too, so ngram/draft proposals hit
+            base = rng.integers(1, 32000, 8).tolist()
+            return (base * (prompt_len // 8 + 1))[:prompt_len]
+        return rng.integers(1, 32000, prompt_len).tolist()
+
     def submit():
         for i in range(batch_size):
             sched.add_request(
                 Req(
                     rid=f"r{i}",
-                    origin_input_ids=rng.integers(1, 32000, prompt_len).tolist(),
+                    origin_input_ids=bench_prompt(),
                     sampling_params=SamplingParams(
                         max_new_tokens=decode_len, ignore_eos=True, **sp_kw
                     ),
@@ -173,6 +186,16 @@ def main() -> None:
         tag += "_sampled"
     if n_toppings:
         tag += f"_lora{n_toppings}"
+    if spec:
+        tag += f"_spec-{spec}"
+        import sys
+
+        acc = sched.num_spec_accepted / max(sched.num_spec_steps, 1)
+        print(  # diagnostics on stderr: stdout stays ONE JSON line
+            f"spec_steps={sched.num_spec_steps} "
+            f"accepted_per_step={acc:.3f}",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
