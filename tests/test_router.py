@@ -88,3 +88,64 @@ def test_router_health(cluster):
     url, _ = cluster
     r = httpx.get(f"{url}/health", timeout=30)
     assert r.status_code == 200
+
+
+def test_prefix_index_and_request_key():
+    from scratchpad_tpu.server.router import PrefixIndex, Router
+
+    idx = PrefixIndex()
+    idx.insert("a" * 100)
+    assert idx.match("a" * 100) == 3  # 3 full 32-char blocks
+    assert idx.match("a" * 64 + "b" * 36) == 2  # diverges in block 3
+    assert idx.match("b" * 100) == 0
+    # LRU bound
+    small = PrefixIndex(max_entries=2)
+    small.insert("x" * 96)
+    assert len(small.seen) == 2
+
+    key = Router._request_key(
+        "v1/completions", b'{"prompt": [1, 2, 3], "max_tokens": 1}'
+    )
+    assert key == "1,2,3"
+    key = Router._request_key(
+        "v1/chat/completions",
+        b'{"messages": [{"role": "user", "content": "hi"}]}',
+    )
+    assert key == "user:hi"
+    assert Router._request_key("health", b"") is None
+
+
+def test_cache_aware_affinity(cluster):
+    """Same long prompt routes to the SAME replica; distinct prompts spread
+    by load."""
+    url, _ = cluster
+    from scratchpad_tpu.server.router import Router
+
+    import httpx
+
+    # stand up a second router (cache-aware) over the same replicas
+    reps = [r["url"] for r in httpx.get(f"{url}/router_info").json()["replicas"]]
+    rport = _free_port()
+    router = Router(reps, policy="cache-aware")
+    _LoopThread(router.app, rport)
+    curl = f"http://127.0.0.1:{rport}"
+
+    shared = list(range(1, 40))  # long enough for >= 2 key blocks
+    for _ in range(3):
+        r = httpx.post(
+            f"{curl}/v1/completions",
+            json={
+                "model": "tiny",
+                "prompt": [shared],
+                "max_tokens": 2,
+                "temperature": 0.0,
+            },
+            timeout=120,
+        )
+        assert r.status_code == 200, r.text
+    info = httpx.get(f"{curl}/router_info", timeout=30).json()
+    routed = [x["routed"] for x in info["replicas"]]
+    hits = sum(x["cache_hits"] for x in info["replicas"])
+    # repeats 2 and 3 must follow repeat 1's replica
+    assert sorted(routed) == [0, 3], info
+    assert hits == 2, info
