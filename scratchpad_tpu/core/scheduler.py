@@ -716,8 +716,13 @@ class Scheduler:
     def _get_next_batch(self):
         prefill = self._get_prefill_batch()
         if prefill is not None:
+            self._admission_blocked = False
             reqs, chunk_lens = prefill
             return reqs, ForwardMode.EXTEND, chunk_lens
+        # waiting requests that could NOT be admitted (req slots, pages,
+        # adapter budget) should not also shrink the decode window — they
+        # only become admittable when running requests finish
+        self._admission_blocked = bool(self.waiting)
         # grammar jump-forward catch-up: requests that had forced tokens
         # appended host-side carry a multi-token KV deficit; compute it as
         # one extend chunk (prefill speed instead of per-token decode)
@@ -746,8 +751,14 @@ class Scheduler:
         w = self.args.decode_window_size
         if getattr(self.runner, "param_offload", False):
             return 1  # host-resident layers stream once per dispatch
-        if self.waiting or self.chunked_req is not None:
+        if self.chunked_req is not None or (
+            self.waiting and not getattr(self, "_admission_blocked", False)
+        ):
             w = min(w, 4)
+        elif self.waiting:
+            # admission-blocked waiters free up only when running requests
+            # finish: keep windows wide-ish but bound their wait
+            w = min(w, 16)
         if any(r.grammar is not None for r in self.running):
             return 1  # grammar FSM advances on host per token (for now)
         if any(r.sampling_params.top_logprobs > 0 for r in self.running):

@@ -247,7 +247,7 @@ class TestLdmmKernel:
         S = MAX_ACTIVE_TOPPINGS
         A = rng.standard_normal((S, In, r), np.float32) * 0.1
         B = rng.standard_normal((S, r, Out), np.float32) * 0.1
-        scaling = np.array([0.0, 0.5, 1.0, 2.0], np.float32)
+        scaling = np.linspace(0.0, 2.0, S).astype(np.float32)
         slots = rng.integers(0, S, T).astype(np.int32)
         x = rng.standard_normal((T, In), np.float32)
 
