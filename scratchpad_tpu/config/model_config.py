@@ -115,6 +115,7 @@ class ModelConfig:
             "vision_feature_select_strategy",
             "projector_hidden_act",
             "image_size",
+            "mm_tokens_per_image",
         )
         if "text_config" in cfg and isinstance(cfg["text_config"], dict):
             # VLM configs (Llava-style) nest the LM config; flatten it and

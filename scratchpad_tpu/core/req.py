@@ -74,6 +74,9 @@ class Req:
     # prompts and the scalar shift for every token past the prompt
     mrope_table: Optional[np.ndarray] = None
     mrope_delta: int = 0
+    # Gemma3-MM: absolute (start, end) prompt ranges whose tokens attend
+    # BIDIRECTIONALLY (HF token-type mask; reference: gemma3_mm.py:212-232)
+    mm_spans: Optional[list] = None
     # draft-model speculation: positions [0, draft_len) hold valid KV in the
     # DRAFT runner's pool (invariant: == computed_len right after any draft
     # forward; lags behind after plain decode windows, caught up on demand)
@@ -123,6 +126,20 @@ class Req:
     def extend_input_len(self) -> int:
         """Tokens still to be computed to finish prefill."""
         return len(self.fill_ids) - self.computed_len
+
+    def clamp_chunk_for_spans(self, chunk: int) -> int:
+        """Shrink (or grow) a prefill chunk so no bidirectional image span
+        (Gemma3-MM) straddles the chunk boundary — a split span's earlier
+        tokens would otherwise compute KV without intra-span attention."""
+        if not self.mm_spans:
+            return chunk
+        end = self.computed_len + chunk
+        for s0, s1 in self.mm_spans:
+            if s0 < end < s1:
+                if s0 > self.computed_len:
+                    return s0 - self.computed_len  # stop before the span
+                return s1 - self.computed_len  # cover the whole span
+        return chunk
 
     @property
     def is_prefill_done(self) -> bool:

@@ -790,6 +790,7 @@ class Scheduler:
         if self.chunked_req is not None:
             req = self.chunked_req
             chunk = min(req.extend_input_len, self.args.chunked_prefill_size)
+            chunk = min(req.clamp_chunk_for_spans(chunk), req.extend_input_len)
             if not self._alloc_for_extend(req, chunk):
                 logger.warning("chunked req cannot allocate; retracting others")
                 if not self._retract_for(req, chunk):
@@ -893,6 +894,9 @@ class Scheduler:
                 # have cut it shorter when rem_input_tokens ran low
                 chunk = min(chunk, adder.new_chunked_len)
                 chunk = max((chunk // self.page_size) * self.page_size, 1)
+                chunk = min(
+                    req.clamp_chunk_for_spans(chunk), req.extend_input_len
+                )
             if not self._alloc_for_extend(req, chunk):
                 # roll back admission for this req
                 if req.last_node is not None:
@@ -1095,6 +1099,15 @@ class Scheduler:
                     axis=1,
                 )
 
+        # Gemma3-MM: absolute bidirectional spans [B, M, 2] (zeros = none)
+        mm_spans = None
+        if mode != ForwardMode.DECODE and any(r.mm_spans for r in batch):
+            M = 8  # static span capacity; >8-image prompts degrade to causal
+            mm_spans = np.zeros((len(batch), M, 2), np.int32)
+            for i, r in enumerate(batch):
+                for m, (s0, s1) in enumerate((r.mm_spans or [])[:M]):
+                    mm_spans[i, m] = (s0, s1)
+
         rope_delta = None
         if mrope_positions is None and any(r.mrope_delta for r in batch):
             rope_delta = np.array([r.mrope_delta for r in batch], np.int32)
@@ -1146,6 +1159,7 @@ class Scheduler:
             rope_delta=rope_delta,
             cross_slots=cross_slots,
             cross_states=cross_states,
+            mm_spans=mm_spans,
         )
 
     @staticmethod

@@ -71,6 +71,9 @@ class ForwardMeta:
     # and write into that slot
     cross_slots: Optional[jax.Array] = None  # i32[B]
     cross_states: Optional[jax.Array] = None  # f32[B, S_img, H]
+    # Gemma3-MM: absolute (start, end) prompt ranges per request whose
+    # tokens attend bidirectionally (HF token-type mask; zeros = no span)
+    mm_spans: Optional[jax.Array] = None  # i32[B, M, 2]
     # SP ring prefill: static bucket for the cached-prefix K/V gather
     # (0 = no cached prefix); the valid length is positions[0] at runtime
     sp_prefix_bucket: int = 0
@@ -110,6 +113,7 @@ jax.tree_util.register_dataclass(
         "rope_delta",
         "cross_slots",
         "cross_states",
+        "mm_spans",
     ],
     meta_fields=[
         "mode",

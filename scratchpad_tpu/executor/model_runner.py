@@ -68,6 +68,8 @@ class WorkerBatch:
     # cross-attention (Mllama): slot per request + prefill vision states
     cross_slots: Optional[np.ndarray] = None  # i32[B_real]
     cross_states: Optional[np.ndarray] = None  # f32[B_real, S_img, H]
+    # Gemma3-MM: absolute [B_real, M, 2] (start, end) bidirectional spans
+    mm_spans: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -817,6 +819,7 @@ class ModelRunner:
             # adapters pack once the manager is attached (zero-slot no-op)
             and (wb.active_adapters is None or self.toppings_manager is not None)
             and wb.input_embeds is None
+            and wb.mm_spans is None
             and wb.mrope_positions is None
             and wb.rope_delta is None
             and wb.cross_slots is None
@@ -1168,6 +1171,10 @@ class ModelRunner:
         rope_delta = None
         if wb.rope_delta is not None:
             rope_delta = pad1(wb.rope_delta.astype(np.int32), B)
+        mm_spans = None
+        if wb.mm_spans is not None:
+            mm_spans = np.zeros((B,) + wb.mm_spans.shape[1:], np.int32)
+            mm_spans[:B_real] = wb.mm_spans
         cross_slots = cross_states = None
         if wb.cross_slots is not None:
             cross_slots = pad1(wb.cross_slots.astype(np.int32), B)
@@ -1191,6 +1198,7 @@ class ModelRunner:
             rope_delta=rope_delta,
             cross_slots=cross_slots,
             cross_states=cross_states,
+            mm_spans=mm_spans,
         )
         si = wb.sampling_info
         V = self.model_config.vocab_size

@@ -219,6 +219,14 @@ class GemmaForCausalLM:
 
         x = jnp.take(params["embed"], meta.tokens, axis=0)
         x = x * jnp.asarray(np.sqrt(cfg.hidden_size), x.dtype)  # embed scale
+        if meta.input_embeds is not None:
+            # multimodal rows (negative placeholder ids) carry projected
+            # vision features, spliced UNSCALED like HF Gemma3
+            x = jnp.where(
+                (meta.tokens < 0)[:, None],
+                meta.input_embeds.astype(x.dtype),
+                x,
+            )
 
         if meta.mode == ForwardMode.DECODE:
             attend = self.decode_attention
@@ -287,3 +295,111 @@ class Gemma3ForCausalLM(GemmaForCausalLM):
     def __init__(self, cfg: ModelConfig):
         cfg.use_qk_norm = True
         super().__init__(cfg)
+
+
+class Gemma3ForConditionalGeneration(Gemma3ForCausalLM):
+    """Gemma-3 multimodal: SigLIP tower + avg-pool/rms-norm projector +
+    the Gemma3 text decoder (reference:
+    scratchpad/nn/models/gemma/gemma3_mm.py:86). Image spans attend
+    BIDIRECTIONALLY (HF token-type mask; reference builds the same masks
+    at gemma3_mm.py:212-232) — plumbed here as per-request absolute span
+    tables consumed by the masked XLA extend."""
+
+    is_multimodal = True
+    bidirectional_image_attention = True
+    # span masks need the masked XLA extend; the ragged kernel's lax.cond
+    # window variants have no span support
+    window_cond_extend = False
+
+    def __init__(self, cfg: ModelConfig):
+        super().__init__(cfg)
+        from scratchpad_tpu.models.vision import SigLIPVisionTower
+
+        mm = cfg.multimodal or {}
+        assert "vision_config" in mm, "Gemma3-MM needs multimodal.vision_config"
+        self.image_token_index = mm.get("image_token_index", 262144)
+        self.vision = SigLIPVisionTower(mm["vision_config"])
+        self.mm_tokens_per_image = mm.get("mm_tokens_per_image", 256)
+        tps = int(round(self.mm_tokens_per_image**0.5))
+        assert tps * tps == self.mm_tokens_per_image
+        ppi = self.vision.image_size // self.vision.patch
+        assert ppi % tps == 0, (ppi, tps)
+        self.pool_kernel = ppi // tps
+        self.tokens_per_side = tps
+        # SigLIP normalization (mean/std 0.5) instead of CLIP's
+        self.image_mean = (0.5, 0.5, 0.5)
+        self.image_std = (0.5, 0.5, 0.5)
+
+    @property
+    def num_image_tokens(self) -> int:
+        return self.mm_tokens_per_image
+
+    # ------------------------------------------------------------ parameters
+
+    def init_params(self, rng: jax.Array, dtype=jnp.bfloat16) -> dict[str, Any]:
+        k1, k2, k3 = jax.random.split(rng, 3)
+        params = super().init_params(k1, dtype)
+        H, Hv = self.cfg.hidden_size, self.vision.hidden
+        params["vision"] = self.vision.init_params(k2, dtype)
+        params["projector"] = {
+            "w": (jax.random.normal(k3, (Hv, H)) / np.sqrt(Hv)).astype(dtype),
+            "norm": jnp.zeros((Hv,), dtype),  # gemma (1+w) rms convention
+        }
+        return params
+
+    def param_specs(self, tp_axis: str = "tp") -> dict[str, Any]:
+        specs = super().param_specs(tp_axis)
+        specs["vision"] = jax.tree.map(
+            lambda _: P(), self.vision.init_params(jax.random.PRNGKey(0)),
+            is_leaf=lambda x: isinstance(x, jax.Array),
+        )
+        specs["projector"] = {"w": P(), "norm": P()}
+        return specs
+
+    def convert_hf_state(self, state: dict[str, np.ndarray], dtype=jnp.bfloat16):
+        lang, vision, proj = {}, {}, {}
+        for name, w in state.items():
+            if name.startswith("model.language_model."):
+                lang["model." + name[len("model.language_model.") :]] = w
+            elif name.startswith("language_model.model."):  # older layout
+                lang["model." + name[len("language_model.model.") :]] = w
+            elif ".vision_tower.vision_model." in name:
+                sub = name.split(".vision_tower.vision_model.", 1)[1]
+                if sub.startswith("head."):
+                    continue  # SigLIP pooling head: unused by Gemma3
+                vision[sub] = w
+            elif ".multi_modal_projector." in name:
+                proj[name.split(".multi_modal_projector.", 1)[1]] = w
+            elif name in ("lm_head.weight", "language_model.lm_head.weight"):
+                pass  # gemma ties embeddings
+            else:
+                raise KeyError(f"unmapped VLM weight {name}")
+        params = super().convert_hf_state(lang, dtype)
+        params["vision"] = self.vision.convert_hf_state(vision, dtype)
+        params["projector"] = jax.tree.map(
+            lambda x: jnp.asarray(x, dtype),
+            {
+                "w": proj["mm_input_projection_weight"],  # [Hv, H] already
+                "norm": proj["mm_soft_emb_norm.weight"],
+            },
+        )
+        return params
+
+    # ---------------------------------------------------------------- vision
+
+    def encode_images(self, params: dict, pixel_values: jax.Array) -> jax.Array:
+        """[N, C, S, S] -> pooled projected features [N, mm_tokens, H]."""
+        feats = self.vision(params["vision"], pixel_values)  # [N, P, Hv]
+        N, Pn, Hv = feats.shape
+        ppi, k, tps = (
+            self.vision.image_size // self.vision.patch,
+            self.pool_kernel,
+            self.tokens_per_side,
+        )
+        # avg-pool the patch grid down to tokens_per_side^2 soft tokens
+        g = feats.reshape(N, tps, k, tps, k, Hv)
+        pooled = jnp.mean(g, axis=(2, 4)).reshape(N, tps * tps, Hv)
+        normed = gemma_rms_norm(
+            pooled, params["projector"]["norm"], self.vision.eps
+        )
+        return normed @ params["projector"]["w"]

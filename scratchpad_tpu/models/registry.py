@@ -65,11 +65,14 @@ def _ensure_builtin():
         from scratchpad_tpu.models.gemma import (
             Gemma2ForCausalLM,
             Gemma3ForCausalLM,
+            Gemma3ForConditionalGeneration,
         )
 
         _REGISTRY["Gemma2ForCausalLM"] = Gemma2ForCausalLM
         _REGISTRY["Gemma3ForCausalLM"] = Gemma3ForCausalLM
-        _REGISTRY["Gemma3ForConditionalGeneration"] = Gemma3ForCausalLM
+        _REGISTRY["Gemma3ForConditionalGeneration"] = (
+            Gemma3ForConditionalGeneration
+        )
     except ImportError:
         pass
     try:

@@ -218,6 +218,29 @@ def extend_attention_xla(
             kv_idx[None, None, :] // chunk_size
             == pos_p[:, :, None] // chunk_size
         )
+    if meta.mm_spans is not None:
+        # Gemma3-MM: tokens of the same image span attend bidirectionally,
+        # overriding causality and any sliding window (HF token-type mask;
+        # reference: scratchpad/nn/models/gemma/gemma3_mm.py:212-232)
+        s0 = meta.mm_spans[..., 0]  # [B, M]
+        s1 = meta.mm_spans[..., 1]
+        q_in = (pos_p[:, :, None] >= s0[:, None, :]) & (
+            pos_p[:, :, None] < s1[:, None, :]
+        )  # [B, T, M]
+        kv_in = (kv_idx[None, None, :] >= s0[:, :, None]) & (
+            kv_idx[None, None, :] < s1[:, :, None]
+        )  # [B, M, S]
+        same_span = (
+            jnp.einsum(
+                "btm,bms->bts",
+                q_in.astype(jnp.float32),
+                kv_in.astype(jnp.float32),
+            )
+            > 0
+        )
+        valid |= same_span & (
+            kv_idx[None, None, :] < meta.seq_lens[:, None, None]
+        )
     scores = jnp.where(valid[:, None, None, :, :], scores, _NEG)
     if sinks is not None:
         sk = jnp.broadcast_to(

@@ -237,7 +237,7 @@ class Engine:
         if input_ids is None:
             assert prompt is not None and self.tokenizer is not None
             input_ids = self.tokenizer.encode(prompt)
-        mm_positions = mm_features = None
+        mm_positions = mm_features = mm_spans = None
         mrope_table, mrope_delta = None, 0
         cross_states = None
         if image_data is not None:
@@ -248,6 +248,7 @@ class Engine:
                 mrope_table,
                 mrope_delta,
                 cross_states,
+                mm_spans,
             ) = self._prepare_multimodal(list(input_ids), image_data)
         topping_idx = 0
         if topping:
@@ -261,6 +262,7 @@ class Engine:
             topping_idx=topping_idx,
             mm_positions=mm_positions,
             mm_features=mm_features,
+            mm_spans=mm_spans,
             mrope_table=mrope_table,
             mrope_delta=mrope_delta,
             cross_states=cross_states,
@@ -280,9 +282,16 @@ class Engine:
         mm = getattr(self.model_config, "multimodal", None) or {}
         if getattr(model, "uses_mrope", False):  # Qwen2-VL fixed square
             return preprocess_clip(img, model.vision.image_size)
-        return preprocess_clip(
-            img, (mm.get("vision_config") or {}).get("image_size", 336)
-        )
+        size = (mm.get("vision_config") or {}).get("image_size", 336)
+        if hasattr(model, "image_mean"):  # SigLIP-style normalization
+            import numpy as _np
+
+            return preprocess_clip(
+                img, size,
+                mean=_np.asarray(model.image_mean, _np.float32),
+                std=_np.asarray(model.image_std, _np.float32),
+            )
+        return preprocess_clip(img, size)
 
     def _prepare_multimodal(self, input_ids: list[int], image_data):
         """Encode images and splice them into the prompt.
@@ -364,6 +373,11 @@ class Engine:
         mrope_table, mrope_delta = None, 0
         if getattr(model, "uses_mrope", False):
             mrope_table, mrope_delta = model.compute_mrope(out_ids, spans)
+        # Gemma3-MM: image spans attend bidirectionally; keep the absolute
+        # (start, end) ranges so the extend mask can honor them
+        mm_spans = None
+        if getattr(model, "bidirectional_image_attention", False):
+            mm_spans = [(s0, s0 + n) for s0, n in spans]
         return (
             out_ids,
             np.asarray(positions, np.int64),
@@ -371,6 +385,7 @@ class Engine:
             mrope_table,
             mrope_delta,
             cross_states,
+            mm_spans,
         )
 
     # ------------------------------------------------------------ sync API
