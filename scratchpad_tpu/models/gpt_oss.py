@@ -36,6 +36,7 @@ from scratchpad_tpu.models.common import (
     compute_inv_freq,
     rms_norm,
     rope_attention_scale,
+    shard_rows,
 )
 from scratchpad_tpu.ops.attention import write_kv
 from scratchpad_tpu.ops.attention.xla_backend import (
@@ -54,6 +55,11 @@ class GptOssForCausalLM:
     # decode rides the gqa kernel's dynamic-mask path (traced window +
     # in-kernel sinks) when serving single-device TPU
     dynamic_mask_decode = True
+    # DP attention (models/common.py dp_attention_respec)
+    ATTN_PARAM_KEYS = frozenset(
+        {"wq", "wk", "wv", "wo", "bq", "bk", "bv", "bo", "sinks"}
+    )
+    dp_attention: bool = False
 
     def __init__(self, cfg: ModelConfig):
         assert cfg.num_experts > 0, "GPT-OSS is MoE"
@@ -254,6 +260,7 @@ class GptOssForCausalLM:
         )
 
         qlayers = params.get("layers_q")
+        dpa_mesh = self.mesh if getattr(self, "dp_attention", False) else None
 
         def lin(x_, lp, name, lidx):
             if qlayers is not None and name in qlayers:
@@ -269,9 +276,18 @@ class GptOssForCausalLM:
             x, kv_c = carry
             lp, lidx, window = layer
             h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-            q = (lin(h, lp, "wq", lidx) + lp["bq"]).reshape(T, Hq, D)
-            kn = (lin(h, lp, "wk", lidx) + lp["bk"]).reshape(T, Hkv, D)
-            vn = (lin(h, lp, "wv", lidx) + lp["bv"]).reshape(T, Hkv, D)
+            q = shard_rows(
+                (lin(h, lp, "wq", lidx) + lp["bq"]).reshape(T, Hq, D),
+                dpa_mesh, ("dp", "tp"),
+            )
+            kn = shard_rows(
+                (lin(h, lp, "wk", lidx) + lp["bk"]).reshape(T, Hkv, D),
+                dpa_mesh, ("dp", "tp"),
+            )
+            vn = shard_rows(
+                (lin(h, lp, "wv", lidx) + lp["bv"]).reshape(T, Hkv, D),
+                dpa_mesh, ("dp", "tp"),
+            )
             q = apply_rope(q, meta.positions, inv_freq)
             kn = apply_rope(kn, meta.positions, inv_freq)
             kv_c = write_kv(kv_c, kn, vn, lidx, meta.out_cache_loc)
@@ -286,7 +302,10 @@ class GptOssForCausalLM:
                 sliding_window=window,
                 sinks=lp["sinks"],
             )
+            attn = shard_rows(attn, dpa_mesh, ("dp", "tp"))
             x = x + (lin(attn.reshape(T, Hq * D), lp, "wo", lidx) + lp["bo"])
+            # back to dp rows: the MoE runs tensor-parallel over tp
+            x = shard_rows(x, dpa_mesh, "dp")
             h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
             x = x + self._moe(h2, lp, lidx, qlayers)
             return (x, kv_c), None

@@ -23,7 +23,13 @@ from jax.sharding import PartitionSpec as P
 from scratchpad_tpu.config.model_config import ModelConfig
 from scratchpad_tpu.executor.forward_meta import ForwardMeta, ForwardMode
 from scratchpad_tpu.memory.kv_cache import KVCache
-from scratchpad_tpu.models.common import apply_rope, compute_inv_freq, rms_norm, silu_mul
+from scratchpad_tpu.models.common import (
+    apply_rope,
+    compute_inv_freq,
+    rms_norm,
+    shard_rows,
+    silu_mul,
+)
 from scratchpad_tpu.ops.attention import write_kv
 from scratchpad_tpu.ops.attention.xla_backend import (
     decode_attention_xla,
@@ -34,6 +40,9 @@ from scratchpad_tpu.ops.attention.xla_backend import (
 class MixtralForCausalLM:
     page_size: int = 16
     norm_topk: bool = True
+    # DP attention (models/common.py dp_attention_respec)
+    ATTN_PARAM_KEYS = frozenset({"wq", "wk", "wv", "wo", "q_norm", "k_norm"})
+    dp_attention: bool = False
 
     def __init__(self, cfg: ModelConfig):
         assert cfg.num_experts > 0, "MoE model needs num_experts"
@@ -287,13 +296,21 @@ class MixtralForCausalLM:
                 return self.quant_matmul(x_, ql, lidx)
             return x_ @ lp[name]
 
+        dpa_mesh = self.mesh if getattr(self, "dp_attention", False) else None
+
         def body(carry, layer):
             x, kv_c = carry
             lp, lidx = layer
             h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-            q = lin(h, lp, "wq", lidx).reshape(T, Hq, D)
-            kn = lin(h, lp, "wk", lidx).reshape(T, Hkv, D)
-            vn = lin(h, lp, "wv", lidx).reshape(T, Hkv, D)
+            q = shard_rows(
+                lin(h, lp, "wq", lidx).reshape(T, Hq, D), dpa_mesh, ("dp", "tp")
+            )
+            kn = shard_rows(
+                lin(h, lp, "wk", lidx).reshape(T, Hkv, D), dpa_mesh, ("dp", "tp")
+            )
+            vn = shard_rows(
+                lin(h, lp, "wv", lidx).reshape(T, Hkv, D), dpa_mesh, ("dp", "tp")
+            )
             if cfg.use_qk_norm:
                 q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
                 kn = rms_norm(kn, lp["k_norm"], cfg.rms_norm_eps)
@@ -307,7 +324,10 @@ class MixtralForCausalLM:
                 logit_cap=None,
                 sliding_window=None,
             )
+            attn = shard_rows(attn, dpa_mesh, ("dp", "tp"))
             x = x + lin(attn.reshape(T, Hq * D), lp, "wo", lidx)
+            # back to dp rows: experts run tensor-parallel over tp
+            x = shard_rows(x, dpa_mesh, "dp")
             h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
             x = x + self._moe(h2, lp, lidx, qlayers)
             return (x, kv_c), None

@@ -141,3 +141,45 @@ class TestDpAttention:
         sp = SamplingParams(temperature=0.0, max_new_tokens=4, ignore_eos=True)
         outs = eng.generate(input_ids=prompts()[:2], sampling_params=[sp] * 2)
         assert all(len(o.output_ids) == 4 for o in outs)
+
+
+def make_moe_engine(arch, mesh=None, **kw):
+    if arch == "mixtral":
+        cfg = ModelConfig(
+            architecture="MixtralForCausalLM",
+            vocab_size=512, hidden_size=64, intermediate_size=128,
+            moe_intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+            num_experts=4, num_experts_per_tok=2,
+            max_position_embeddings=1024, rms_norm_eps=1e-5,
+            rope_theta=10000.0, tie_word_embeddings=False, dtype="float32",
+        )
+    else:  # gpt-oss
+        from scratchpad_tpu.config.model_config import get_preset
+
+        cfg = get_preset("tiny-gpt-oss", dtype="float32")
+    args = ServerArgs(
+        random_weights=True, dtype="float32", page_size=4,
+        max_total_tokens=2048, **kw,
+    )
+    return Engine(args, model_config=cfg, mesh=mesh)
+
+
+@pytest.mark.parametrize("arch", ["mixtral", "gpt-oss"])
+def test_moe_dp2_tp2_matches_single_device(arch):
+    sp = SamplingParams(temperature=0.0, max_new_tokens=6, ignore_eos=True)
+    n = len(prompts())
+    ref = [
+        o.output_ids
+        for o in make_moe_engine(arch).generate(
+            input_ids=prompts(), sampling_params=[sp] * n
+        )
+    ]
+    eng = make_moe_engine(arch, mesh=dp_tp_mesh(2, 2), enable_dp_attention=True)
+    assert eng.scheduler.runner.dp_attention
+    got = [
+        o.output_ids
+        for o in eng.generate(input_ids=prompts(), sampling_params=[sp] * n)
+    ]
+    assert got == ref
+    eng.scheduler.check_memory_leak()
