@@ -13,6 +13,22 @@ import jax
 import jax.numpy as jnp
 
 
+def init_stacked_lean(seed: int, shape, scale_dim: int, dtype) -> jax.Array:
+    """Random-init a big stacked tensor WITHOUT a whole-array f32
+    intermediate: numpy fills one leading slice at a time in f16, then one
+    cast to the serving dtype. A 20B-class MoE expert stack ([24, 32, 2880,
+    5760]) peaks at ~2.5 bytes/elem here instead of the 12+ bytes/elem of
+    a single jax.random.normal jit (which OOMed a 125 GB host)."""
+    rng = np.random.default_rng(seed)
+    out = np.empty(shape, np.float16)
+    inv = np.float32(1.0 / np.sqrt(scale_dim))
+    for l in range(shape[0]):
+        out[l] = (
+            rng.standard_normal(shape[1:], np.float32) * inv
+        ).astype(np.float16)
+    return jnp.asarray(out, dtype)
+
+
 def make_quant_matmul():
     """Per-layer W4A16 matmul: Pallas on accelerators, XLA reference path on
     CPU (SPTPU_W4_IMPL=xla forces the XLA fused-dequant path for A/B

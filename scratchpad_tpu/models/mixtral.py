@@ -66,6 +66,12 @@ class MixtralForCausalLM:
         keys = iter(jax.random.split(rng, 16))
 
         def init(key, shape, scale_dim):
+            n = int(np.prod(shape))
+            if n > 2**28:  # big expert stacks: stream via numpy
+                from scratchpad_tpu.models.common import init_stacked_lean
+
+                seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+                return init_stacked_lean(seed, shape, scale_dim, dtype)
             return (
                 jax.random.normal(key, shape, jnp.float32) / np.sqrt(scale_dim)
             ).astype(dtype)

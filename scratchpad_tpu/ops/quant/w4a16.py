@@ -108,7 +108,7 @@ def quantize_stacked(
     to one leading axis — the Pallas kernel's scalar-prefetch index then
     selects layer*E + e (the triteia-sbmm role,
     reference: scratchpad/nn/models/llama/llama_quant_moe.py:29-36)."""
-    w = np.asarray(w_stacked, np.float32)
+    w = np.asarray(w_stacked)  # keep the source dtype: NO whole-array f32
     if w.ndim == 4:
         w = w.reshape(-1, *w.shape[2:])
     L, In, Out = w.shape
@@ -118,18 +118,23 @@ def quantize_stacked(
     while (In // 2) % g:
         g -= 1
     G = In // g
-    wg = w.reshape(L * G, g, Out)
-    wmin = wg.min(axis=1)
-    wmax = wg.max(axis=1)
-    scale = np.maximum((wmax - wmin) / 15.0, 1e-8)  # [L*G, Out]
-    zero = np.round(-wmin / scale)
-    q = np.clip(
-        np.round(wg / scale[:, None, :]) + zero[:, None, :], 0, 15
-    ).astype(np.uint8)
-    q = q.reshape(L, In, Out)
-    packed = (q[:, : In // 2] | (q[:, In // 2 :] << 4)).astype(np.uint8)
-    scale = scale.reshape(L, G, Out)
-    zero = zero.reshape(L, G, Out)
+    # stream one leading slice at a time: a 20B-class expert stack in one
+    # f32 expression peaks at >3x the array (~150 GB) and OOMs the host
+    packed = np.empty((L, In // 2, Out), np.uint8)
+    scale = np.empty((L, G, Out), np.float32)
+    zero = np.empty((L, G, Out), np.float32)
+    for l in range(L):
+        wl = np.asarray(w[l], np.float32).reshape(G, g, Out)
+        wmin = wl.min(axis=1)  # [G, Out]
+        wmax = wl.max(axis=1)
+        sc = np.maximum((wmax - wmin) / 15.0, 1e-8)
+        ze = np.round(-wmin / sc)
+        q = np.clip(
+            np.round(wl / sc[:, None, :]) + ze[:, None, :], 0, 15
+        ).astype(np.uint8).reshape(In, Out)
+        packed[l] = q[: In // 2] | (q[In // 2 :] << 4)
+        scale[l] = sc
+        zero[l] = ze
     out_true = 0
     pad = (-Out) % 128
     if pad and Out > 128:
