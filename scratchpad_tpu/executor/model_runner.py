@@ -159,16 +159,26 @@ class ModelRunner:
         # extend and decode), the XLA gather backend on CPU. int8 KV and
         # per-layer dynamic sliding windows (Gemma) use the XLA backend.
         backend = self.args.attention_backend
+        # the BUNDLED ragged kernel strided-loads interleaved K/V heads and
+        # only Mosaic-compiles 128-lane pages; our gqa decode kernel DMAs
+        # whole 4-D pages and handles any lane-aligned head_dim (verified by
+        # v5e AOT: Dp=256 decode OK, Dp=256 ragged fails "last dim size is
+        # not 128 in original base memref")
+        from scratchpad_tpu.memory.kv_cache import padded_head_dim as _phd
+
+        ragged_ok = _phd(cfg.head_dim) == 128
         if backend == "auto":
             if jax.default_backend() == "cpu":
                 backend = "xla"
             elif mesh is not None:
-                backend = "ragged"  # has the shard_map TP wrapper
+                backend = "ragged" if ragged_ok else "xla"
             else:
                 # decode v2 (block-diagonal GQA flash-decode, gqa_decode.py)
                 # + ragged extend: benched 9.3k tok/s vs ragged's 7.7-8.2k
                 # (Llama-3.2-1B bs=64 on v5e)
                 backend = "gqa"
+        if backend == "ragged" and not ragged_ok:
+            backend = "xla"
         if not getattr(self.model, "supports_pallas_attention", True):
             backend = "xla"
         if self.args.kv_cache_dtype in ("int8", "fp8") and backend == "ragged":
@@ -194,11 +204,12 @@ class ModelRunner:
                 and "tp" in mesh.axis_names
                 and cfg.num_kv_heads % tp == 0
             )
-            if backend == "ragged" and pure_tp:
+            if backend == "ragged" and pure_tp and ragged_ok:
                 backend = "ragged_tp"
             elif (
                 backend == "gqa"
                 and pure_tp
+                and ragged_ok  # the tp extend wrapper is the ragged kernel
                 and self.args.kv_cache_dtype not in ("int8", "fp8")
             ):
                 backend = "gqa_tp"
@@ -235,7 +246,7 @@ class ModelRunner:
             )
 
             self.model.decode_attention = decode_attention_gqa
-            if jax.default_backend() != "cpu":
+            if jax.default_backend() != "cpu" and ragged_ok:
                 if self.args.kv_cache_dtype in ("int8", "fp8"):
                     # extend dequantizes the batch's pages into a compact
                     # bf16 scratch pool and rides the same ragged kernel
@@ -293,6 +304,7 @@ class ModelRunner:
             # per layer (sinks/chunked models keep the masked XLA extend)
             if (
                 getattr(self.model, "window_cond_extend", False)
+                and ragged_ok
                 and self.args.kv_cache_dtype not in ("int8", "fp8")
             ):
                 from scratchpad_tpu.ops.attention.ragged_backend import (
