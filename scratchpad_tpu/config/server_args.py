@@ -196,10 +196,11 @@ class ServerArgs:
                 self.control_plane_addr = f"{host}:{int(port) + 1}"
             # speculative decoding works on multi-host engines: ngram drafts
             # are host-computed, the draft model / EAGLE head relay their
-            # command streams to followers (parallel/multihost.py)
-            if self.host_kv_cache_tokens or self.enable_param_offload:
+            # command streams to followers; the host KV tier relays too
+            # (gather/scatter_pages are replicated calls, parallel/multihost.py)
+            if self.enable_param_offload:
                 raise ValueError(
-                    "multi-host serving: host KV tier / param offload unsupported yet"
+                    "multi-host serving: param offload unsupported yet"
                 )
         if self.pp_size > 1:
             self.enable_pp = True

@@ -97,6 +97,7 @@ class Req:
     surr_offset: int = 0
     read_offset: int = 0
     stream_sent_len: int = 0  # chars already streamed out
+    stream_sent_tokens: int = 0  # tokens acknowledged to the stream
     # latency-sensitive consumer: caps the fused decode window so token
     # bursts stay interactive (scheduler._pick_decode_window)
     stream: bool = False

@@ -1608,7 +1608,13 @@ class ModelRunner:
 
     def gather_pages(self, page_ids: np.ndarray):
         """Fetch logical pages (all layers) to host: ([n, L, ps, KH, D],
-        scales or None). Used by the CPU KV tier on radix eviction."""
+        scales or None). Used by the CPU KV tier on radix eviction.
+
+        On a mesh the pool is head-sharded, so the gather jits with a
+        fully-replicated output sharding (XLA inserts the all-gather); the
+        result is then fully addressable on every host, which is what makes
+        the host tier work on multi-node engines — every host's arena holds
+        identical full pages because this call replays in lockstep there."""
         n = len(page_ids)
         L = self.kv_config.num_layers
         P = self.kv_config.num_pages
@@ -1616,11 +1622,22 @@ class ModelRunner:
             np.arange(L, dtype=np.int64)[:, None] * P
             + np.asarray(page_ids, np.int64)[None, :]
         ).reshape(-1)
-        kv = np.asarray(self.kv_cache.kv[g])
+        if self.mesh is not None:
+            if not hasattr(self, "_jit_gather_pages"):
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                rep = NamedSharding(self.mesh, PartitionSpec())
+                self._jit_gather_pages = jax.jit(
+                    lambda buf, idx: buf[idx], out_shardings=rep
+                )
+            fetch = lambda buf: np.asarray(self._jit_gather_pages(buf, g))
+        else:
+            fetch = lambda buf: np.asarray(buf[g])
+        kv = fetch(self.kv_cache.kv)
         kv = kv.reshape((L, n) + kv.shape[1:]).swapaxes(0, 1)
         scale = None
         if self.kv_cache.scale is not None:
-            scale = np.asarray(self.kv_cache.scale[g])
+            scale = fetch(self.kv_cache.scale)
             scale = scale.reshape((L, n) + scale.shape[1:]).swapaxes(0, 1)
         return kv, scale
 

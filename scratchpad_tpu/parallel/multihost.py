@@ -23,9 +23,10 @@ embeddings, scoring, weight update, KV resize, capture, speculative
 decoding (ngram drafts are host-computed; draft-model windows relay as
 "draft:<method>" to a mirrored second runner; the EAGLE head relays as
 "eagle:<method>"), runtime topping registration (followers rebuild the
-same adapter pools from the broadcast state), and multimodal (vision
-encode is a replicated call). The host KV tier raises on multi-host
-engines for now (gather_pages would need per-host shard arenas).
+same adapter pools from the broadcast state), multimodal (vision encode
+is a replicated call), and the host KV tier (gather_pages replays as a
+replicated-output collective so every host sees full pages; promoted
+pages ride the scatter_pages broadcast). Param offload stays single-node.
 """
 
 from __future__ import annotations
@@ -134,6 +135,8 @@ _PLAIN_METHODS = (
     "run_spec_verify_sampled",  # consumes _rng in lockstep on every host
     "encode_images",
     "image_token_embedding",
+    "gather_pages",  # host-KV-tier offload: collective all-gather of pages
+    "scatter_pages",  # host-KV-tier promote: page data rides the broadcast
     "resize_kv_pool",
     "update_weights",
     "capture",

@@ -94,11 +94,19 @@ class AsyncEngineRunner:
                     continue
                 req = ev.req
                 safe = IncrementalDetokenizer.stream_safe_len(req)
+                ntok = len(req.output_ids)
                 if safe > req.stream_sent_len:
                     st.push(
                         ("delta", req.decoded_text[req.stream_sent_len : safe])
                     )
                     req.stream_sent_len = safe
+                elif ntok > req.stream_sent_tokens and not req.finished():
+                    # token progress with no streamable text (tokenizer-less
+                    # lab serving, held-back partial UTF-8/stop matches):
+                    # emit an empty delta so clients see per-window progress
+                    # (TTFT/ITL stay measurable; OpenAI clients ignore "")
+                    st.push(("delta", ""))
+                req.stream_sent_tokens = ntok
                 if req.finished():
                     if req.is_embedding:
                         st.push(("done", req.embedding))

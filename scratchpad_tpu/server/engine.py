@@ -143,6 +143,10 @@ class Engine:
             )
 
             self.scheduler.runner = LeaderRunner(self.scheduler.runner, ctrl)
+            if self.scheduler.host_tier is not None:
+                # the tier captured the raw runner at Scheduler init; its
+                # gather_pages calls must broadcast like everything else
+                self.scheduler.host_tier.runner = self.scheduler.runner
             if self.scheduler.draft_runner is not None:
                 self.scheduler.draft_runner = LeaderRunner(
                     self.scheduler.draft_runner, ctrl, prefix="draft:"
@@ -502,10 +506,16 @@ class Engine:
             for ev in events:
                 self._postprocess_event(ev)
             safe = IncrementalDetokenizer.stream_safe_len(req)
+            ntok = len(req.output_ids)
             if safe > req.stream_sent_len:
                 delta = req.decoded_text[req.stream_sent_len : safe]
                 req.stream_sent_len = safe
+                req.stream_sent_tokens = ntok
                 yield {"delta": delta, "finished": False}
+            elif ntok > req.stream_sent_tokens and not req.finished():
+                # token progress without streamable text (see async_runner)
+                req.stream_sent_tokens = ntok
+                yield {"delta": "", "finished": False}
         for ev in self.scheduler.drain():
             self._postprocess_event(ev)
         if len(req.decoded_text) > req.stream_sent_len:

@@ -38,7 +38,11 @@ def main() -> None:
         # random-init EAGLE head (seeded identically on every node);
         # verification is exact greedy so outputs match plain decode
         extra = dict(speculative_algorithm="eagle")
-    args = ServerArgs(
+    elif variant == "hostkv":
+        # tiny device pool forces radix eviction into the host tier; the
+        # follower replays gather/scatter_pages as replicated collectives
+        extra = dict(host_kv_cache_tokens=4096, max_total_tokens=256)
+    kw = dict(
         preset="tiny-debug",
         random_weights=True,
         dtype="float32",
@@ -51,8 +55,9 @@ def main() -> None:
         dp_size=2,
         tp_size=4,
         device="cpu",
-        **extra,
     )
+    kw.update(extra)
+    args = ServerArgs(**kw)
     if rank > 0:
         from scratchpad_tpu.server.engine import run_follower
 
@@ -63,6 +68,24 @@ def main() -> None:
 
     eng = Engine(args)
     rng = np.random.default_rng(0)
+    if variant == "hostkv":
+        # evict -> offload -> promote, same workload as
+        # tests/test_memory.py::TestHostKVTier but across two processes
+        sp = SamplingParams(temperature=0.0, max_new_tokens=4, ignore_eos=True)
+        pa = rng.integers(1, 500, 96).tolist()
+        first = eng.generate(input_ids=pa, sampling_params=sp)
+        for seed in range(3):
+            filler = np.random.default_rng(10 + seed).integers(1, 500, 96)
+            eng.generate(input_ids=filler.tolist(), sampling_params=sp)
+        tier = eng.scheduler.host_tier
+        assert tier.stored_pages > 0, "nothing offloaded to the host tier"
+        again = eng.generate(input_ids=pa, sampling_params=sp)
+        assert tier.restored_pages > 0, "no host pages promoted back"
+        assert again.cached_tokens > 0
+        eng.scheduler.check_memory_leak()
+        eng.shutdown()
+        print("RESULT " + json.dumps([first.output_ids, again.output_ids]))
+        return
     if variant == "ngram":
         # repetitive prompts so prompt-lookup drafts actually fire
         base = rng.integers(1, 100, 6).tolist()

@@ -65,16 +65,27 @@ def _run_pair(variant: str):
 
 
 def _reference(variant: str):
-    eng = Engine(
-        ServerArgs(
-            preset="tiny-debug",
-            random_weights=True,
-            dtype="float32",
-            page_size=4,
-            max_total_tokens=2048,
-        )
+    kw = dict(
+        preset="tiny-debug",
+        random_weights=True,
+        dtype="float32",
+        page_size=4,
+        max_total_tokens=2048,
     )
+    if variant == "hostkv":
+        kw.update(host_kv_cache_tokens=4096, max_total_tokens=256)
+    eng = Engine(ServerArgs(**kw))
     rng = np.random.default_rng(0)
+    if variant == "hostkv":
+        # single-process mirror of the driver's evict->offload->promote run
+        sp = SamplingParams(temperature=0.0, max_new_tokens=4, ignore_eos=True)
+        pa = rng.integers(1, 500, 96).tolist()
+        first = eng.generate(input_ids=pa, sampling_params=sp)
+        for seed in range(3):
+            filler = np.random.default_rng(10 + seed).integers(1, 500, 96)
+            eng.generate(input_ids=filler.tolist(), sampling_params=sp)
+        again = eng.generate(input_ids=pa, sampling_params=sp)
+        return [first.output_ids, again.output_ids]
     if variant == "ngram":
         base = rng.integers(1, 100, 6).tolist()
         prompts = [base * 4, (base + [7]) * 3, rng.integers(1, 500, 14).tolist()]
@@ -129,6 +140,15 @@ def test_two_process_ngram_spec_matches_single():
     """ngram speculative decoding across the 2-process cluster: drafts are
     host-computed on the leader; verification replays on every node."""
     assert _run_pair("ngram") == _reference("ngram")
+
+
+@pytest.mark.slow
+def test_two_process_host_kv_tier_matches_single():
+    """Host KV tier across the cluster: radix eviction offloads pages via a
+    replicated gather_pages collective (full pages on every host), and
+    promotion broadcasts the page data through scatter_pages. The driver
+    asserts stored/restored counters; outputs must equal single-process."""
+    assert _run_pair("hostkv") == _reference("hostkv")
 
 
 @pytest.mark.slow
