@@ -72,6 +72,7 @@ def main() -> None:
         dtype=dtype,
         quantization=quant,
         kv_cache_dtype=kv_dtype,
+        kv_layout=os.environ.get("SPTPU_BENCH_KV_LAYOUT", "auto"),
         attention_backend=attn,
         page_size=page_size,
         max_total_tokens=max_total_tokens,

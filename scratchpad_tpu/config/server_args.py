@@ -40,6 +40,12 @@ class ServerArgs:
 
     # memory
     page_size: int = 16  # tokens per KV page (TPU DMA granularity)
+    # KV pool lane layout: "auto" packs K|V of one head into a single
+    # 128-lane row for head_dim <= 64 bf16 GQA models on the single-device
+    # gqa backend (halves KV HBM + decode read; memory/kv_cache.py);
+    # "padded" keeps the lane-padded [2Hkv, 128] layout; "packed" forces
+    # packing (errors if unsupported)
+    kv_layout: str = "auto"  # auto | padded | packed
     mem_fraction_static: float = 0.85
     disable_radix_cache: bool = False
     # CPU parameter offload: decoder layer groups live in host memory and

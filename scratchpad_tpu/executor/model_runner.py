@@ -216,6 +216,35 @@ class ModelRunner:
             else:
                 logger.warning("mesh run: falling back to XLA attention backend")
                 backend = "xla"
+        # packed K|V pool: for head_dim <= 64 GQA models the lane-padded
+        # cache wastes half its lanes ((8,128) tiling pads them anyway);
+        # packing K and V of one head into one 128-lane row halves KV HBM
+        # and halves the decode read. Decode reads packed pages directly in
+        # the gqa kernel; extend expands just the batch's pages into a
+        # scratch pool for the bundled ragged kernel (the dequant-scratch
+        # pattern). Single-device gqa backend only for now.
+        self.kv_packed = self.args.kv_layout == "packed" or (
+            self.args.kv_layout == "auto"
+            and backend == "gqa"
+            and not cfg.is_mla
+            and cfg.head_dim <= 64
+            and self.args.kv_cache_dtype not in ("int8", "fp8")
+            and not getattr(self.model, "has_cross_attention", False)
+            and not getattr(self.model, "dynamic_mask_decode", False)
+        )
+        if self.args.kv_layout == "packed":
+            if (
+                backend not in ("gqa",)
+                or cfg.is_mla
+                or cfg.head_dim > 64
+                or self.args.kv_cache_dtype in ("int8", "fp8")
+                or getattr(self.model, "has_cross_attention", False)
+            ):
+                raise ValueError(
+                    "kv_layout=packed needs the single-device gqa backend, "
+                    "head_dim <= 64, bf16 KV, and no cross-attention"
+                )
+
         if backend == "ragged":
             from scratchpad_tpu.ops.attention.ragged_backend import (
                 attention_ragged,
@@ -246,7 +275,18 @@ class ModelRunner:
             )
 
             self.model.decode_attention = decode_attention_gqa
-            if jax.default_backend() != "cpu" and ragged_ok:
+            if self.kv_packed and (
+                jax.default_backend() != "cpu" or self.args.kv_layout == "packed"
+            ):
+                # extend expands the batch's packed pages into an
+                # interleaved scratch pool and rides the ragged kernel
+                # (its CPU branch is the dense jittable reference)
+                from scratchpad_tpu.ops.attention.ragged_backend import (
+                    attention_ragged_packed,
+                )
+
+                self.model.extend_attention = attention_ragged_packed
+            elif jax.default_backend() != "cpu" and ragged_ok:
                 if self.args.kv_cache_dtype in ("int8", "fp8"):
                     # extend dequantizes the batch's pages into a compact
                     # bf16 scratch pool and rides the same ragged kernel
@@ -476,6 +516,8 @@ class ModelRunner:
             if self.attention_backend in ("pallas", "ragged", "ragged_tp", "gqa", "gqa_tp", "gqa_xla")
             else cfg.head_dim
         )
+        if self.kv_packed:
+            cache_head_dim = 128  # one K|V row per head: 2 x 64 lanes
         if cfg.is_mla:
             # latent cache: one [c_kv | k_rope] vector per token per layer
             assert self.args.kv_cache_dtype not in ("int8", "fp8"), (
@@ -508,6 +550,7 @@ class ModelRunner:
                 else jnp.int8
             ),
             mla=cfg.is_mla,
+            packed=self.kv_packed,
             **cross_kw,
         )
         self.kv_cache = create_kv_cache(
@@ -639,6 +682,9 @@ class ModelRunner:
             return (
                 cfg.num_hidden_layers * self.model.mla_latent_dim * itemsize
             )
+        if getattr(self, "kv_packed", False):
+            # one 128-lane K|V row per kv head (memory/kv_cache.py packed)
+            return cfg.num_hidden_layers * cfg.num_kv_heads * 128 * itemsize
         return 2 * cfg.num_hidden_layers * cfg.num_kv_heads * hd * itemsize
 
     # ------------------------------------------------- packed single-RPC path

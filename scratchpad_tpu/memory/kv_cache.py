@@ -48,6 +48,14 @@ class KVCacheConfig:
     dtype: Any = jnp.bfloat16
     quantized: bool = False  # low-bit values + per-row scales
     quant_dtype: Any = jnp.int8  # int8 | float8_e4m3fn
+    # packed K|V layout for head_dim <= 64: each kv head stores K in lanes
+    # [0, 64) and V in lanes [64, 128) of ONE 128-lane row, so the pool is
+    # [pages, ps, Hkv, 128] instead of the lane-padded [pages, ps, 2Hkv,
+    # 128] — half the HBM bytes and half the decode-read traffic. XLA:TPU
+    # tiles the last two dims to (8, 128), so a "tight" [.., 2Hkv, 64]
+    # array would silently occupy the padded footprint anyway; packing two
+    # 64-lane vectors per physical row is the only way to use those lanes.
+    packed: bool = False
     # MLA latent cache (reference: MLATokenToKVPool, memory/pool.py:427-474):
     # ONE vector per token per layer holding [c_kv(kv_lora_rank), k_rope],
     # i.e. head axis is 1 and head_dim is the latent width.
@@ -70,7 +78,12 @@ class KVCacheConfig:
 
     def bytes_per_token(self) -> int:
         itemsize = 1 if self.quantized else jnp.dtype(self.dtype).itemsize
-        heads = 1 if self.mla else 2 * self.num_kv_heads
+        if self.mla:
+            heads = 1
+        elif self.packed:
+            heads = self.num_kv_heads  # one K|V row per head
+        else:
+            heads = 2 * self.num_kv_heads
         per = self.num_layers * heads * self.head_dim * itemsize
         if self.quantized:
             per += self.num_layers * heads * 4
@@ -89,6 +102,8 @@ class KVCache:
     # per-request cross-attention K/V slots (Mllama)
     cross: Optional[jax.Array] = None  # [slots, Lx, S_img, 2*Hkv, D]
     num_layers: int = 1  # static: pages are laid out layer-major
+    # packed K|V rows (see KVCacheConfig.packed): [pages, ps, Hkv, 128]
+    packed: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -96,7 +111,7 @@ class KVCache:
 
     @property
     def num_kv_heads(self) -> int:
-        return self.kv.shape[-2] // 2
+        return self.kv.shape[-2] if self.packed else self.kv.shape[-2] // 2
 
     @property
     def slots_per_layer(self) -> int:
@@ -108,7 +123,9 @@ class KVCache:
 
 
 jax.tree_util.register_dataclass(
-    KVCache, data_fields=["kv", "scale", "cross"], meta_fields=["num_layers"]
+    KVCache,
+    data_fields=["kv", "scale", "cross"],
+    meta_fields=["num_layers", "packed"],
 )
 
 
@@ -119,10 +136,16 @@ def create_kv_cache(
 ) -> KVCache:
     """``tp_axis=None`` keeps the head axis unsharded (DP attention: every
     device attends its own token rows with full kv heads)."""
+    if cfg.packed:
+        assert not (cfg.mla or cfg.quantized), "packed layout is bf16 MHA only"
+        assert cfg.head_dim == 128, "packed rows are 128 lanes (2 x 64)"
+        head_slots = cfg.num_kv_heads
+    else:
+        head_slots = 1 if cfg.mla else 2 * cfg.num_kv_heads
     shape = (
         cfg.total_pages,
         cfg.page_size,
-        1 if cfg.mla else 2 * cfg.num_kv_heads,
+        head_slots,
         cfg.head_dim,
     )
     store_dtype = cfg.quant_dtype if cfg.quantized else cfg.dtype
@@ -169,4 +192,10 @@ def create_kv_cache(
             cfg.dtype,
             None,
         )
-    return KVCache(kv=kv, scale=scale, cross=cross, num_layers=cfg.num_layers)
+    return KVCache(
+        kv=kv,
+        scale=scale,
+        cross=cross,
+        num_layers=cfg.num_layers,
+        packed=cfg.packed,
+    )

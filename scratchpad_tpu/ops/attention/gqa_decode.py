@@ -62,6 +62,7 @@ def _gqa_decode_kernel(
     dynamic_window: bool,
     chunk_size: Optional[int],
     with_sinks: bool,
+    packed: bool = False,
 ):
     if dynamic_window:
         # i32[1] per-CALL window (a per-layer value traced through the
@@ -95,9 +96,9 @@ def _gqa_decode_kernel(
     CP = chunk_pages
     CHUNK = CP * page_size
     Hq, Dp = q_ref.shape[1], q_ref.shape[2]
-    H2 = kv_buf.shape[3]  # combined (K,V) head slots
+    H2 = kv_buf.shape[3]  # combined (K,V) head slots (= Hkv when packed)
     LANES = H2 * Dp
-    G = Hq // (H2 // 2)
+    G = Hq // H2 if packed else Hq // (H2 // 2)
 
     def nchunks(seq):
         # every row owns >= 1 chunk so the prefetch chain stays uniform;
@@ -170,12 +171,19 @@ def _gqa_decode_kernel(
     # scaled probabilities to bf16 before the matmul (~2^-9 relative
     # error on the attention output) to stay on the fast MXU path; see
     # tests/test_pallas_kernels.py bf16-tolerance coverage.
+    # PACKED pools ([Pg, ps, Hkv, 128], K in lanes [0,64) and V in [64,128)
+    # of one row per kv head) use the same construction: q arrives padded
+    # to 128 lanes with zeros above D<=64, so placing it on combined slot
+    # row//G puts q against the K half and ZEROS against the V half — the
+    # QK dot ignores V for free. The PV dot then leaves row r's V output
+    # in the HIGH half of its 128-lane block; the caller slices it out.
     dt = q_ref.dtype
     q = q_ref[0]  # [Hq, Dp]
     qt = jnp.concatenate([q] * H2, axis=1)  # [Hq, LANES]
     lane = jax.lax.broadcasted_iota(jnp.int32, (Hq, LANES), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (Hq, LANES), 0)
-    q_bd = jnp.where(lane // Dp == 2 * (row // G), qt, jnp.zeros((), dt))
+    kslot = (row // G) if packed else 2 * (row // G)
+    q_bd = jnp.where(lane // Dp == kslot, qt, jnp.zeros((), dt))
 
     if quantized:
         # head-slot selectors over the PADDED scale lanes: row r reads
@@ -289,12 +297,19 @@ def _gqa_decode_kernel(
     l_safe = jnp.where(l > 0, l, 1.0)
     acc = acc / l_safe
     # pick each row's own V block: rows h*G..h*G+G-1 read combined slot
-    # 2h+1; slices are Dp(>=128)-aligned so this is relayout-free
+    # 2h+1 (padded) or slot h (packed, where lanes [0,64) of the block are
+    # p@K garbage and the caller keeps only the high half); slices are
+    # Dp(>=128)-aligned so this is relayout-free
     rows = jax.lax.broadcasted_iota(jnp.int32, (Hq, Dp), 0)
     out = jnp.zeros((Hq, Dp), jnp.float32)
-    for j in range(1, H2, 2):
-        blk = acc[:, j * Dp : (j + 1) * Dp]
-        out += jnp.where(rows // G == j // 2, blk, 0.0)
+    if packed:
+        for j in range(H2):
+            blk = acc[:, j * Dp : (j + 1) * Dp]
+            out += jnp.where(rows // G == j, blk, 0.0)
+    else:
+        for j in range(1, H2, 2):
+            blk = acc[:, j * Dp : (j + 1) * Dp]
+            out += jnp.where(rows // G == j // 2, blk, 0.0)
     out = jnp.where(seq_len > 0, out, 0.0)
     o_ref[0] = out.astype(o_ref.dtype)
 
@@ -308,6 +323,7 @@ def _gqa_decode_kernel(
         "sliding_window",
         "chunk_size",
         "num_layers",
+        "packed",
     ),
 )
 def _gqa_decode_call(
@@ -326,11 +342,14 @@ def _gqa_decode_call(
     sliding_window,
     chunk_size=None,
     num_layers,
+    packed=False,
 ):
     B, Hq, D = q.shape
     Pg, ps, H2, Dp = kv_pages.shape
     Ptot = Pg // num_layers
     quantized = kv_scale is not None
+    assert not (packed and quantized), "packed KV layout is bf16-only"
+    assert not packed or D <= Dp // 2, "packed rows hold two D<=64 vectors"
     dynamic_window = window_dyn is not None
     with_sinks = sinks is not None
 
@@ -363,6 +382,7 @@ def _gqa_decode_call(
         dynamic_window=dynamic_window,
         chunk_size=chunk_size,
         with_sinks=with_sinks,
+        packed=packed,
     )
     in_specs = [
         pl.BlockSpec((1, Hq, Dp), lambda b, *_: (b, 0, 0)),
@@ -406,6 +426,11 @@ def _gqa_decode_call(
         ),
         interpret=jax.default_backend() == "cpu",
     )(*operands)
+    if packed:
+        # packed blocks carry p@K garbage in the low half; the attention
+        # output for row r lives in lanes [half, half + D)
+        half = Dp // 2
+        return out[..., half : half + D]
     return out[..., :D]
 
 
@@ -453,6 +478,7 @@ def decode_attention_gqa(
         sliding_window=sliding_window,
         chunk_size=chunk_size,
         num_layers=kv.num_layers,
+        packed=kv.packed,
     )
 
 

@@ -232,6 +232,66 @@ def attention_ragged_quant(
 
 
 # ---------------------------------------------------------------------------
+# packed-KV extend: expand the batch's packed pages, then run the kernel
+# ---------------------------------------------------------------------------
+
+
+def unpack_pages(kv: KVCache, layer_idx, page_table):
+    """Gather ONE layer's batch pages from a PACKED pool ([Pg, ps, Hkv, 128]
+    with K in lanes [0, 64) and V in [64, 128) per kv head — see
+    memory/kv_cache.py) and expand them into the interleaved lane-padded
+    scratch layout the bundled ragged kernel consumes.
+
+    Same shape of trade as dequant_pages above: the packed pool halves the
+    DECODE read (the dominant traffic), while extend pays a small
+    expand-to-scratch for just the B*P pages this batch touches."""
+    Pg, ps, Hkv, Dp = kv.kv.shape
+    half = Dp // 2
+    Ptot = kv.pages_per_layer
+    B, P = page_table.shape
+    rows = (
+        page_table.astype(jnp.int32) + jnp.asarray(layer_idx, jnp.int32) * Ptot
+    ).reshape(-1)
+    pages = jnp.take(kv.kv, rows, axis=0)  # [B*P, ps, Hkv, 128]
+    pad = [(0, 0), (0, 0), (0, 0), (0, Dp - half)]
+    k = jnp.pad(pages[..., :half], pad)
+    v = jnp.pad(pages[..., half:], pad)
+    scratch = jnp.stack([k, v], axis=3).reshape(B * P, ps, 2 * Hkv, Dp)
+    new_pt = jnp.arange(B * P, dtype=jnp.int32).reshape(B, P)
+    return scratch, new_pt
+
+
+def attention_ragged_packed(
+    q: jax.Array,
+    kv: KVCache,
+    layer_idx: jax.Array,
+    meta: ForwardMeta,
+    *,
+    page_size: int,
+    sm_scale: float,
+    logit_cap: Optional[float] = None,
+    sliding_window: Optional[int] = None,
+) -> jax.Array:
+    """Extend attention over a packed K|V pool via an expanded scratch pool
+    + the bundled ragged kernel (decode reads packed pages directly in the
+    gqa kernel, ops/attention/gqa_decode.py)."""
+    scratch, new_pt = unpack_pages(kv, layer_idx, meta.page_table)
+    return _ragged_call(
+        q,
+        scratch,
+        jnp.int32(0),
+        new_pt,
+        meta.seq_lens,
+        meta.extend_lens,
+        page_size=page_size,
+        sm_scale=sm_scale,
+        logit_cap=logit_cap,
+        sliding_window=sliding_window,
+        num_layers=1,
+    )
+
+
+# ---------------------------------------------------------------------------
 # tensor-parallel wrapper: shard_map over the head axis
 # ---------------------------------------------------------------------------
 

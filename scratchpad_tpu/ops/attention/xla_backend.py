@@ -55,12 +55,20 @@ def write_kv(
     per-layer fp8 scales (pool.py:274-278)."""
     Pg, ps, H2, Dp = kv.kv.shape
     T, Hkv, D = k_new.shape
-    if Dp != D:  # cache head_dim is lane-padded (see kv_cache.padded_head_dim)
-        pad = [(0, 0), (0, 0), (0, Dp - D)]
-        k_new = jnp.pad(k_new, pad)
-        v_new = jnp.pad(v_new, pad)
-    # interleave per head: [T, Hkv, 2, Dp] -> [T, 2*Hkv, Dp]
-    upd = jnp.stack([k_new, v_new], axis=2).reshape(T, H2, Dp)
+    if kv.packed:
+        # K in lanes [0, half), V in [half, 2*half) of one row per head
+        half = Dp // 2
+        pad = [(0, 0), (0, 0), (0, half - D)]
+        upd = jnp.concatenate(
+            [jnp.pad(k_new, pad), jnp.pad(v_new, pad)], axis=-1
+        )  # [T, Hkv, Dp]
+    else:
+        if Dp != D:  # cache head_dim is lane-padded (kv_cache.padded_head_dim)
+            pad = [(0, 0), (0, 0), (0, Dp - D)]
+            k_new = jnp.pad(k_new, pad)
+            v_new = jnp.pad(v_new, pad)
+        # interleave per head: [T, Hkv, 2, Dp] -> [T, 2*Hkv, Dp]
+        upd = jnp.stack([k_new, v_new], axis=2).reshape(T, H2, Dp)
     rows = layer_idx * kv.slots_per_layer + out_cache_loc  # global rows
     # scatter over ONE flattened leading dim (free leading-dim merge): on
     # quantized pools a 2-D (page, offset) index scatter made XLA:TPU pick
@@ -103,6 +111,10 @@ def _gather_kv(kv: KVCache, layer_idx, meta: ForwardMeta, page_size: int, D: int
     # transposed operand layout -> a full-pool relayout copy per call)
     Hd = kv.kv.shape[2]
     flat = kv.kv.reshape(Pg * ps, Hd, Dp)
+    if kv.packed:
+        g = jnp.take(flat, rows, axis=0)  # [B, S_max, Hkv, 128]
+        half = Dp // 2
+        return g[..., :D], g[..., half : half + D]
     g = jnp.take(flat, rows, axis=0)[..., :D]  # [B, S_max, 2Hkv, D]
     if kv.kv.dtype in _QUANT_KV_DTYPES:
         SL = kv.scale.shape[-1]
