@@ -210,8 +210,21 @@ class ModelRunner:
                 backend == "gqa"
                 and pure_tp
                 and ragged_ok  # the tp extend wrapper is the ragged kernel
-                and self.args.kv_cache_dtype not in ("int8", "fp8")
+                and (
+                    self.args.kv_cache_dtype not in ("int8", "fp8")
+                    # 8-bit pools sublane-pack 4 head slots per tile: the
+                    # per-shard page DMA needs (2*Hkv)/tp % 4 == 0 (AOT-
+                    # verified: tp=4/Hkv=8 compiles, tp=8 does not slice —
+                    # tools/aot_tp_quant_check.py). CPU interpret mode has
+                    # no tiling constraint.
+                    or (2 * cfg.num_kv_heads // tp) % 4 == 0
+                    or jax.default_backend() == "cpu"
+                )
             ):
+                # int8/fp8 KV rides gqa_tp too: the scale pool shards into
+                # per-tp 128-lane blocks (memory/kv_cache.py) so decode
+                # streams local scale pages and extend dequantizes local
+                # pages into a per-shard scratch pool
                 backend = "gqa_tp"
             else:
                 logger.warning("mesh run: falling back to XLA attention backend")
@@ -309,11 +322,17 @@ class ModelRunner:
                 make_decode_attention_gqa_tp,
             )
             from scratchpad_tpu.ops.attention.ragged_backend import (
+                make_attention_ragged_quant_tp,
                 make_attention_ragged_tp,
             )
 
             self.model.decode_attention = make_decode_attention_gqa_tp(mesh)
-            self.model.extend_attention = make_attention_ragged_tp(mesh)
+            if self.args.kv_cache_dtype in ("int8", "fp8"):
+                self.model.extend_attention = make_attention_ragged_quant_tp(
+                    mesh
+                )
+            else:
+                self.model.extend_attention = make_attention_ragged_tp(mesh)
         # else: keep the XLA reference backend
 
         # hybrid decode: models whose masks vary per layer (Gemma window

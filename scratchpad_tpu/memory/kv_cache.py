@@ -95,15 +95,23 @@ class KVCache:
     """Pytree of device arrays holding the paged cache."""
 
     kv: jax.Array  # [total_pages, ps, 2*Hkv, D], K/V interleaved per head
-    # [total_pages, ps, SCALE_LANES] f32 for quantized caches; only the
-    # first 2*Hkv lanes are used — the 128-lane pad makes per-page DMA
-    # slices expressible in mosaic and keeps scatters/gathers on wide rows
+    # [total_pages, ps, scale_shards * SCALE_LANES] f32 for quantized
+    # caches. The lane axis is laid out as `scale_shards` consecutive
+    # 128-lane blocks so it shards over the mesh "tp" axis exactly like the
+    # kv head axis: block i holds the scales of tp-shard i's local head
+    # slots in its first (2*Hkv)/shards lanes. With scale_shards == 1 this
+    # is the original single-device layout (first 2*Hkv lanes used). The
+    # 128-lane pad makes per-page DMA slices expressible in mosaic and
+    # keeps scatters/gathers on wide rows.
     scale: Optional[jax.Array] = None
     # per-request cross-attention K/V slots (Mllama)
     cross: Optional[jax.Array] = None  # [slots, Lx, S_img, 2*Hkv, D]
     num_layers: int = 1  # static: pages are laid out layer-major
     # packed K|V rows (see KVCacheConfig.packed): [pages, ps, Hkv, 128]
     packed: bool = False
+    # number of 128-lane blocks the scale pool's lane axis is split into
+    # (= the tp size the kv head axis shards over; 1 = unsharded)
+    scale_shards: int = 1
 
     @property
     def head_dim(self) -> int:
@@ -125,7 +133,7 @@ class KVCache:
 jax.tree_util.register_dataclass(
     KVCache,
     data_fields=["kv", "scale", "cross"],
-    meta_fields=["num_layers", "packed"],
+    meta_fields=["num_layers", "packed", "scale_shards"],
 )
 
 
@@ -150,6 +158,7 @@ def create_kv_cache(
     )
     store_dtype = cfg.quant_dtype if cfg.quantized else cfg.dtype
 
+    scale_shards = 1
     if mesh is not None:
         # MLA's latent cache has no head axis to shard — replicate it
         # (MQA-style: every tp shard attends the full latent). Meshes
@@ -163,8 +172,16 @@ def create_kv_cache(
         # exactly into per-stage layer blocks (parallel/pp.py)
         page_spec = "pp" if "pp" in mesh.axis_names else None
         kv_sharding = NamedSharding(mesh, P(page_spec, None, head_spec, None))
-        # scale is lane-padded; keep it replicated over tp (tiny)
-        scale_sharding = NamedSharding(mesh, P(page_spec, None, None))
+        # the scale pool's lane axis is laid out as one 128-lane block per
+        # tp shard (see KVCache.scale) so it shards WITH the kv heads and
+        # each shard's local view is exactly the single-device layout —
+        # the gqa decode kernel streams its local scale pages unmodified
+        if cfg.quantized and head_spec is not None:
+            scale_shards = mesh.shape[head_spec]
+        scale_sharding = NamedSharding(
+            mesh,
+            P(page_spec, None, head_spec if scale_shards > 1 else None),
+        )
     else:
         kv_sharding = scale_sharding = None
 
@@ -176,9 +193,9 @@ def create_kv_cache(
     kv = _zeros(shape, store_dtype, kv_sharding)
     scale = None
     if cfg.quantized:
-        scale = _zeros(
-            shape[:-2] + (max(128, shape[-2]),), jnp.float32, scale_sharding
-        )
+        assert shape[-2] % scale_shards == 0
+        lanes = scale_shards * max(128, shape[-2] // scale_shards)
+        scale = _zeros(shape[:-2] + (lanes,), jnp.float32, scale_sharding)
     cross = None
     if cfg.cross_layers:
         cross = _zeros(
@@ -198,4 +215,5 @@ def create_kv_cache(
         cross=cross,
         num_layers=cfg.num_layers,
         packed=cfg.packed,
+        scale_shards=scale_shards,
     )

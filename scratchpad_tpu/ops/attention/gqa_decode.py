@@ -486,7 +486,13 @@ def make_decode_attention_gqa_tp(mesh):
     """Decode v2 on a tensor-parallel mesh: heads are embarrassingly
     parallel, so each "tp" shard runs the unmodified kernel over its local
     Hq/tp query heads and Hkv/tp cached heads (same pattern as
-    ragged_backend.make_attention_ragged_tp; requires tp | num_kv_heads)."""
+    ragged_backend.make_attention_ragged_tp; requires tp | num_kv_heads).
+
+    Quantized (int8/fp8) pools work too: the scale pool's lane axis is laid
+    out as one 128-lane block per tp shard (memory/kv_cache.py
+    KVCache.scale), so sharding it over "tp" hands each shard exactly the
+    single-device scale layout for its local head slots — the kernel's
+    in-VMEM scale folding runs unmodified per shard."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as PS
 
@@ -501,15 +507,17 @@ def make_decode_attention_gqa_tp(mesh):
         logit_cap: Optional[float] = None,
         sliding_window: Optional[int] = None,
     ) -> jax.Array:
-        assert kv.kv.dtype not in (jnp.int8, jnp.float8_e4m3fn), (
-            "quantized KV on TP meshes uses the XLA backend"
-        )
+        quantized = kv.kv.dtype in (jnp.int8, jnp.float8_e4m3fn)
+        if quantized:
+            assert kv.scale_shards == mesh.shape["tp"], (
+                "quantized TP decode needs the per-shard-block scale pool"
+            )
 
-        def body(qq, kk, li, pt, sl):
+        def body(qq, kk, sc, li, pt, sl):
             return _gqa_decode_call(
                 qq,
                 kk,
-                None,
+                sc,
                 li,
                 pt,
                 sl,
@@ -520,16 +528,33 @@ def make_decode_attention_gqa_tp(mesh):
                 num_layers=kv.num_layers,
             )
 
+        in_specs = [
+            PS(None, "tp", None),        # q: heads sharded
+            PS(None, None, "tp", None),  # kv pages: heads sharded
+            # scale pool: one 128-lane block per shard, sharded with heads
+            PS(None, None, "tp") if quantized else PS(),
+            PS(), PS(), PS(),            # layer_idx, page_table, seq_lens
+        ]
+        operands = [
+            q,
+            kv.kv,
+            kv.scale if quantized else jnp.zeros((), jnp.float32),
+            jnp.asarray(layer_idx),
+            meta.page_table,
+            meta.seq_lens,
+        ]
+        if not quantized:
+            body_fn = lambda qq, kk, _, li, pt, sl: body(
+                qq, kk, None, li, pt, sl
+            )
+        else:
+            body_fn = body
         return shard_map(
-            body,
+            body_fn,
             mesh=mesh,
-            in_specs=(
-                PS(None, "tp", None),        # q: heads sharded
-                PS(None, None, "tp", None),  # kv pages: heads sharded
-                PS(), PS(), PS(),            # layer_idx, page_table, seq_lens
-            ),
+            in_specs=tuple(in_specs),
             out_specs=PS(None, "tp", None),
             check_vma=False,
-        )(q, kv.kv, jnp.asarray(layer_idx), meta.page_table, meta.seq_lens)
+        )(*operands)
 
     return attend

@@ -190,7 +190,11 @@ def dequant_pages(kv: KVCache, layer_idx, page_table, out_dtype=jnp.bfloat16):
         page_table.astype(jnp.int32) + jnp.asarray(layer_idx, jnp.int32) * Ptot
     ).reshape(-1)
     pages = jnp.take(kv.kv, rows, axis=0)  # [B*P, ps, H2, Dp] quantized
-    sc = jnp.take(kv.scale, rows, axis=0)[..., :H2]  # [B*P, ps, H2] f32
+    sc = jnp.take(kv.scale, rows, axis=0)  # [B*P, ps, SL] f32
+    # undo the per-tp-shard 128-lane block layout (see KVCache.scale)
+    ns, SL = kv.scale_shards, sc.shape[-1]
+    sc = sc.reshape(sc.shape[:-1] + (ns, SL // ns))[..., : H2 // ns]
+    sc = sc.reshape(sc.shape[:-2] + (H2,))
     if pages.dtype == jnp.int8:
         # no direct int8 -> float on TPU; go via int32
         deq = pages.astype(jnp.int32).astype(jnp.float32)
@@ -229,6 +233,94 @@ def attention_ragged_quant(
         sliding_window=sliding_window,
         num_layers=1,
     )
+
+
+def make_attention_ragged_quant_tp(mesh):
+    """EXTEND attention over an int8/fp8 cache on a tensor-parallel mesh.
+
+    Same dequant-scratch trade as attention_ragged_quant, executed
+    per-shard under shard_map: each "tp" shard gathers ITS pages' local
+    head slots plus its local 128-lane scale block (memory/kv_cache.py
+    KVCache.scale), dequantizes just the batch's pages into a local bf16
+    scratch pool, and runs the unmodified ragged kernel over its local
+    heads — no collectives, no full-pool dequant."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as PS
+
+    use_kernel = jax.default_backend() not in ("cpu",)
+
+    def attend(
+        q: jax.Array,
+        kv: KVCache,
+        layer_idx: jax.Array,
+        meta: ForwardMeta,
+        *,
+        page_size: int,
+        sm_scale: float,
+        logit_cap: Optional[float] = None,
+        sliding_window: Optional[int] = None,
+    ) -> jax.Array:
+        del page_size
+        T, Hq, D = q.shape
+        Dp = kv.kv.shape[-1]
+        Ptot = kv.pages_per_layer
+        B, P = meta.page_table.shape
+        pt_global = (
+            meta.page_table + jnp.asarray(layer_idx, jnp.int32) * Ptot
+        ).astype(jnp.int32)
+        kv_lens = jnp.maximum(meta.seq_lens, 1).astype(jnp.int32)
+        cu_q = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32),
+             jnp.cumsum(meta.extend_lens).astype(jnp.int32)]
+        )
+        num_seqs = jnp.sum(meta.extend_lens > 0).astype(jnp.int32).reshape(1)
+        if Dp != D:
+            q = jnp.pad(q, [(0, 0), (0, 0), (0, Dp - D)])
+        q = q * jnp.asarray(sm_scale, q.dtype)
+        scratch_pt = jnp.arange(B * P, dtype=jnp.int32).reshape(B, P)
+
+        def body(qq, kk, sc_pool, kl, pt, cq, ns):
+            H2l = kk.shape[2]
+            rows = pt.reshape(-1)
+            pages = jnp.take(kk, rows, axis=0)  # [B*P, ps, H2l, Dp]
+            sc = jnp.take(sc_pool, rows, axis=0)[..., :H2l]  # local block
+            if pages.dtype == jnp.int8:
+                deq = pages.astype(jnp.int32).astype(jnp.float32)
+            else:  # fp8 e4m3: direct cast
+                deq = pages.astype(jnp.float32)
+            deq = (deq * sc[..., None]).astype(qq.dtype)
+            if use_kernel:
+                from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (  # noqa: E501
+                    ragged_paged_attention,
+                )
+
+                return ragged_paged_attention(
+                    qq, deq, kl, scratch_pt, cq, ns,
+                    sm_scale=1.0,
+                    sliding_window=sliding_window,
+                    soft_cap=logit_cap,
+                )
+            return _ragged_dense_ref(
+                qq, deq, kl, scratch_pt, cq, ns,
+                sm_scale=1.0, logit_cap=logit_cap,
+                sliding_window=sliding_window,
+            )
+
+        out = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(
+                PS(None, "tp", None),        # q: heads sharded
+                PS(None, None, "tp", None),  # kv pages: heads sharded
+                PS(None, None, "tp"),        # scale: per-shard lane blocks
+                PS(), PS(), PS(), PS(),      # metadata replicated
+            ),
+            out_specs=PS(None, "tp", None),
+            check_vma=False,
+        )(q, kv.kv, kv.scale, kv_lens, pt_global, cu_q, num_seqs)
+        return out[..., :D]
+
+    return attend
 
 
 # ---------------------------------------------------------------------------

@@ -78,8 +78,16 @@ def write_kv(
     scale = kv.scale
     if kv.kv.dtype in _QUANT_KV_DTYPES:
         upd, sc = _quantize_rows(upd, kv.kv.dtype)  # sc [T, 2Hkv]
-        SL = scale.shape[-1]  # lane-padded (>= 128)
-        sc = jnp.pad(sc, [(0, 0), (0, SL - H2)])
+        SL = scale.shape[-1]  # scale_shards lane-padded blocks (>= 128 each)
+        ns = kv.scale_shards
+        per = SL // ns
+        # head slot h lands in block h // (H2/ns), lane h % (H2/ns) — each
+        # tp shard's 128-lane block carries its own heads' scales, so the
+        # update stays aligned with the pool's lane sharding
+        sc = jnp.pad(
+            sc.reshape(T, ns, H2 // ns),
+            [(0, 0), (0, 0), (0, per - H2 // ns)],
+        ).reshape(T, SL)
         scale = (
             scale.reshape(Pg * ps, SL).at[rows].set(sc).reshape(Pg, ps, SL)
         )
@@ -118,7 +126,11 @@ def _gather_kv(kv: KVCache, layer_idx, meta: ForwardMeta, page_size: int, D: int
     g = jnp.take(flat, rows, axis=0)[..., :D]  # [B, S_max, 2Hkv, D]
     if kv.kv.dtype in _QUANT_KV_DTYPES:
         SL = kv.scale.shape[-1]
-        sc = jnp.take(kv.scale.reshape(Pg * ps, SL), rows, axis=0)[..., :Hd]
+        ns = kv.scale_shards
+        sc = jnp.take(kv.scale.reshape(Pg * ps, SL), rows, axis=0)
+        # undo the per-tp-shard 128-lane block layout (see KVCache.scale)
+        sc = sc.reshape(sc.shape[:-1] + (ns, SL // ns))[..., : Hd // ns]
+        sc = sc.reshape(sc.shape[:-2] + (Hd,))
         g = g.astype(jnp.float32) * sc[..., None]
     k = g[:, :, 0::2, :]
     v = g[:, :, 1::2, :]

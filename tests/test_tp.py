@@ -104,3 +104,64 @@ class TestTensorParallel:
         eng = make_engine(mesh=tp_mesh(2), quantization="w4a16")
         outs = eng.generate(input_ids=prompts()[:2], sampling_params=[sp] * 2)
         assert all(len(o.output_ids) == 4 for o in outs)
+
+    def test_tp2_int8_kv_gqa_matches(self):
+        """INT8 KV on a pure-TP mesh rides the gqa_tp kernels: the scale
+        pool shards into per-tp 128-lane blocks and both decode (in-kernel
+        scale folding) and extend (per-shard dequant scratch) run under
+        shard_map. Greedy outputs must match the single-device int8 engine
+        (VERDICT r2 item 2: BASELINE config 3 on a mesh)."""
+        sp = SamplingParams(temperature=0.0, max_new_tokens=6)
+        ref = [
+            o.output_ids
+            for o in make_engine(
+                kv_cache_dtype="int8", attention_backend="gqa"
+            ).generate(input_ids=prompts(), sampling_params=[sp] * 3)
+        ]
+        eng = make_engine(
+            mesh=tp_mesh(2), kv_cache_dtype="int8", attention_backend="gqa"
+        )
+        assert eng.scheduler.runner.attention_backend == "gqa_tp"
+        assert eng.scheduler.runner.kv_cache.scale_shards == 2
+        got = [
+            o.output_ids
+            for o in eng.generate(input_ids=prompts(), sampling_params=[sp] * 3)
+        ]
+        assert got == ref
+        eng.scheduler.check_memory_leak()
+
+    def test_tp2_fp8_kv_gqa_matches(self):
+        sp = SamplingParams(temperature=0.0, max_new_tokens=5)
+        ref = [
+            o.output_ids
+            for o in make_engine(
+                kv_cache_dtype="fp8", attention_backend="gqa"
+            ).generate(input_ids=prompts()[:2], sampling_params=[sp] * 2)
+        ]
+        eng = make_engine(
+            mesh=tp_mesh(2), kv_cache_dtype="fp8", attention_backend="gqa"
+        )
+        assert eng.scheduler.runner.attention_backend == "gqa_tp"
+        got = [
+            o.output_ids
+            for o in eng.generate(
+                input_ids=prompts()[:2], sampling_params=[sp] * 2
+            )
+        ]
+        assert got == ref
+        eng.scheduler.check_memory_leak()
+
+    def test_tp2_int8_kv_w4a16_runs(self):
+        """The full BASELINE config-3 shape (W4A16 weights + INT8 KV) on a
+        TP mesh keeps the fast kernels (no XLA-gather fallback)."""
+        sp = SamplingParams(temperature=0.0, max_new_tokens=4)
+        eng = make_engine(
+            mesh=tp_mesh(2),
+            kv_cache_dtype="int8",
+            quantization="w4a16",
+            attention_backend="gqa",
+        )
+        assert eng.scheduler.runner.attention_backend == "gqa_tp"
+        outs = eng.generate(input_ids=prompts()[:2], sampling_params=[sp] * 2)
+        assert all(len(o.output_ids) == 4 for o in outs)
+        eng.scheduler.check_memory_leak()
