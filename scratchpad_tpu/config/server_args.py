@@ -152,6 +152,14 @@ class ServerArgs:
     mm_image_token: str = "<image>"
     api_key: Optional[str] = None
 
+    # accept base64-pickled per-request logit processors over HTTP
+    # (arbitrary code execution by design — off unless opted in;
+    # reference: server/args.py enable_custom_logit_processor)
+    enable_custom_logit_processor: bool = False
+    # abort requests whose logits go non-finite instead of streaming
+    # garbage (reference: nn/layers/sampler.py:54-61 NaN detection)
+    enable_nan_detection: bool = True
+
     # observability
     log_level: str = "info"
     enable_metrics: bool = True

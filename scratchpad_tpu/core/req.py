@@ -111,8 +111,10 @@ class Req:
     # stats
     created_at: float = dataclasses.field(default_factory=time.monotonic)
     first_token_at: Optional[float] = None
+    last_token_at: Optional[float] = None  # host time of latest token event
     finished_at: Optional[float] = None
     retract_count: int = 0
+    stats_done: bool = False  # terminal latency samples already recorded
 
     @property
     def fill_ids(self) -> list[int]:

@@ -165,6 +165,11 @@ class Scheduler:
         self.num_spec_steps = 0
         self.num_spec_accepted = 0
         self.step_count = 0
+        # periodic decode-stats log (reference: scheduler.py:726-773
+        # print_decode_stats every decode_log_interval batches)
+        self._decode_windows = 0
+        self._log_gen0 = 0
+        self._log_t0 = __import__("time").monotonic()
 
     # ------------------------------------------------------------ public API
 
@@ -270,7 +275,33 @@ class Scheduler:
             self._inflight = {"batch": list(batch), "pending": pending, "K": K}
             return []  # results surface next step, overlapped with host work
         token_ids, logprobs, tops = self.runner.run_decode_window(wb, K)
-        return self._process_decode_result(batch, token_ids, logprobs, tops)
+        events = self._process_decode_result(batch, token_ids, logprobs, tops)
+        self._decode_windows += 1
+        iv = self.args.decode_log_interval
+        if iv and self._decode_windows % iv == 0:
+            self._log_decode_stats(len(batch), K)
+        return events
+
+    def _log_decode_stats(self, bs: int, window: int) -> None:
+        import time as _time
+
+        now = _time.monotonic()
+        dt = max(now - self._log_t0, 1e-9)
+        tput = (self.num_generated_tokens - self._log_gen0) / dt
+        total = self.allocator.num_pages
+        usage = 1.0 - self.allocator.available_pages / max(total, 1)
+        logger.info(
+            "decode: #running %d, #queue %d, window %d, kv usage %.1f%%, "
+            "gen throughput %.1f tok/s, #gen %d",
+            bs,
+            len(self.waiting),
+            window,
+            usage * 100.0,
+            tput,
+            self.num_generated_tokens,
+        )
+        self._log_gen0 = self.num_generated_tokens
+        self._log_t0 = now
 
     # ------------------------------------------------------- window pipeline
 
@@ -282,6 +313,7 @@ class Scheduler:
             or r.sampling_params.top_logprobs > 0
             or r.sampling_params.needs_penalties()
             or r.sampling_params.logit_bias
+            or r.sampling_params.custom_logit_processor is not None
             for r in batch
         )
 
@@ -1231,9 +1263,35 @@ class Scheduler:
             self.num_generated_tokens += 1
         return out
 
+    def _nan_guard(self, batch, logprobs) -> None:
+        """Divergence detection (reference: nn/layers/sampler.py:54-61 NaN
+        check on logits): a non-finite chosen logprob means the forward
+        produced NaN/inf logits — silent corruption. The affected request
+        is ABORTED with a loud error instead of streaming garbage; the
+        engine keeps serving the rest (cost: one np.isfinite over [K, B]
+        host floats per window — the values are already fetched)."""
+        if not self.args.enable_nan_detection or logprobs is None:
+            return
+        lp = np.asarray(logprobs)
+        if lp.ndim == 1:
+            lp = lp[None, :]
+        bad = ~np.isfinite(lp).all(axis=0)  # [B]
+        if not bad.any():
+            return
+        for i, req in enumerate(batch):
+            if i < bad.shape[0] and bad[i] and not req.finished():
+                logger.error(
+                    "non-finite logits for %s (pos %d): aborting request "
+                    "(model divergence / corrupted weights?)",
+                    req.rid,
+                    req.seq_len,
+                )
+                req.finished_reason = FinishReason.ABORT
+
     def _process_extend_result(
         self, batch, chunk_lens, token_ids, logprobs, tops=None
     ):
+        self._nan_guard(batch, logprobs)
         events: list[StepEvent] = []
         for i, (req, chunk) in enumerate(zip(batch, chunk_lens)):
             req.computed_len += chunk
@@ -1241,6 +1299,12 @@ class Scheduler:
                 # chunk-prefill continues; sampled token is meaningless
                 self._cache_unfinished(req)
                 events.append(StepEvent(req, [], False))
+                continue
+            if req.finished():  # aborted by the NaN guard: drop the sample
+                if req in self.running:
+                    self.running.remove(req)
+                self._finish_req(req)
+                events.append(StepEvent(req, [], True))
                 continue
             tok = int(token_ids[i])
             new_tokens = [tok]
@@ -1342,13 +1406,15 @@ class Scheduler:
         flight — finished requests keep their resources (and stay in
         ``running``) until the pipeline drains, since the in-flight window
         still writes KV into their pages."""
+        self._nan_guard(batch, logprobs)
         K = token_ids.shape[0]
         events: list[StepEvent] = []
         finished: list[Req] = []
         for i, req in enumerate(batch):
             if req.finished():
-                # finished in an earlier window of the pipeline; this
-                # window's speculative tokens for it are discarded
+                # finished in an earlier window of the pipeline (or aborted
+                # by the NaN guard — released by _sweep_external_finishes);
+                # this window's speculative tokens for it are discarded
                 events.append(StepEvent(req, [], True))
                 continue
             accepted: list[int] = []

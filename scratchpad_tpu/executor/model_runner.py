@@ -893,6 +893,7 @@ class ModelRunner:
             wb.vocab_bitmask is None
             and si.output_token_counts is None
             and si.logit_bias is None
+            and si.custom_processors is None
             # adapters pack once the manager is attached (zero-slot no-op)
             and (wb.active_adapters is None or self.toppings_manager is not None)
             and wb.input_embeds is None
@@ -1301,6 +1302,25 @@ class ModelRunner:
             if wb.vocab_bitmask is not None
             else None,
             logit_bias=padB(si.logit_bias, 0.0),
+            custom_processors=si.custom_processors,
+            # mask is [P, B_real]: pad the ROW axis (padding rows keep the
+            # unprocessed logits; they are never read anyway)
+            custom_proc_mask=(
+                np.pad(
+                    si.custom_proc_mask,
+                    [(0, 0), (0, B - si.custom_proc_mask.shape[1])],
+                )
+                if si.custom_proc_mask is not None
+                else None
+            ),
+            custom_proc_params=(
+                tuple(
+                    {k: padB(v, 0.0) for k, v in d.items()}
+                    for d in si.custom_proc_params
+                )
+                if si.custom_proc_params is not None
+                else None
+            ),
         )
         return meta, sinfo
 

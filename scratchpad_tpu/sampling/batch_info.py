@@ -29,6 +29,14 @@ class SamplingBatchInfo:
     vocab_bitmask: Optional[jax.Array] = None  # u32[B, ceil(V/32)]
     # additive OpenAI logit_bias (None when no request in the batch has one)
     logit_bias: Optional[jax.Array] = None  # f32[B, V]
+    # user-supplied logit transforms (sampling/custom_logit_processor.py):
+    # custom_processors is a META tuple of distinct jax-traceable callables
+    # (jit keys on it — a new processor compiles one new step variant);
+    # custom_proc_mask[i] marks the rows processor i applies to and
+    # custom_proc_params[i] is its dict of per-row f32[B] scalars
+    custom_processors: Optional[tuple] = None
+    custom_proc_mask: Optional[jax.Array] = None  # bool[P, B]
+    custom_proc_params: Optional[tuple] = None  # tuple[dict[str, f32[B]]]
 
     @property
     def needs_penalties(self) -> bool:
@@ -75,6 +83,31 @@ class SamplingBatchInfo:
                     )
                     out_counts[i, ids] = counts
                 in_mask[i, np.asarray(r.origin_input_ids, np.int64)] = True
+        procs = mask = pparams = None
+        if any(r.sampling_params.custom_logit_processor is not None for r in reqs):
+            groups: dict = {}  # processor -> row list (dict keeps order)
+            for i, r in enumerate(reqs):
+                proc = r.sampling_params.custom_logit_processor
+                if proc is not None:
+                    groups.setdefault(proc, []).append(i)
+            procs = tuple(groups)
+            mask = np.zeros((len(procs), B), np.bool_)
+            pparams = []
+            for pi, (proc, rows) in enumerate(groups.items()):
+                mask[pi, rows] = True
+                keys = sorted(
+                    {
+                        k
+                        for i in rows
+                        for k in (reqs[i].sampling_params.custom_params or ())
+                    }
+                )
+                d = {k: np.zeros(B, np.float32) for k in keys}
+                for i in rows:
+                    for k, v in (reqs[i].sampling_params.custom_params or {}).items():
+                        d[k][i] = float(v)
+                pparams.append(d)
+            pparams = tuple(pparams)
         return SamplingBatchInfo(
             temperature=temperature,
             top_p=top_p,
@@ -86,6 +119,9 @@ class SamplingBatchInfo:
             output_token_counts=out_counts,
             input_token_mask=in_mask,
             logit_bias=bias,
+            custom_processors=procs,
+            custom_proc_mask=mask,
+            custom_proc_params=pparams,
         )
 
 
@@ -103,6 +139,8 @@ jax.tree_util.register_dataclass(
         "input_token_mask",
         "vocab_bitmask",
         "logit_bias",
+        "custom_proc_mask",
+        "custom_proc_params",
     ],
-    meta_fields=[],
+    meta_fields=["custom_processors"],
 )

@@ -162,6 +162,18 @@ def sample(
     (reference: scratchpad/nn/layers/sampler.py:63-125).
     """
     B, V = logits.shape
+    if info.custom_processors:
+        # user-supplied jax-traceable transforms, applied per processor
+        # group and blended back by row mask (reference applies custom
+        # processors first too, nn/layers/sampler.py:162)
+        for i, proc in enumerate(info.custom_processors):
+            p = (
+                info.custom_proc_params[i]
+                if info.custom_proc_params is not None
+                else {}
+            )
+            out = proc(logits, p)
+            logits = jnp.where(info.custom_proc_mask[i][:, None], out, logits)
     if info.logit_bias is not None:
         # additive OpenAI logit_bias before penalties/softmax
         # (reference: scratchpad/nn/layers/sampler.py:162 custom processors)

@@ -136,6 +136,10 @@ class Engine:
 
             mesh = mesh_from_args(self.args)
         self.scheduler = Scheduler(model_config, self.args, mesh=mesh)
+        from scratchpad_tpu.server.metrics import LatencyStats
+
+        # TTFT/ITL/TPOT/E2E sample sink; drained by /metrics histograms
+        self.latency = LatencyStats()
         if ctrl is not None:
             from scratchpad_tpu.parallel.multihost import (
                 LeaderEagle,
@@ -534,10 +538,12 @@ class Engine:
 
     def _postprocess_event(self, ev: StepEvent) -> None:
         req = ev.req
+        if ev.new_tokens:
+            self.latency.on_tokens(req, len(ev.new_tokens))
+        if req.finished():
+            self.latency.on_finish(req)
         if not ev.new_tokens:
             return
-        if req.first_token_at is None:
-            req.first_token_at = time.monotonic()
         self.detokenizer.step(req)
         if not req.finished() and self.detokenizer.check_stop_strings(req):
             # scheduler cleans this req at the start of its next step

@@ -41,14 +41,30 @@ from scratchpad_tpu.utils import get_logger
 logger = get_logger("http_server")
 
 
-def _sampling_from(req, max_tokens: int) -> SamplingParams:
+def _sampling_from(req, max_tokens: int, allow_custom_logit=False) -> SamplingParams:
     # OpenAI logit_bias keys are token-id strings
     bias = (
         {int(k): float(v) for k, v in req.logit_bias.items()}
         if req.logit_bias
         else None
     )
+    proc = None
+    if getattr(req, "custom_logit_processor", None):
+        # deserializing executes arbitrary code: refuse unless the server
+        # opted in (reference: --enable-custom-logit-processor gate)
+        if not allow_custom_logit:
+            raise ValueError(
+                "custom_logit_processor requires the server to run with "
+                "--enable-custom-logit-processor"
+            )
+        from scratchpad_tpu.sampling.custom_logit_processor import (
+            CustomLogitProcessor,
+        )
+
+        proc = CustomLogitProcessor.from_str(req.custom_logit_processor)
     return SamplingParams(
+        custom_logit_processor=proc,
+        custom_params=getattr(req, "custom_params", None),
         max_new_tokens=max_tokens,
         temperature=req.temperature,
         top_p=req.top_p,
@@ -296,7 +312,13 @@ class ServerApp:
             return self._bad_request(
                 "no tokenizer loaded; send token-id prompts"
             )
-        sp = _sampling_from(creq, creq.max_tokens)
+        try:
+            sp = _sampling_from(
+                creq, creq.max_tokens,
+                allow_custom_logit=self.args.enable_custom_logit_processor,
+            )
+        except ValueError as e:
+            return self._bad_request(str(e))
         if creq.stream:
             return await self._stream_completion(request, creq, prompts, idss, sp)
         choices = []
@@ -477,7 +499,13 @@ class ServerApp:
             return self._bad_request(str(e))
         prompt = self._apply_chat_template(creq.messages)
         max_tokens = creq.max_completion_tokens or creq.max_tokens or 512
-        sp = _sampling_from(creq, max_tokens)
+        try:
+            sp = _sampling_from(
+                creq, max_tokens,
+                allow_custom_logit=self.args.enable_custom_logit_processor,
+            )
+        except ValueError as e:
+            return self._bad_request(str(e))
         if creq.response_format and creq.response_format.type == "json_object":
             sp.json_schema = "true"  # generic JSON grammar
         elif creq.response_format and creq.response_format.type == "json_schema":

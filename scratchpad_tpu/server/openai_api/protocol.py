@@ -33,6 +33,10 @@ class CompletionRequest(BaseModel):
     echo: bool = False
     frequency_penalty: float = 0.0
     logit_bias: Optional[Dict[str, float]] = None
+    # base64(zlib(pickle)) jax-traceable processor + per-request scalars
+    # (sampling/custom_logit_processor.py; server must enable the flag)
+    custom_logit_processor: Optional[str] = None
+    custom_params: Optional[Dict[str, float]] = None
     logprobs: Optional[int] = None
     max_tokens: int = 16
     n: int = 1
@@ -107,6 +111,8 @@ class ChatCompletionRequest(BaseModel):
     messages: List[ChatMessage]
     frequency_penalty: float = 0.0
     logit_bias: Optional[Dict[str, float]] = None
+    custom_logit_processor: Optional[str] = None
+    custom_params: Optional[Dict[str, float]] = None
     logprobs: bool = False
     top_logprobs: Optional[int] = None
     max_tokens: Optional[int] = None

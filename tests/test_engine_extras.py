@@ -258,3 +258,34 @@ def test_eval_cli(tmp_path, capsys, monkeypatch):
     main()
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["metric"] == "accuracy" and out["n"] == 1
+
+
+def test_nan_divergence_guard():
+    """Non-finite logits abort the request instead of streaming garbage
+    (VERDICT r2 item 10; reference: nn/layers/sampler.py:54-61)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scratchpad_tpu.config import ServerArgs
+    from scratchpad_tpu.sampling.sampling_params import SamplingParams
+    from scratchpad_tpu.server.engine import Engine
+
+    eng = Engine(
+        ServerArgs(
+            preset="tiny-debug",
+            random_weights=True,
+            dtype="float32",
+            page_size=4,
+            max_total_tokens=1024,
+        )
+    )
+    sp = SamplingParams(temperature=0.0, max_new_tokens=4)
+    ok = eng.generate(input_ids=[1, 2, 3], sampling_params=sp)
+    assert ok.finish_reason == "length"
+    # poison the embedding table -> every logit becomes NaN
+    runner = eng.scheduler.runner
+    runner.params["embed"] = runner.params["embed"] * jnp.float32(np.nan)
+    out = eng.generate(input_ids=[4, 5, 6], sampling_params=sp)
+    assert out.finish_reason == "abort"
+    assert out.output_ids == []
+    eng.scheduler.check_memory_leak()

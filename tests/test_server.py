@@ -143,6 +143,37 @@ class TestServer:
         assert r.status_code == 200
         assert b"scratchpad_tpu:token_usage" in r.content
 
+    def test_latency_histograms_populated(self, server):
+        """TTFT/ITL/TPOT/E2E histograms fill from served requests
+        (VERDICT r2 item 5; reference: server/metrics.py:38-125)."""
+        r = httpx.post(
+            f"{server}/v1/completions",
+            json={
+                "model": "tiny-debug",
+                "prompt": [5, 6, 7, 8],
+                "max_tokens": 8,
+                "temperature": 0.0,
+                "ignore_eos": True,
+            },
+            timeout=60,
+        )
+        assert r.status_code == 200
+        text = httpx.get(f"{server}/metrics").text
+
+        def bucket_count(metric):
+            tot = 0.0
+            for line in text.splitlines():
+                if line.startswith(f"scratchpad_tpu:{metric}_count"):
+                    tot += float(line.split()[-1])
+            return tot
+
+        assert bucket_count("time_to_first_token_seconds") >= 1
+        assert bucket_count("e2e_request_latency_seconds") >= 1
+        assert bucket_count("time_per_output_token_seconds") >= 1
+        assert bucket_count("inter_token_latency_seconds") >= 1
+        assert "scratchpad_tpu:generation_tokens_total" in text
+        assert 'scratchpad_tpu:num_finished_reqs_total{reason="length"}' in text
+
     def test_bad_request(self, server):
         r = httpx.post(
             f"{server}/v1/completions", json={"model": "tiny"}, timeout=30
