@@ -160,3 +160,43 @@ class TestFleetReprovisioning:
         assert res["makespan_s"] > 1.0 + 1.5
         fleet2 = self._fleet(LeastLoaded())
         assert fleet2.run(self._reqs())["completed"] == 12
+
+
+class TestScalingProjection:
+    """2-host DCN scaling projection (VERDICT r2 item 7; BASELINE config 5:
+    70B W4A16 on 2 hosts >= 90%). Byte model validated against 2-slice
+    AOT HLO by tools/aot_dcn_check.py; see SCALING_70B.md."""
+
+    def test_scaling_projection_pp_meets_target(self):
+        from tools.simulator.analyzer import scaling_projection
+
+        p = scaling_projection("llama-3.1-70b", layout="pp", bs=64, ctx=4096)
+        assert p.efficiency >= 0.90
+        assert p.violating_collective is None
+        # the boundary hop is one activation row-set per tick
+        assert p.dcn_bytes_per_step == 64 * 8192 * 2 + 64 * 4
+
+    def test_scaling_projection_dp_is_free(self):
+        from tools.simulator.analyzer import scaling_projection
+
+        p = scaling_projection("llama-3.1-70b", layout="dp")
+        assert p.efficiency == 1.0
+        assert p.dcn_bytes_per_step == 0
+
+    def test_scaling_projection_flat_tp_flags_collective(self):
+        from tools.simulator.analyzer import scaling_projection
+
+        p = scaling_projection("llama-3.1-70b", layout="tp", bs=64, ctx=4096)
+        assert p.efficiency < 0.90
+        assert "all-reduce" in p.violating_collective
+        # 2 all-reduces x 80 layers x bs*H bf16
+        assert p.dcn_bytes_per_step == 2 * 80 * 64 * 8192 * 2
+
+    def test_measured_anchor_changes_step(self):
+        from tools.simulator.analyzer import scaling_projection
+
+        p = scaling_projection(
+            "llama-3.1-70b", layout="pp", measured_step_s=0.0167
+        )
+        assert abs(p.step_time_s - 0.0167) < 1e-9
+        assert p.efficiency >= 0.99

@@ -269,3 +269,115 @@ def capacity_plan(
             an.weight_bytes(w_bit) / (H2D_BW * 1e9 * hosts), 1
         ),
     }
+
+
+# ------------------------------------------------- 2-host DCN scaling
+
+
+# data-center network between TPU hosts: usable per-host bandwidth and
+# one-way latency (public Cloud TPU multislice figures are ~100-200 Gbps
+# NICs; 25 GB/s is the conservative planning number, latency ~10 us)
+DCN_GBPS = 25.0
+DCN_LATENCY_S = 10e-6
+
+
+@dataclass
+class ScalingProjection:
+    layout: str  # "dp" | "pp" | "tp" across the host boundary
+    hosts: int
+    step_time_s: float  # per decode tick, without DCN
+    dcn_bytes_per_step: float
+    dcn_time_s: float
+    efficiency: float  # step / (step + dcn)
+    violating_collective: Optional[str] = None
+    notes: list = field(default_factory=list)
+
+
+def scaling_projection(
+    preset: str,
+    layout: str = "pp",
+    hosts: int = 2,
+    chips_per_host: int = 8,
+    bs: int = 64,
+    ctx: int = 4096,
+    w_bit: int = 4,
+    kv_bit: int = 8,
+    measured_step_s: Optional[float] = None,
+    mfu: float = 0.55,
+    dcn_gbps: float = DCN_GBPS,
+    dcn_latency_s: float = DCN_LATENCY_S,
+    hardware: str = "tpu-v5e",
+) -> ScalingProjection:
+    """Project 2-host scaling efficiency for a decode step (VERDICT r2
+    item 7; BASELINE config 5: 70B W4A16 on 2+ hosts, target >= 90%).
+
+    ``measured_step_s`` anchors the single-host step time with a real
+    measurement (e.g. the 8B W4A16 v5e number scaled by the analyzer's
+    cost ratio); otherwise the analyzer's roofline at ``mfu`` is used.
+
+    Per-step DCN traffic by layout (these byte counts are exactly what the
+    sharded-HLO collectives carry — tools/aot_dcn_check.py verifies them
+    against AOT-compiled 2-slice HLO):
+
+    - dp: replicas are independent; nothing crosses DCN inside a step.
+    - pp (stages split at the host boundary): the boundary activation
+      [bs, H] bf16 crosses once per tick, plus the sampled-token feedback
+      [bs] i32 back to stage 0 (a latency hop, pipelined with the next
+      window in this engine's fused-window decode).
+    - tp (flat tp across hosts): 2 all-reduces of [bs, H] bf16 PER LAYER
+      cross the boundary (the ring's bisection traffic) — the violating
+      collective for any serious layer count.
+    """
+    an = ModelAnalyzer(preset, hardware)
+    c = an.cfg
+    total_chips = hosts * chips_per_host
+    tp_in = chips_per_host
+    if measured_step_s is not None:
+        step = measured_step_s
+    else:
+        perf = an.analyze(
+            bs, ctx, w_bit=w_bit, kv_bit=kv_bit, tp=total_chips, mfu=mfu
+        )
+        step = perf["decode"]["inference_time"]
+    H = c.hidden_size
+    act_bytes = bs * H * 2  # bf16 activations
+    notes = []
+    violating = None
+    if layout == "dp":
+        dcn_bytes = 0.0
+        dcn_t = 0.0
+        notes.append("independent replicas; DCN carries only router traffic")
+    elif layout == "pp":
+        # one boundary crossing per tick + token feedback; latency paid
+        # once per tick (the fused decode window pipelines the return hop)
+        crossings = hosts - 1
+        dcn_bytes = act_bytes * crossings + bs * 4
+        dcn_t = dcn_bytes / (dcn_gbps * 1e9) + 2 * dcn_latency_s * crossings
+        notes.append(
+            "boundary activation [bs, H] bf16 once per tick via ppermute"
+        )
+    elif layout == "tp":
+        # each layer's 2 all-reduces bisect the hosts: payload/2 crosses
+        # per direction -> ~payload bytes per all-reduce over DCN
+        L = c.num_hidden_layers
+        dcn_bytes = 2 * L * act_bytes
+        dcn_t = dcn_bytes / (dcn_gbps * 1e9) + 2 * L * 2 * dcn_latency_s
+        violating = (
+            f"all-reduce([bs={bs}, H={H}] bf16) x {2 * L}/step crossing DCN"
+        )
+        notes.append("flat tp across hosts puts every layer's psum on DCN")
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
+    eff = step / (step + dcn_t) if step > 0 else 0.0
+    if eff < 0.9 and violating is None and dcn_t > 0:
+        violating = "boundary ppermute dominated by DCN latency"
+    return ScalingProjection(
+        layout=layout,
+        hosts=hosts,
+        step_time_s=step,
+        dcn_bytes_per_step=dcn_bytes,
+        dcn_time_s=dcn_t,
+        efficiency=eff,
+        violating_collective=violating if eff < 0.9 else None,
+        notes=notes,
+    )
