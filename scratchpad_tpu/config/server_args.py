@@ -150,6 +150,10 @@ class ServerArgs:
     chat_template: Optional[str] = None
     # text form of the VLM image placeholder in chat prompts
     mm_image_token: str = "<image>"
+    # text form of the video placeholder + frames sampled per video
+    # (reference: managers/image_processor.py encode_video)
+    mm_video_token: str = "<video>"
+    video_frames: int = 8
     api_key: Optional[str] = None
 
     # accept base64-pickled per-request logit processors over HTTP

@@ -919,6 +919,20 @@ class ModelRunner:
         )
         return np.asarray(feats, np.float32)
 
+    def encode_videos(self, frames: np.ndarray) -> np.ndarray:
+        """Vision tower over REAL temporal patches: [T,C,S,S] frames ->
+        [grid_t, P, H] (models/qwen2_vl.py encode_video)."""
+        if not hasattr(self.model, "encode_video"):
+            raise ValueError(
+                f"{self.model_config.architecture} does not support video"
+            )
+        if not hasattr(self, "_jit_encode_video"):
+            self._jit_encode_video = jax.jit(self.model.encode_video)
+        feats = self._jit_encode_video(
+            self.params, jnp.asarray(frames, self._dtype())
+        )
+        return np.asarray(feats, np.float32)
+
     def image_token_embedding(self) -> np.ndarray:
         """The learned <|image|> embedding row (Mllama placeholder)."""
         idx = self.model.image_token_index

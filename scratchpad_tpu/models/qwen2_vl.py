@@ -140,15 +140,22 @@ class Qwen2VisionTower:
     # --------------------------------------------------------------- forward
 
     def _patchify(self, px: jax.Array) -> jax.Array:
-        """[N, C, S, S] -> [N, L, C*tp*p*p] in HF merge-block patch order."""
+        """[N, C, S, S] (still image, tiled over tp frames) or
+        [N, tp, C, S, S] (a REAL temporal patch of tp video frames) ->
+        [N, L, C*tp*p*p] in HF merge-block patch order, flattened per
+        patch as (C, tp, ph, pw) like HF's Qwen2VLImageProcessor."""
         N = px.shape[0]
         C, p, g, m = self.channels, self.patch, self.grid, self.merge
-        x = px.reshape(N, C, g, p, g, p)
-        x = x.transpose(0, 2, 4, 1, 3, 5)  # [N, gh, gw, C, p, p]
-        # temporal duplication: HF tiles the still image over tp frames and
-        # flattens per patch as (C, tp, ph, pw)
-        x = x.reshape(N, g, g, C, 1, p * p)
-        x = jnp.broadcast_to(x, (N, g, g, C, self.tpatch, p * p))
+        if px.ndim == 5:  # video: tp distinct frames per temporal patch
+            x = px.reshape(N, self.tpatch, C, g, p, g, p)
+            x = x.transpose(0, 3, 5, 2, 1, 4, 6)  # [N, gh, gw, C, tp, p, p]
+            x = x.reshape(N, g, g, C, self.tpatch, p * p)
+        else:
+            x = px.reshape(N, C, g, p, g, p)
+            x = x.transpose(0, 2, 4, 1, 3, 5)  # [N, gh, gw, C, p, p]
+            # temporal duplication: HF tiles the still image over tp frames
+            x = x.reshape(N, g, g, C, 1, p * p)
+            x = jnp.broadcast_to(x, (N, g, g, C, self.tpatch, p * p))
         D = C * self.tpatch * p * p
         x = x.reshape(N, g // m, m, g // m, m, D)
         x = x.transpose(0, 1, 3, 2, 4, 5)  # merge-block order (hb, wb, ih, iw)
@@ -242,6 +249,13 @@ class Qwen2VLForConditionalGeneration(LlamaForCausalLM):
         self.image_token_index = mm.get(
             "image_token_index", mm.get("image_token_id", 151655)
         )
+        # video frames ride the same ViT; the video placeholder expands to
+        # frames x patches tokens with the mrope time axis advancing per
+        # frame (HF video_token_id, Qwen2-VL default 151656)
+        self.video_token_index = mm.get(
+            "video_token_index", mm.get("video_token_id", 151656)
+        )
+        self.supports_video = True
         self.vision = Qwen2VisionTower(
             mm["vision_config"], image_size=mm.get("image_size", 448)
         )
@@ -299,36 +313,61 @@ class Qwen2VLForConditionalGeneration(LlamaForCausalLM):
         """[N, C, S, S] -> merged patch features [N, tokens, H_text]."""
         return self.vision(params["vision"], pixel_values)
 
+    def encode_video(self, params: dict, frames: jax.Array) -> jax.Array:
+        """[T, C, S, S] sampled frames -> [grid_t, tokens, H_text].
+
+        HF groups temporal_patch_size consecutive REAL frames per patch
+        (video_grid_thw t = T / temporal_patch_size; odd tails repeat the
+        last frame) — unlike still images, which tile one frame. The time
+        axis of mrope advances per temporal patch (compute_mrope)."""
+        T = frames.shape[0]
+        tp = self.vision.tpatch
+        pad = (-T) % tp
+        if pad:
+            frames = jnp.concatenate(
+                [frames, jnp.repeat(frames[-1:], pad, axis=0)], axis=0
+            )
+        grid_t = frames.shape[0] // tp
+        grouped = frames.reshape((grid_t, tp) + frames.shape[1:])
+        return self.vision(params["vision"], grouped)
+
     # ----------------------------------------------------------- mrope index
 
     def compute_mrope(
         self, token_ids: list[int], image_spans: list[tuple[int, int]]
     ) -> tuple[np.ndarray, int]:
-        """3-D rope positions for a prompt with image spans.
+        """3-D rope positions for a prompt with image/video spans.
 
-        ``image_spans``: (start_row, n_tokens) per image, each covering one
-        fixed-grid image (llm_grid x llm_grid tokens). Returns (table[3, L],
-        delta) following HF get_rope_index: text advances all components,
-        image spans get t=const / h=row / w=col, the next segment starts at
-        max+1 (reference analogue: MRotaryEmbedding.get_input_positions).
+        ``image_spans``: (start_row, n_tokens) per image — one fixed-grid
+        image (llm_grid x llm_grid tokens) — or (start_row, n_tokens,
+        t_frames) for a video of t_frames such grids. Returns (table[3, L],
+        delta) following HF get_rope_index (incl. video_grid_thw): text
+        advances all components; image/video spans get t=frame index,
+        h=row, w=col; the next segment starts at max-component+1
+        (reference analogue: MRotaryEmbedding.get_input_positions).
         """
         L = len(token_ids)
         g = self.vision.llm_grid
         table = np.zeros((3, L), np.int64)
         cur = 0  # next start position
         prev_end = 0  # next row to fill
-        for start, n in image_spans:
+        for span in image_spans:
+            start, n = span[0], span[1]
+            tframes = span[2] if len(span) > 2 else 1
             tlen = start - prev_end
             if tlen:
                 table[:, prev_end:start] = cur + np.arange(tlen)
                 cur += tlen
-            assert n == g * g, (n, g)
+            per = n // tframes
+            assert per == g * g and n == tframes * per, (n, g, tframes)
             rows = np.repeat(np.arange(g), g)
             cols = np.tile(np.arange(g), g)
-            table[0, start : start + n] = cur
-            table[1, start : start + n] = cur + rows
-            table[2, start : start + n] = cur + cols
-            cur += g  # max(h, w) component + 1
+            for f in range(tframes):
+                s = start + f * per
+                table[0, s : s + per] = cur + f
+                table[1, s : s + per] = cur + rows
+                table[2, s : s + per] = cur + cols
+            cur += max(tframes, g)  # max component + 1
             prev_end = start + n
         if prev_end < L:
             table[:, prev_end:] = cur + np.arange(L - prev_end)

@@ -149,6 +149,7 @@ class AsyncEngineRunner:
         rid: Optional[str] = None,
         return_logprob: bool = False,
         image_data=None,
+        video_data=None,
         stream: bool = False,
     ):
         """Async generator yielding ("delta", str) then ("done", output)."""
@@ -159,6 +160,7 @@ class AsyncEngineRunner:
             return_logprob,
             rid=rid,
             image_data=image_data,
+            video_data=video_data,
         )
         req.stream = stream
         st = _ReqState(asyncio.get_running_loop())

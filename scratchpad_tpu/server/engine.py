@@ -240,6 +240,7 @@ class Engine:
         rid: Optional[str] = None,
         topping: Optional[str] = None,
         image_data=None,
+        video_data=None,
     ) -> Req:
         sp = sampling_params or SamplingParams()
         if input_ids is None:
@@ -248,7 +249,20 @@ class Engine:
         mm_positions = mm_features = mm_spans = None
         mrope_table, mrope_delta = None, 0
         cross_states = None
-        if image_data is not None:
+        if video_data is not None:
+            assert image_data is None, (
+                "one request carries images OR one video (v1)"
+            )
+            (
+                input_ids,
+                mm_positions,
+                mm_features,
+                mrope_table,
+                mrope_delta,
+                cross_states,
+                mm_spans,
+            ) = self._prepare_video(list(input_ids), video_data)
+        elif image_data is not None:
             (
                 input_ids,
                 mm_positions,
@@ -300,6 +314,83 @@ class Engine:
                 std=_np.asarray(model.image_std, _np.float32),
             )
         return preprocess_clip(img, size)
+
+    def _prepare_video(self, input_ids: list[int], video_data):
+        """Encode sampled video frames and splice them into the prompt
+        (VERDICT r2 item 9; reference: managers/image_processor.py:20
+        encode_video + HF video_grid_thw). Frames ride the same ViT as
+        images; the single video placeholder expands to frames x patches
+        content-hashed pseudo ids and the mrope TIME component advances
+        per frame (models/qwen2_vl.py compute_mrope video spans)."""
+        import hashlib
+
+        model = self.scheduler.runner.model
+        if not getattr(model, "supports_video", False):
+            raise ValueError(
+                f"{self.model_config.architecture} does not accept video_data"
+            )
+        px = np.asarray(video_data, np.float32)
+        assert px.ndim == 4, "video_data must be [T, C, H, W] frame pixels"
+        expected = getattr(getattr(model, "vision", None), "image_size", None)
+        if expected is not None and px.shape[2:] != (expected, expected):
+            raise ValueError(
+                f"video frames are {px.shape[2]}x{px.shape[3]} but the model "
+                f"expects {expected}x{expected} (use Engine.preprocess_image "
+                "per frame)"
+            )
+        # real temporal patches (HF video_grid_thw: t = T/temporal_patch);
+        # features come back per temporal patch, not per raw frame
+        feats = self.scheduler.runner.encode_videos(px)  # [grid_t, Pn, H]
+        T, Pn, H = feats.shape
+        vid_tok = model.video_token_index
+        n_ph = sum(1 for t in input_ids if t == vid_tok)
+        if n_ph == 1:
+            expand = T * Pn  # one placeholder = the whole video
+        elif n_ph == T * Pn:
+            expand = 1  # pre-expanded (HF-processor style); must be one run
+            first = next(
+                i for i, t in enumerate(input_ids) if t == vid_tok
+            )
+            run = input_ids[first : first + T * Pn]
+            if any(t != vid_tok for t in run):
+                raise ValueError(
+                    "pre-expanded video tokens must form one contiguous run"
+                )
+        else:
+            raise ValueError(
+                f"prompt has {n_ph} video tokens for a {T}-frame video "
+                f"({Pn} patches/frame); send 1 or {T * Pn}"
+            )
+        vhash = int.from_bytes(
+            hashlib.blake2b(px.tobytes(), digest_size=8).digest(), "little"
+        )
+        out_ids: list[int] = []
+        positions: list[int] = []
+        spans: list[tuple] = []
+        consumed = 0
+        for t in input_ids:
+            if t == vid_tok:
+                if consumed == 0:
+                    spans.append((len(out_ids), T * Pn, T))
+                for j in range(expand):
+                    pid = (vhash + consumed * expand + j) % (2**30)
+                    positions.append(len(out_ids))
+                    out_ids.append(-1 - pid)
+                consumed += 1
+            else:
+                out_ids.append(t)
+        mrope_table, mrope_delta = None, 0
+        if getattr(model, "uses_mrope", False):
+            mrope_table, mrope_delta = model.compute_mrope(out_ids, spans)
+        return (
+            out_ids,
+            np.asarray(positions, np.int64),
+            feats.reshape(T * Pn, H),
+            mrope_table,
+            mrope_delta,
+            None,
+            None,
+        )
 
     def _prepare_multimodal(self, input_ids: list[int], image_data):
         """Encode images and splice them into the prompt.
@@ -408,6 +499,7 @@ class Engine:
         return_logprob: bool = False,
         topping: Optional[Union[str, list]] = None,
         image_data=None,
+        video_data=None,
     ) -> Union[GenerationOutput, list[GenerationOutput]]:
         """Blocking generation for one prompt or a batch
         (reference: server/engine.py:68 generate). ``image_data``: pixel
@@ -436,12 +528,19 @@ class Engine:
             if isinstance(image_data, list)
             else [image_data] * len(prompts)
         )
+        vids = (
+            video_data
+            if isinstance(video_data, list)
+            else [video_data] * len(prompts)
+        )
         # parallel sampling (n > 1): pre-cache each prompt's prefix with a
         # zero-token warmup request, then expand into n stochastic clones
         # (reference: managers/tokenizer.py:321 _handle_batch_request)
         if any(s is not None and s.n > 1 for s in sps):
             warmups = []
-            for p, i, s, t, im in zip(prompts, idss, sps, tops, imgs):
+            for p, i, s, t, im, vd in zip(
+                prompts, idss, sps, tops, imgs, vids
+            ):
                 if s is not None and s.n > 1:
                     warmups.append(
                         self._make_req(
@@ -450,6 +549,7 @@ class Engine:
                             dataclasses.replace(s, max_new_tokens=0, n=1),
                             topping=t,
                             image_data=im,
+                            video_data=vd,
                         )
                     )
             for r in warmups:
@@ -457,8 +557,10 @@ class Engine:
             while any(not r.finished() for r in warmups):
                 if not self.scheduler.step() and not self.scheduler.has_work():
                     break
-            new = ([], [], [], [], [])
-            for p, i, s, t, im in zip(prompts, idss, sps, tops, imgs):
+            new = ([], [], [], [], [], [])
+            for p, i, s, t, im, vd in zip(
+                prompts, idss, sps, tops, imgs, vids
+            ):
                 reps = s.n if s is not None else 1
                 for _ in range(reps):
                     new[0].append(p)
@@ -468,11 +570,17 @@ class Engine:
                     )
                     new[3].append(t)
                     new[4].append(im)
-            prompts, idss, sps, tops, imgs = new
+                    new[5].append(vd)
+            prompts, idss, sps, tops, imgs, vids = new
             batched = True
         reqs = [
-            self._make_req(p, i, s, return_logprob, topping=t, image_data=im)
-            for p, i, s, t, im in zip(prompts, idss, sps, tops, imgs)
+            self._make_req(
+                p, i, s, return_logprob, topping=t, image_data=im,
+                video_data=vd,
+            )
+            for p, i, s, t, im, vd in zip(
+                prompts, idss, sps, tops, imgs, vids
+            )
         ]
         for r in reqs:
             self.scheduler.add_request(r)
@@ -496,10 +604,12 @@ class Engine:
         input_ids: Optional[list[int]] = None,
         sampling_params: Optional[SamplingParams] = None,
         image_data=None,
+        video_data=None,
     ) -> Iterator[dict]:
         """Streaming generation for a single request; yields text deltas."""
         req = self._make_req(
-            prompt, input_ids, sampling_params, image_data=image_data
+            prompt, input_ids, sampling_params, image_data=image_data,
+            video_data=video_data,
         )
         req.stream = True
         self.scheduler.add_request(req)

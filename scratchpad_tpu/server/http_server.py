@@ -442,8 +442,12 @@ class ServerApp:
     def _extract_images(self, messages: list[ChatMessage]):
         """Flatten OpenAI content parts: image_url parts (data:/base64/local
         path) become the model's image token in the text stream and their
-        pixel values are returned for the vision encoder."""
+        pixel values are returned for the vision encoder; video_url parts
+        decode + uniformly sample frames (multimodal/video.py; reference:
+        managers/image_processor.py:20 encode_video). Returns
+        (images [N,C,H,W] | None, video_frames [T,C,H,W] | None)."""
         images = []
+        video = None
         for m in messages:
             if not isinstance(m.content, list):
                 continue
@@ -461,10 +465,30 @@ class ServerApp:
                     img = decode_image(url if url else part.get("image"))
                     images.append(self.engine.preprocess_image(img))
                     texts.append(self.args.mm_image_token)
+                elif ptype in ("video_url", "video"):
+                    from scratchpad_tpu.multimodal.video import decode_video
+
+                    if video is not None:
+                        raise ValueError("one video per request")
+                    url = part.get("video_url")
+                    if isinstance(url, dict):
+                        url = url.get("url")
+                    frames = decode_video(
+                        url if url else part.get("video"),
+                        num_frames=self.args.video_frames,
+                    )
+                    import numpy as np
+
+                    video = np.stack(
+                        [self.engine.preprocess_image(f) for f in frames]
+                    )
+                    texts.append(self.args.mm_video_token)
             m.content = "".join(texts)
         import numpy as np
 
-        return np.stack(images) if images else None
+        if images and video is not None:
+            raise ValueError("a request carries images OR one video (v1)")
+        return (np.stack(images) if images else None), video
 
     def _apply_chat_template(self, messages: list[ChatMessage]) -> str:
         tok = self.engine.tokenizer
@@ -494,7 +518,7 @@ class ServerApp:
         if self.engine.tokenizer is None:
             return self._bad_request("no tokenizer loaded; chat API unavailable")
         try:
-            image_data = self._extract_images(creq.messages)
+            image_data, video_data = self._extract_images(creq.messages)
         except (ValueError, TypeError) as e:
             return self._bad_request(str(e))
         prompt = self._apply_chat_template(creq.messages)
@@ -524,12 +548,14 @@ class ServerApp:
             )
         if creq.stream:
             return await self._stream_chat(
-                request, creq, prompt, sp, image_data=image_data
+                request, creq, prompt, sp, image_data=image_data,
+                video_data=video_data,
             )
         outs = await asyncio.gather(
             *[
                 self.runner.generate_full(
-                    prompt=prompt, sampling_params=sp, image_data=image_data
+                    prompt=prompt, sampling_params=sp, image_data=image_data,
+                    video_data=video_data,
                 )
                 for _ in range(creq.n)
             ]
@@ -575,7 +601,9 @@ class ServerApp:
         )
         return web.json_response(resp.model_dump())
 
-    async def _stream_chat(self, request, creq, prompt, sp, image_data=None):
+    async def _stream_chat(
+        self, request, creq, prompt, sp, image_data=None, video_data=None
+    ):
         resp = web.StreamResponse(
             headers={
                 "Content-Type": "text/event-stream",
@@ -620,7 +648,8 @@ class ServerApp:
                 await _send(DeltaMessage(tool_calls=[d]))
 
         async for kind, payload in self.runner.generate(
-            prompt=prompt, sampling_params=sp, stream=True
+            prompt=prompt, sampling_params=sp, stream=True,
+            image_data=image_data, video_data=video_data,
         ):
             if kind == "delta":
                 if tool_parser is not None:

@@ -9,6 +9,7 @@ from scratchpad_tpu.config.model_config import ModelConfig
 IMG_TOK = 501
 VSTART = 502
 VEND = 503
+VID_TOK = 504
 
 TEXT_KW = dict(
     vocab_size=512,
@@ -45,6 +46,7 @@ def our_config():
         multimodal=dict(
             vision_config=dict(VISION_KW),
             image_token_id=IMG_TOK,
+            video_token_id=VID_TOK,
             vision_start_token_id=VSTART,
             image_size=IMAGE_SIZE,
         ),
@@ -60,7 +62,7 @@ def build_hf(seed=0):
         text_config=dict(TEXT_KW),
         vision_config=dict(VISION_KW),
         image_token_id=IMG_TOK,
-        video_token_id=504,
+        video_token_id=VID_TOK,
         vision_start_token_id=VSTART,
         vision_end_token_id=VEND,
     )
@@ -259,3 +261,137 @@ def test_radix_reuse_after_image():
     assert b.cached_tokens > 0
     assert b.output_ids == a.output_ids
     eng.scheduler.check_memory_leak()
+
+
+# --------------------------------------------------------------- video
+
+
+def patchify_video_for_hf(frames: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """[T, C, S, S] real frames -> HF (pixel_values_videos, video_grid_thw):
+    temporal_patch_size consecutive frames per patch, flatten (C, tp, p, p),
+    merge-block spatial order."""
+    T, C, S, _ = frames.shape
+    p, m, tp = (
+        VISION_KW["patch_size"],
+        VISION_KW["spatial_merge_size"],
+        VISION_KW["temporal_patch_size"],
+    )
+    g = S // p
+    gt = T // tp
+    x = frames.reshape(gt, tp, C, g, p, g, p)
+    x = x.transpose(0, 3, 5, 2, 1, 4, 6)  # [gt, gh, gw, C, tp, p, p]
+    D = C * tp * p * p
+    x = x.reshape(gt, g, g, D)
+    x = x.reshape(gt, g // m, m, g // m, m, D).transpose(0, 1, 3, 2, 4, 5)
+    flat = x.reshape(gt * g * g, D)
+    return np.ascontiguousarray(flat), np.array([[gt, g, g]])
+
+
+def test_video_mrope_matches_hf():
+    """compute_mrope video spans == HF get_rope_index(video_grid_thw):
+    the TIME component advances per temporal patch (VERDICT r2 item 9)."""
+    torch = pytest.importorskip("torch")
+    hf = build_hf()
+    from scratchpad_tpu.models.registry import get_model_class
+
+    cfg = our_config()
+    model = get_model_class(cfg.architecture)(cfg)
+    # video of grid_t=2 temporal patches, 4 tokens each
+    ids = [3, VSTART] + [VID_TOK] * 8 + [VEND, 7, 9]
+    table, delta = model.compute_mrope(ids, [(2, 8, 2)])
+    pos_hf, delta_hf = hf.model.get_rope_index(
+        input_ids=torch.tensor([ids]),
+        video_grid_thw=torch.tensor([[2, 4, 4]]),
+    )
+    np.testing.assert_array_equal(table, pos_hf[:, 0, :].numpy())
+    assert delta == int(delta_hf[0, 0])
+
+
+def test_qwen2vl_video_greedy_parity():
+    """Engine video_data == HF generate(pixel_values_videos): frames ride
+    the ViT in REAL temporal patches and the single video placeholder
+    expands to grid_t x patches content-hashed pseudo tokens."""
+    torch = pytest.importorskip("torch")
+    hf = build_hf(seed=3)
+
+    from scratchpad_tpu.sampling.sampling_params import SamplingParams
+    from scratchpad_tpu.server.engine import Engine
+
+    args = ServerArgs(max_total_tokens=4096, page_size=4, dtype="float32")
+    eng = Engine(args, model_config=our_config())
+    state = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    ok, msg = eng.scheduler.runner.update_weights(state)
+    assert ok, msg
+
+    rng = np.random.default_rng(5)
+    T = 4  # -> grid_t = 2 temporal patches
+    px = rng.standard_normal((T, 3, IMAGE_SIZE, IMAGE_SIZE)).astype(
+        np.float32
+    ) * 0.5
+    prompt = [3, VSTART, VID_TOK, VEND, 11, 13, 17]
+    n_new = 8
+    sp = SamplingParams(temperature=0.0, max_new_tokens=n_new, ignore_eos=True)
+    out = eng.generate(input_ids=prompt, sampling_params=sp, video_data=px)
+
+    flat, grid = patchify_video_for_hf(px)
+    expanded = []
+    for t in prompt:
+        expanded.extend([VID_TOK] * 8 if t == VID_TOK else [t])
+    with torch.no_grad():
+        hf_out = hf.generate(
+            input_ids=torch.tensor([expanded]),
+            pixel_values_videos=torch.tensor(flat),
+            video_grid_thw=torch.tensor(grid),
+            max_new_tokens=n_new,
+            do_sample=False,
+            temperature=None,
+            top_p=None,
+            top_k=None,
+        )
+    theirs = hf_out[0, len(expanded) :].tolist()
+    assert out.output_ids == theirs, f"{out.output_ids} vs {theirs}"
+    eng.scheduler.check_memory_leak()
+
+
+def test_decode_video_gif_sampling():
+    """decode_video: animated GIF -> uniformly sampled RGB frames."""
+    from PIL import Image
+
+    from scratchpad_tpu.multimodal.video import decode_video
+
+    frames = [
+        Image.new("RGB", (32, 32), (i * 10, 0, 0)) for i in range(20)
+    ]
+    import io as _io
+
+    buf = _io.BytesIO()
+    frames[0].save(
+        buf, format="GIF", save_all=True, append_images=frames[1:]
+    )
+    got = decode_video(buf.getvalue(), num_frames=8)
+    assert len(got) == 8
+    assert got[0].size == (32, 32)
+    # uniform sampling spans the whole clip
+    first, last = np.asarray(got[0]), np.asarray(got[-1])
+    assert first[0, 0, 0] < last[0, 0, 0]
+
+
+def test_decode_video_cv2_mp4():
+    """decode_video: mp4 path through cv2 (skip if no codec available)."""
+    cv2 = pytest.importorskip("cv2")
+    import tempfile, os
+
+    path = os.path.join(tempfile.mkdtemp(), "clip.mp4")
+    w = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), 5, (32, 32)
+    )
+    if not w.isOpened():
+        pytest.skip("no mp4 encoder in this cv2 build")
+    for i in range(10):
+        frame = np.full((32, 32, 3), i * 20, np.uint8)
+        w.write(frame)
+    w.release()
+    from scratchpad_tpu.multimodal.video import decode_video
+
+    got = decode_video(path, num_frames=4)
+    assert len(got) == 4
