@@ -93,8 +93,9 @@ class TestChatExtraction:
                 ],
             ),
         ]
-        px = app._extract_images(msgs)
+        px, video = app._extract_images(msgs)
         assert px.shape == (1, 3, 24, 24)
+        assert video is None
         assert msgs[1].content == "what is this? <image> thanks"
         assert msgs[0].content == "be brief"  # plain strings untouched
 
@@ -103,5 +104,33 @@ class TestChatExtraction:
 
         app = self.make_app()
         msgs = [ChatMessage(role="user", content=[{"type": "text", "text": "hi"}])]
-        assert app._extract_images(msgs) is None
+        assert app._extract_images(msgs) == (None, None)
         assert msgs[0].content == "hi"
+
+
+    def test_extract_video_from_parts(self):
+        import io
+
+        from PIL import Image
+
+        from scratchpad_tpu.server.openai_api.protocol import ChatMessage
+
+        app = self.make_app()
+        frames = [Image.new("RGB", (24, 24), (i * 20, 0, 0)) for i in range(6)]
+        buf = io.BytesIO()
+        frames[0].save(buf, format="GIF", save_all=True, append_images=frames[1:])
+        b64 = base64.b64encode(buf.getvalue()).decode()
+        msgs = [
+            ChatMessage(
+                role="user",
+                content=[
+                    {"type": "text", "text": "describe "},
+                    {"type": "video_url",
+                     "video_url": {"url": f"data:video/gif;base64,{b64}"}},
+                ],
+            ),
+        ]
+        px, video = app._extract_images(msgs)
+        assert px is None
+        assert video.shape == (6, 3, 24, 24)
+        assert msgs[0].content == "describe <video>"
