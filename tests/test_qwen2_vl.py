@@ -395,3 +395,47 @@ def test_decode_video_cv2_mp4():
 
     got = decode_video(path, num_frames=4)
     assert len(got) == 4
+
+
+def test_qwen2vl_two_images_greedy_parity():
+    """>1 image per prompt (VERDICT r2 item 9): two distinct images, each
+    with its own mrope span and content-hashed pseudo ids, vs HF."""
+    torch = pytest.importorskip("torch")
+    hf = build_hf(seed=7)
+
+    from scratchpad_tpu.sampling.sampling_params import SamplingParams
+    from scratchpad_tpu.server.engine import Engine
+
+    args = ServerArgs(max_total_tokens=4096, page_size=4, dtype="float32")
+    eng = Engine(args, model_config=our_config())
+    state = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    ok, msg = eng.scheduler.runner.update_weights(state)
+    assert ok, msg
+
+    rng = np.random.default_rng(11)
+    px = rng.standard_normal((2, 3, IMAGE_SIZE, IMAGE_SIZE)).astype(
+        np.float32
+    ) * 0.5
+    prompt = [3, VSTART, IMG_TOK, VEND, 9, VSTART, IMG_TOK, VEND, 11, 13]
+    n_new = 8
+    sp = SamplingParams(temperature=0.0, max_new_tokens=n_new, ignore_eos=True)
+    out = eng.generate(input_ids=prompt, sampling_params=sp, image_data=px)
+
+    flat, grid = patchify_for_hf(px)
+    expanded = []
+    for t in prompt:
+        expanded.extend([IMG_TOK] * 4 if t == IMG_TOK else [t])
+    with torch.no_grad():
+        hf_out = hf.generate(
+            input_ids=torch.tensor([expanded]),
+            pixel_values=torch.tensor(flat),
+            image_grid_thw=torch.tensor(grid),
+            max_new_tokens=n_new,
+            do_sample=False,
+            temperature=None,
+            top_p=None,
+            top_k=None,
+        )
+    theirs = hf_out[0, len(expanded) :].tolist()
+    assert out.output_ids == theirs, f"{out.output_ids} vs {theirs}"
+    eng.scheduler.check_memory_leak()
