@@ -862,8 +862,7 @@ class ModelRunner:
                 self.model.extend_attention = prev
         else:
             kv, logits = self.model(params, kv, meta)
-        ids, logprobs = sample(logits, sinfo, step_key)
-        chosen = jnp.take_along_axis(logprobs, ids[:, None], axis=-1)[:, 0]
+        ids, chosen = sample(logits, sinfo, step_key, full_logprobs=False)
         return kv, self._host_out(self._pack_out(ids, chosen)[:, None, :])
 
     def _packed_decode_impl(
@@ -1129,8 +1128,10 @@ class ModelRunner:
                 sinfo_k = dataclasses.replace(
                     sinfo, output_token_counts=out_counts
                 )
-            ids, logprobs = sample(logits, sinfo_k, jax.random.fold_in(rng, k))
-            chosen = jnp.take_along_axis(logprobs, ids[:, None], axis=-1)[:, 0]
+            ids, chosen = sample(
+                logits, sinfo_k, jax.random.fold_in(rng, k),
+                full_logprobs=False,
+            )
             if out_counts is not None:
                 out_counts = out_counts.at[jnp.arange(B), ids].add(1)
             return (kv, ids, positions + 1, out_counts), (ids, chosen)
@@ -1175,12 +1176,12 @@ class ModelRunner:
 
     def _step_impl(self, params, kv, meta, sinfo, rng, return_logprobs=False):
         kv, logits = self.model(params, kv, meta)
-        ids, logprobs = sample(logits, sinfo, rng)
-        B = ids.shape[0]
-        chosen = jnp.take_along_axis(logprobs, ids[:, None], axis=-1)[:, 0]
         if return_logprobs:
+            ids, logprobs = sample(logits, sinfo, rng)
+            chosen = jnp.take_along_axis(logprobs, ids[:, None], axis=-1)[:, 0]
             topv, topi = jax.lax.top_k(logprobs, self.TOP_LOGPROBS_K)
             return kv, *map(self._host_out, (ids, chosen, topv, topi))
+        ids, chosen = sample(logits, sinfo, rng, full_logprobs=False)
         return kv, self._host_out(ids), self._host_out(chosen)
 
     def _shard_batch(self, meta: ForwardMeta, sinfo: SamplingBatchInfo):
@@ -1486,10 +1487,9 @@ class ModelRunner:
                 logits = (
                     jnp.take(h, meta.last_token_idx, axis=0) @ head.T
                 ).astype(jnp.float32)
-                ids, logprobs = sample(logits, sinfo, rng)
-                chosen = jnp.take_along_axis(
-                    logprobs, ids[:, None], axis=-1
-                )[:, 0]
+                ids, chosen = sample(
+                    logits, sinfo, rng, full_logprobs=False
+                )
                 return kv, *map(self._host_out, (ids, chosen, h))
 
             self._jit_extend_h = jax.jit(_impl, donate_argnums=(1,))
@@ -1565,8 +1565,10 @@ class ModelRunner:
                 top_k=sinfo.top_k[ric],
                 min_p=sinfo.min_p[ric],
             )
-            ids, logprobs = sample(logits, info_c, jax.random.fold_in(rng, idx))
-            chosen = jnp.take_along_axis(logprobs, ids[:, None], axis=-1)[:, 0]
+            ids, chosen = sample(
+                logits, info_c, jax.random.fold_in(rng, idx),
+                full_logprobs=False,
+            )
             return ids, chosen
 
         T = h.shape[0]
@@ -1661,8 +1663,7 @@ class ModelRunner:
 
         def _finish_sample(params, x, meta, sinfo, rng):
             logits = self.model.finish(params, x, meta)
-            ids, logprobs = sample(logits, sinfo, rng)
-            chosen = jnp.take_along_axis(logprobs, ids[:, None], axis=-1)[:, 0]
+            ids, chosen = sample(logits, sinfo, rng, full_logprobs=False)
             return ids, chosen
 
         self._jit_ol_finish = jax.jit(_finish_sample)

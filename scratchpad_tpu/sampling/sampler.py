@@ -154,8 +154,14 @@ def sample(
     logits: jax.Array,  # f32[B, V]
     info: SamplingBatchInfo,
     rng: jax.Array,
+    full_logprobs: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
-    """Returns (token_ids i32[B], logprobs f32[B, V] post-penalty pre-filter).
+    """Returns (token_ids i32[B], logprobs) where logprobs is the full
+    post-penalty pre-filter f32[B, V] table, or — with
+    ``full_logprobs=False`` — just the CHOSEN token's logprob f32[B]
+    (``logits[ids] - logsumexp``, two reduction passes over the vocab
+    instead of materialising a [B, 128k] log-softmax; the fused decode
+    window only ever gathers the chosen entry).
 
     Filtering order matches the reference: penalties -> temperature ->
     top-k -> top-p -> min-p -> categorical
@@ -181,7 +187,6 @@ def sample(
     logits = apply_penalties(logits, info)
     if info.vocab_bitmask is not None:
         logits = apply_vocab_bitmask(logits, info.vocab_bitmask)
-    logprobs = jax.nn.log_softmax(logits, axis=-1)
 
     greedy_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
@@ -209,4 +214,15 @@ def sample(
         any_sampling, _sampled_branch, lambda _: greedy_ids, None
     )
     ids = jnp.where(info.temperature > 0, sampled, greedy_ids)
-    return ids, logprobs
+    if full_logprobs:
+        return ids, jax.nn.log_softmax(logits, axis=-1)
+    lse = jax.scipy.special.logsumexp(
+        logits.astype(jnp.float32), axis=-1
+    )  # [B]
+    chosen = (
+        jnp.take_along_axis(logits, ids[:, None], axis=-1)[:, 0].astype(
+            jnp.float32
+        )
+        - lse
+    )
+    return ids, chosen
