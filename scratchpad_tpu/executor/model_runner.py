@@ -236,12 +236,19 @@ class ModelRunner:
         # the gqa kernel; extend expands just the batch's pages into a
         # scratch pool for the bundled ragged kernel (the dequant-scratch
         # pattern). Single-device gqa backend only for now.
+        # quantized packed pools (int8/fp8 + packed, a QUARTER of the
+        # lane-padded bf16 read) need the kv-head dim of the s8 page slice
+        # tile-aligned: Hkv % 4 == 0 (same 8-bit sublane packing as the
+        # quantized TP gate above)
+        quant_packed_ok = self.args.kv_cache_dtype not in ("int8", "fp8") or (
+            cfg.num_kv_heads % 4 == 0 or jax.default_backend() == "cpu"
+        )
         self.kv_packed = self.args.kv_layout == "packed" or (
             self.args.kv_layout == "auto"
             and backend == "gqa"
             and not cfg.is_mla
             and cfg.head_dim <= 64
-            and self.args.kv_cache_dtype not in ("int8", "fp8")
+            and quant_packed_ok
             and not getattr(self.model, "has_cross_attention", False)
             and not getattr(self.model, "dynamic_mask_decode", False)
         )
@@ -250,12 +257,13 @@ class ModelRunner:
                 backend not in ("gqa",)
                 or cfg.is_mla
                 or cfg.head_dim > 64
-                or self.args.kv_cache_dtype in ("int8", "fp8")
+                or not quant_packed_ok
                 or getattr(self.model, "has_cross_attention", False)
             ):
                 raise ValueError(
                     "kv_layout=packed needs the single-device gqa backend, "
-                    "head_dim <= 64, bf16 KV, and no cross-attention"
+                    "head_dim <= 64, no cross-attention, and (for int8/fp8 "
+                    "KV) num_kv_heads % 4 == 0"
                 )
 
         if backend == "ragged":
@@ -291,9 +299,10 @@ class ModelRunner:
             if self.kv_packed and (
                 jax.default_backend() != "cpu" or self.args.kv_layout == "packed"
             ):
-                # extend expands the batch's packed pages into an
-                # interleaved scratch pool and rides the ragged kernel
-                # (its CPU branch is the dense jittable reference)
+                # extend expands the batch's packed pages (dequantizing
+                # int8/fp8 ones) into an interleaved scratch pool and rides
+                # the ragged kernel (its CPU branch is the dense jittable
+                # reference)
                 from scratchpad_tpu.ops.attention.ragged_backend import (
                     attention_ragged_packed,
                 )

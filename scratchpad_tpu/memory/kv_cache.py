@@ -86,7 +86,9 @@ class KVCacheConfig:
             heads = 2 * self.num_kv_heads
         per = self.num_layers * heads * self.head_dim * itemsize
         if self.quantized:
-            per += self.num_layers * heads * 4
+            # per-(token, head, K/V-half) f32 scales — packed rows still
+            # carry separate K and V scales
+            per += self.num_layers * 2 * self.num_kv_heads * 4
         return per
 
 
@@ -145,7 +147,7 @@ def create_kv_cache(
     """``tp_axis=None`` keeps the head axis unsharded (DP attention: every
     device attends its own token rows with full kv heads)."""
     if cfg.packed:
-        assert not (cfg.mla or cfg.quantized), "packed layout is bf16 MHA only"
+        assert not cfg.mla, "packed layout is MHA only"
         assert cfg.head_dim == 128, "packed rows are 128 lanes (2 x 64)"
         head_slots = cfg.num_kv_heads
     else:
@@ -193,8 +195,11 @@ def create_kv_cache(
     kv = _zeros(shape, store_dtype, kv_sharding)
     scale = None
     if cfg.quantized:
-        assert shape[-2] % scale_shards == 0
-        lanes = scale_shards * max(128, shape[-2] // scale_shards)
+        # one scale per (token, head, K/V half) — 2*Hkv lanes even on
+        # packed pools, interleaved [k0, v0, k1, v1, ...]
+        scale_slots = 2 * cfg.num_kv_heads
+        assert scale_slots % scale_shards == 0
+        lanes = scale_shards * max(128, scale_slots // scale_shards)
         scale = _zeros(shape[:-2] + (lanes,), jnp.float32, scale_sharding)
     cross = None
     if cfg.cross_layers:

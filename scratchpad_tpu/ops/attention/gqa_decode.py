@@ -348,7 +348,9 @@ def _gqa_decode_call(
     Pg, ps, H2, Dp = kv_pages.shape
     Ptot = Pg // num_layers
     quantized = kv_scale is not None
-    assert not (packed and quantized), "packed KV layout is bf16-only"
+    # packed + quantized compose: scale lanes stay interleaved
+    # [k0, v0, ...] so sel_k/sel_v hit head h's K/V scales while the
+    # block-diagonal dots read the packed row's halves
     assert not packed or D <= Dp // 2, "packed rows hold two D<=64 vectors"
     dynamic_window = window_dyn is not None
     with_sinks = sinks is not None

@@ -328,11 +328,13 @@ def make_attention_ragged_quant_tp(mesh):
 # ---------------------------------------------------------------------------
 
 
-def unpack_pages(kv: KVCache, layer_idx, page_table):
+def unpack_pages(kv: KVCache, layer_idx, page_table, out_dtype=jnp.bfloat16):
     """Gather ONE layer's batch pages from a PACKED pool ([Pg, ps, Hkv, 128]
     with K in lanes [0, 64) and V in [64, 128) per kv head — see
     memory/kv_cache.py) and expand them into the interleaved lane-padded
-    scratch layout the bundled ragged kernel consumes.
+    scratch layout the bundled ragged kernel consumes. Quantized packed
+    pools additionally dequantize with their per-(token, head, half)
+    scales.
 
     Same shape of trade as dequant_pages above: the packed pool halves the
     DECODE read (the dominant traffic), while extend pays a small
@@ -345,6 +347,18 @@ def unpack_pages(kv: KVCache, layer_idx, page_table):
         page_table.astype(jnp.int32) + jnp.asarray(layer_idx, jnp.int32) * Ptot
     ).reshape(-1)
     pages = jnp.take(kv.kv, rows, axis=0)  # [B*P, ps, Hkv, 128]
+    if pages.dtype in (jnp.int8, jnp.float8_e4m3fn):
+        sc = jnp.take(kv.scale, rows, axis=0)  # [B*P, ps, SL]
+        ns, SL = kv.scale_shards, sc.shape[-1]
+        sc = sc.reshape(sc.shape[:-1] + (ns, SL // ns))[..., : 2 * Hkv // ns]
+        sc = sc.reshape(sc.shape[:-2] + (2 * Hkv,))
+        if pages.dtype == jnp.int8:
+            deq = pages.astype(jnp.int32).astype(jnp.float32)
+        else:
+            deq = pages.astype(jnp.float32)
+        k = deq[..., :half] * sc[..., 0::2, None]
+        v = deq[..., half:] * sc[..., 1::2, None]
+        pages = jnp.concatenate([k, v], axis=-1).astype(out_dtype)
     pad = [(0, 0), (0, 0), (0, 0), (0, Dp - half)]
     k = jnp.pad(pages[..., :half], pad)
     v = jnp.pad(pages[..., half:], pad)
@@ -367,7 +381,7 @@ def attention_ragged_packed(
     """Extend attention over a packed K|V pool via an expanded scratch pool
     + the bundled ragged kernel (decode reads packed pages directly in the
     gqa kernel, ops/attention/gqa_decode.py)."""
-    scratch, new_pt = unpack_pages(kv, layer_idx, meta.page_table)
+    scratch, new_pt = unpack_pages(kv, layer_idx, meta.page_table, q.dtype)
     return _ragged_call(
         q,
         scratch,

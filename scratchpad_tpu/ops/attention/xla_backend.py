@@ -59,6 +59,37 @@ def write_kv(
         # K in lanes [0, half), V in [half, 2*half) of one row per head
         half = Dp // 2
         pad = [(0, 0), (0, 0), (0, half - D)]
+        if kv.kv.dtype in _QUANT_KV_DTYPES:
+            # quantize the halves SEPARATELY so K and V keep their own
+            # per-(token, head) scales (interleaved [k0, v0, ...] lanes of
+            # the scale pool, same as the padded layout)
+            kq, ks = _quantize_rows(jnp.pad(k_new, pad), kv.kv.dtype)
+            vq, vs = _quantize_rows(jnp.pad(v_new, pad), kv.kv.dtype)
+            upd = jnp.concatenate([kq, vq], axis=-1)  # [T, Hkv, Dp]
+            sc = jnp.stack([ks, vs], axis=2).reshape(T, 2 * Hkv)
+            SL = kv.scale.shape[-1]
+            ns = kv.scale_shards
+            per = SL // ns
+            sc = jnp.pad(
+                sc.reshape(T, ns, 2 * Hkv // ns),
+                [(0, 0), (0, 0), (0, per - 2 * Hkv // ns)],
+            ).reshape(T, SL)
+            rows = layer_idx * kv.slots_per_layer + out_cache_loc
+            scale = (
+                kv.scale.reshape(Pg * ps, SL)
+                .at[rows]
+                .set(sc)
+                .reshape(Pg, ps, SL)
+            )
+            new_kv = (
+                kv.kv.reshape(Pg * ps, H2, Dp)
+                .at[rows]
+                .set(upd)
+                .reshape(Pg, ps, H2, Dp)
+            )
+            import dataclasses
+
+            return dataclasses.replace(kv, kv=new_kv, scale=scale)
         upd = jnp.concatenate(
             [jnp.pad(k_new, pad), jnp.pad(v_new, pad)], axis=-1
         )  # [T, Hkv, Dp]
@@ -122,6 +153,17 @@ def _gather_kv(kv: KVCache, layer_idx, meta: ForwardMeta, page_size: int, D: int
     if kv.packed:
         g = jnp.take(flat, rows, axis=0)  # [B, S_max, Hkv, 128]
         half = Dp // 2
+        if kv.kv.dtype in _QUANT_KV_DTYPES:
+            SL = kv.scale.shape[-1]
+            ns = kv.scale_shards
+            sc = jnp.take(kv.scale.reshape(Pg * ps, SL), rows, axis=0)
+            sc = sc.reshape(sc.shape[:-1] + (ns, SL // ns))[
+                ..., : 2 * Hd // ns
+            ].reshape(sc.shape[:-1] + (2 * Hd,))
+            gf = g.astype(jnp.float32)
+            k = gf[..., :D] * sc[..., 0::2][..., None]
+            v = gf[..., half : half + D] * sc[..., 1::2][..., None]
+            return k, v
         return g[..., :D], g[..., half : half + D]
     g = jnp.take(flat, rows, axis=0)[..., :D]  # [B, S_max, 2Hkv, D]
     if kv.kv.dtype in _QUANT_KV_DTYPES:

@@ -268,3 +268,73 @@ def test_packed_radix_reuse():
     assert again.cached_tokens > 0
     assert again.output_ids == first.output_ids
     eng.scheduler.check_memory_leak()
+
+
+@pytest.mark.parametrize("kvdt", ["int8", "fp8"])
+def test_packed_quantized_engine_parity(kvdt):
+    """packed + int8/fp8 compose (r3): K and V quantize per-half with their
+    own scales in the interleaved scale lanes; greedy output must equal the
+    PADDED quantized engine (same quantized values + scales, kernel math
+    identical in f32)."""
+    from scratchpad_tpu.config import ServerArgs
+    from scratchpad_tpu.sampling.sampling_params import SamplingParams
+    from scratchpad_tpu.server.engine import Engine
+
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(1, 500, n).tolist() for n in (9, 25, 14)]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=6)
+
+    def run(layout):
+        eng = Engine(
+            ServerArgs(
+                preset="tiny-debug",
+                random_weights=True,
+                dtype="float32",
+                page_size=4,
+                max_total_tokens=2048,
+                attention_backend="gqa",
+                kv_layout=layout,
+                kv_cache_dtype=kvdt,
+            )
+        )
+        out = [
+            o.output_ids
+            for o in eng.generate(input_ids=prompts, sampling_params=[sp] * 3)
+        ]
+        kvshape = eng.scheduler.runner.kv_cache.kv.shape
+        packed = eng.scheduler.runner.kv_cache.packed
+        eng.scheduler.check_memory_leak()
+        return out, kvshape, packed
+
+    out_pk, shape_pk, is_pk = run("packed")
+    out_pad, shape_pad, is_pad = run("padded")
+    assert is_pk and not is_pad
+    assert out_pk == out_pad
+    # half the quantized value bytes (scales equal)
+    assert shape_pk[2] * shape_pk[3] * 2 == shape_pad[2] * shape_pad[3]
+
+
+def test_packed_quantized_radix_reuse():
+    from scratchpad_tpu.config import ServerArgs
+    from scratchpad_tpu.sampling.sampling_params import SamplingParams
+    from scratchpad_tpu.server.engine import Engine
+
+    eng = Engine(
+        ServerArgs(
+            preset="tiny-debug",
+            random_weights=True,
+            dtype="float32",
+            page_size=4,
+            max_total_tokens=2048,
+            attention_backend="gqa",
+            kv_layout="packed",
+            kv_cache_dtype="int8",
+        )
+    )
+    sp = SamplingParams(temperature=0.0, max_new_tokens=5, ignore_eos=True)
+    base = list(range(1, 33))
+    first = eng.generate(input_ids=base, sampling_params=sp)
+    again = eng.generate(input_ids=base, sampling_params=sp)
+    assert again.cached_tokens > 0
+    assert again.output_ids == first.output_ids
+    eng.scheduler.check_memory_leak()
