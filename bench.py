@@ -83,6 +83,10 @@ def main() -> None:
         decode_window_size=int(os.environ.get("SPTPU_BENCH_WINDOW", "64")),
         speculative_algorithm=spec,
         speculative_draft_preset=preset if spec == "draft" else None,
+        # the warmup serve below compiles every bucket this run will hit;
+        # the startup ladder capture would double the (relay-expensive)
+        # compile/exec work per run
+        warmup_capture=False,
     )
     sched = Scheduler(cfg, args)
     rng = np.random.default_rng(0)
