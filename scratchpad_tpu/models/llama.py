@@ -367,11 +367,30 @@ class LlamaForCausalLM:
             )
             return (x, kv_c), None
 
-        (x, kv_out), _ = jax.lax.scan(
-            body,
-            (x, kv),
-            (layer_stack, layer_ids),
-        )
+        # Unrolled layer loop (default): lax.scan over stacked weights made
+        # XLA materialise a dynamic-slice COPY of every layer's weight
+        # before its matmul — the r3 decode profile showed those
+        # constant_dynamic-slice fusions + oversized matmul fusions roughly
+        # DOUBLING weight HBM traffic (copy at ~full bandwidth, then read
+        # again). Static a[l] slices are contiguous views the matmuls read
+        # in place. Trace/compile cost grows with depth; set
+        # SPTPU_LAYER_SCAN=1 to restore the scan (e.g. for very deep
+        # models where compile time dominates).
+        import os as _os
+
+        if _os.environ.get("SPTPU_LAYER_SCAN", "0") == "1":
+            (x, kv_out), _ = jax.lax.scan(
+                body,
+                (x, kv),
+                (layer_stack, layer_ids),
+            )
+            return x, kv_out
+        carry = (x, kv)
+        nl = layer_ids.shape[0]
+        for l in range(nl):
+            lp = jax.tree.map(lambda a: a[l], layer_stack)
+            carry, _ = body(carry, (lp, layer_ids[l]))
+        x, kv_out = carry
         return x, kv_out
 
     # set by the executor before jit (page size is static per engine)

@@ -20,7 +20,10 @@ import sys
 
 
 def load_xspaces(root: str):
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    try:
+        from tensorflow.core.profiler.protobuf import xplane_pb2
+    except ModuleNotFoundError:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = glob.glob(
         os.path.join(root, "**", "*.xplane.pb"), recursive=True
