@@ -246,7 +246,10 @@ class LlamaForCausalLM:
         x, kv_out = self.layers_forward(
             params,
             params["layers"],
-            jnp.arange(L, dtype=jnp.int32),
+            # host-side ids: the unrolled layer loop passes each layer's
+            # CONCRETE index so the attention kernel statics its page
+            # offset (ops/attention/gqa_decode.py static_layer)
+            np.arange(L, dtype=np.int32),
             x,
             kv,
             meta,
@@ -382,14 +385,15 @@ class LlamaForCausalLM:
             (x, kv_out), _ = jax.lax.scan(
                 body,
                 (x, kv),
-                (layer_stack, layer_ids),
+                (layer_stack, jnp.asarray(layer_ids)),
             )
             return x, kv_out
         carry = (x, kv)
         nl = layer_ids.shape[0]
         for l in range(nl):
             lp = jax.tree.map(lambda a: a[l], layer_stack)
-            carry, _ = body(carry, (lp, layer_ids[l]))
+            lid = layer_ids[l]  # concrete np.int32 when ids are host-side
+            carry, _ = body(carry, (lp, lid))
         x, kv_out = carry
         return x, kv_out
 

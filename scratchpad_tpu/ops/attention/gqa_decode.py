@@ -40,6 +40,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -63,6 +64,7 @@ def _gqa_decode_kernel(
     chunk_size: Optional[int],
     with_sinks: bool,
     packed: bool = False,
+    page_base: int = 0,
 ):
     if dynamic_window:
         # i32[1] per-CALL window (a per-layer value traced through the
@@ -127,7 +129,11 @@ def _gqa_decode_kernel(
     def chunk_dmas(seq, c, slot):
         out = []
         for j in range(CP):
-            page = pt_ref[seq, c * CP + j]
+            # page_base: static per-layer page offset (unrolled layer
+            # loops) — keeps the prefetched page table LAYER-INVARIANT so
+            # one SMEM upload serves every layer's call (the per-call
+            # [B, P] copy-start was ~56 us x layers x steps)
+            page = pt_ref[seq, c * CP + j] + page_base
             out.append(
                 pltpu.make_async_copy(
                     kv_hbm.at[page], kv_buf.at[slot, j], sems.at[slot]
@@ -324,6 +330,7 @@ def _gqa_decode_kernel(
         "chunk_size",
         "num_layers",
         "packed",
+        "static_layer",
     ),
 )
 def _gqa_decode_call(
@@ -343,6 +350,7 @@ def _gqa_decode_call(
     chunk_size=None,
     num_layers,
     packed=False,
+    static_layer=None,
 ):
     B, Hq, D = q.shape
     Pg, ps, H2, Dp = kv_pages.shape
@@ -366,9 +374,19 @@ def _gqa_decode_call(
     P_pad = -(-P // CP) * CP
     if P_pad != P:
         page_table = jnp.pad(page_table, ((0, 0), (0, P_pad - P)))
-    pt_global = (page_table + layer_idx.astype(jnp.int32) * Ptot).astype(
-        jnp.int32
-    )
+    if static_layer is not None:
+        # unrolled layer loops pass a CONCRETE layer index: fold the layer
+        # offset into the kernel as a static constant so the prefetched
+        # page table stays identical across layers (and loop-invariant
+        # across the fused decode window) — one SMEM upload instead of
+        # layers x steps copy-starts
+        pt_global = page_table.astype(jnp.int32)
+        page_base = int(static_layer) * Ptot
+    else:
+        pt_global = (page_table + layer_idx.astype(jnp.int32) * Ptot).astype(
+            jnp.int32
+        )
+        page_base = 0
 
     qs = q * jnp.asarray(sm_scale, q.dtype)
     if Dp != D:
@@ -385,6 +403,7 @@ def _gqa_decode_call(
         chunk_size=chunk_size,
         with_sinks=with_sinks,
         packed=packed,
+        page_base=page_base,
     )
     in_specs = [
         pl.BlockSpec((1, Hq, Dp), lambda b, *_: (b, 0, 0)),
@@ -465,6 +484,13 @@ def decode_attention_gqa(
     if isinstance(sliding_window, jax.Array):
         window_dyn = sliding_window
         sliding_window = None
+    # concrete layer index (unrolled layer loops): fold the page offset
+    # into the kernel statically — see _gqa_decode_call
+    static_layer = (
+        int(layer_idx)
+        if isinstance(layer_idx, (int, np.integer))
+        else None
+    )
     return _gqa_decode_call(
         q,
         kv.kv,
@@ -481,6 +507,7 @@ def decode_attention_gqa(
         chunk_size=chunk_size,
         num_layers=kv.num_layers,
         packed=kv.packed,
+        static_layer=static_layer,
     )
 
 

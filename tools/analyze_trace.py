@@ -69,6 +69,7 @@ def main():
 
     per_op = collections.Counter()
     per_cat = collections.Counter()
+    n_op = collections.Counter()
     total_span = 0.0
     for path, xs in load_xspaces(args.dir):
         for plane in xs.planes:
@@ -85,6 +86,7 @@ def main():
                     name = meta.name if meta else str(ev.metadata_id)
                     dur = ev.duration_ps / 1e6  # ps -> us
                     per_op[name] += dur
+                    n_op[name] += 1
                     per_cat[_category(name)] += dur
                     t0 = ev.offset_ps
                     lo = t0 if lo is None else min(lo, t0)
@@ -103,9 +105,12 @@ def main():
     print("\nby category:")
     for cat, us in per_cat.most_common():
         print(f"  {cat:18s} {us / 1e3:9.3f} ms  {100 * us / busy:5.1f}%")
-    print(f"\ntop {args.top} ops:")
+    print(f"\ntop {args.top} ops (total | count | mean):")
     for name, us in per_op.most_common(args.top):
-        print(f"  {us / 1e3:9.3f} ms  {name[:120]}")
+        n = n_op[name]
+        print(
+            f"  {us / 1e3:9.3f} ms  x{n:<6d} {us / n:8.1f} us  {name[:110]}"
+        )
 
 
 if __name__ == "__main__":
