@@ -605,6 +605,24 @@ class ModelRunner:
             self.max_running_requests,
         )
 
+        # experimental transposed weight storage (single-chip): store the
+        # decoder matmul stacks [L, out, in] so TPU dots consume the param
+        # layout directly (see models/llama.py lin); SPTPU_WT=0 disables
+        import os as _os
+
+        if (
+            _os.environ.get("SPTPU_WT", "1") == "1"
+            and mesh is None
+            and "layers" in self.params
+            and hasattr(type(self.model), "ATTN_PARAM_KEYS")
+        ):
+            _lay = dict(self.params["layers"])
+            for _n in ("wq", "wk", "wv", "wo", "gate", "up", "down"):
+                if _n in _lay and _lay[_n].ndim == 3:
+                    _lay[_n] = jnp.swapaxes(_lay[_n], 1, 2)
+            self.params["layers"] = _lay
+            self.model.weights_transposed = True
+
         self._rng = jax.random.PRNGKey(self.args.random_seed)
         self._jit_step = jax.jit(
             self._step_impl,

@@ -304,7 +304,17 @@ class LlamaForCausalLM:
                 else:
                     y = self.quant_matmul(x_, ql, lidx)
             else:
-                y = x_ @ lp[name]
+                w = lp[name]
+                if getattr(self, "weights_transposed", False):
+                    # stacks stored [L, out, in] (HF orientation): contract
+                    # x's feature dim with w dim 1 — the layout XLA's TPU
+                    # dot prefers, eliminating the per-step transposed
+                    # weight-slice fusions seen in the r3 decode profile
+                    y = jax.lax.dot_general(
+                        x_, w, (((1,), (1,)), ((), ()))
+                    )
+                else:
+                    y = x_ @ w
             if use_toppings:
                 y = apply_topping(
                     x_, y, toppings, name, lidx,
