@@ -270,7 +270,13 @@ class Scheduler:
             for r in batch:
                 r.last_feature = None  # plain decode: features not captured
         K = self._decode_window
-        if self.args.enable_overlap and self._pipeline_ok(batch, wb):
+        overlap = self.args.enable_overlap
+        if overlap is None:  # auto: single-chip TPU decode pipelines
+            overlap = (
+                self.runner.mesh is None
+                and __import__("jax").default_backend() not in ("cpu",)
+            )
+        if overlap and self._pipeline_ok(batch, wb):
             pending = self.runner.dispatch_decode_window(wb, K)
             self._inflight = {"batch": list(batch), "pending": pending, "K": K}
             return []  # results surface next step, overlapped with host work
