@@ -88,6 +88,7 @@ def main() -> None:
         # the startup ladder capture would double the (relay-expensive)
         # compile/exec work per run
         warmup_capture=False,
+        quantize_lm_head=os.environ.get("SPTPU_BENCH_QLM", "") not in ("", "0"),
     )
     sched = Scheduler(cfg, args)
     rng = np.random.default_rng(0)

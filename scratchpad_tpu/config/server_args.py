@@ -24,6 +24,10 @@ class ServerArgs:
     # a pre-quantized AutoAWQ/AutoGPTQ int4 checkpoint, bit-exact)
     quantization: Optional[str] = None
     kv_cache_dtype: str = "auto"  # auto | bfloat16 | int8 | fp8
+    # 4-bit (group-128) LM head: the output projection reads its full
+    # [V, H] matrix every decode step (1.05 GiB bf16 at 8B); tied models
+    # keep the bf16 embedding for lookups and quantize a head copy
+    quantize_lm_head: bool = False
     random_weights: bool = False  # initialise random weights (benchmarks)
     context_length: Optional[int] = None
 

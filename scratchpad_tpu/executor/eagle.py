@@ -114,6 +114,12 @@ class EagleRunner:
     def _embed_head(self):
         tp = self.target.params
         embed = tp["embed"]
+        if "lm_head" not in tp and not (
+            self.target.model_config.tie_word_embeddings
+        ):
+            raise ValueError(
+                "eagle needs the bf16 LM head; disable quantize_lm_head"
+            )
         head = (
             embed
             if self.target.model_config.tie_word_embeddings

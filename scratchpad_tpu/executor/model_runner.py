@@ -480,6 +480,22 @@ class ModelRunner:
                     from scratchpad_tpu.ops.quant import quantize_model_params
 
                     self.params = quantize_model_params(self.params)
+            if self.args.quantize_lm_head and mesh is None:
+                # W4 output head: the LM head reads its FULL [V, H] matrix
+                # every decode step (1.05 GiB bf16 at 8B — 1.4 ms/step in
+                # the r3 profile, bandwidth-bound); 4-bit halves+halves it.
+                # Tied models keep the bf16 embed for input lookups and
+                # quantize a head COPY; untied models drop the bf16 head.
+                from scratchpad_tpu.ops.quant.w4a16 import quantize_stacked
+
+                w = (
+                    self.params["embed"]
+                    if cfg.tie_word_embeddings
+                    else self.params.pop("lm_head")
+                )
+                self.params["lm_head_q"] = quantize_stacked(
+                    jnp.swapaxes(jnp.asarray(w), 0, 1)[None]
+                )
             if mesh is not None and self.pp_size > 1:
                 from scratchpad_tpu.parallel.pp import pp_param_specs
 
@@ -610,14 +626,15 @@ class ModelRunner:
         # layout directly (see models/llama.py lin); SPTPU_WT=0 disables
         import os as _os
 
+        _twn = getattr(type(self.model), "TRANSPOSED_STACK_WEIGHTS", None)
         if (
             _os.environ.get("SPTPU_WT", "1") == "1"
             and mesh is None
             and "layers" in self.params
-            and hasattr(type(self.model), "ATTN_PARAM_KEYS")
+            and _twn
         ):
             _lay = dict(self.params["layers"])
-            for _n in ("wq", "wk", "wv", "wo", "gate", "up", "down"):
+            for _n in _twn:
                 if _n in _lay and _lay[_n].ndim == 3:
                     _lay[_n] = jnp.swapaxes(_lay[_n], 1, 2)
             self.params["layers"] = _lay
@@ -1376,6 +1393,20 @@ class ModelRunner:
         )
         return kv, self._host_out(emb)
 
+    def _head_logits(self, params, h):
+        """LM-head logits for hidden rows h — honors a quantized head
+        (params["lm_head_q"], see quantize_lm_head)."""
+        if "lm_head_q" in params:
+            return self.model.quant_matmul(
+                h, params["lm_head_q"], 0
+            ).astype(jnp.float32)
+        head = (
+            params["embed"]
+            if self.model_config.tie_word_embeddings
+            else params["lm_head"]
+        )
+        return (h @ head.T).astype(jnp.float32)
+
     def run_embed(self, wb: WorkerBatch) -> np.ndarray:
         self._no_offload("embeddings")
         """Extend pass returning L2-normalised last-token hidden states
@@ -1395,11 +1426,6 @@ class ModelRunner:
         forcing) — the prompt-logprob primitive behind perplexity eval
         (reference: `sp benchmark` lm-eval flow needs served logprobs)."""
         kv, h = self.model(params, kv, meta)  # [T, H]
-        head = (
-            params["embed"]
-            if self.model_config.tie_word_embeddings
-            else params["lm_head"]
-        )
         T = h.shape[0]
         # next-token targets: tokens shifted left (last position unused)
         targets = jnp.concatenate(
@@ -1408,7 +1434,7 @@ class ModelRunner:
 
         def chunk_fn(args):
             hc, tc = args  # [C, H], [C]
-            logits = (hc @ head.T).astype(jnp.float32)  # [C, V]
+            logits = self._head_logits(params, hc)  # [C, V]
             lse = jax.nn.logsumexp(logits, axis=-1)
             chosen = jnp.take_along_axis(logits, tc[:, None], axis=-1)[:, 0]
             return chosen - lse
@@ -1430,14 +1456,9 @@ class ModelRunner:
         unaffected; chosen logprobs are pre-softcap."""
         meta = dataclasses.replace(meta, capture_all_hidden=True)
         kv, h = self.model(params, kv, meta)  # [T, H]
-        head = (
-            params["embed"]
-            if self.model_config.tie_word_embeddings
-            else params["lm_head"]
-        )
 
         def chunk_fn(hc):
-            logits = (hc @ head.T).astype(jnp.float32)  # [C, V]
+            logits = self._head_logits(params, hc)  # [C, V]
             ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             lse = jax.nn.logsumexp(logits, axis=-1)
             chosen = jnp.take_along_axis(logits, ids[:, None], axis=-1)[:, 0]
@@ -1459,14 +1480,9 @@ class ModelRunner:
             def _impl(params, kv, meta):
                 meta2 = dataclasses.replace(meta, capture_all_hidden=True)
                 kv, h = self.model(params, kv, meta2)
-                head = (
-                    params["embed"]
-                    if self.model_config.tie_word_embeddings
-                    else params["lm_head"]
-                )
 
                 def chunk_fn(hc):
-                    logits = (hc @ head.T).astype(jnp.float32)
+                    logits = self._head_logits(params, hc)
                     ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                     lse = jax.nn.logsumexp(logits, axis=-1)
                     chosen = jnp.take_along_axis(
@@ -1506,14 +1522,9 @@ class ModelRunner:
             def _impl(params, kv, meta, sinfo, rng):
                 meta2 = dataclasses.replace(meta, capture_all_hidden=True)
                 kv, h = self.model(params, kv, meta2)
-                head = (
-                    params["embed"]
-                    if self.model_config.tie_word_embeddings
-                    else params["lm_head"]
+                logits = self._head_logits(
+                    params, jnp.take(h, meta.last_token_idx, axis=0)
                 )
-                logits = (
-                    jnp.take(h, meta.last_token_idx, axis=0) @ head.T
-                ).astype(jnp.float32)
                 ids, chosen = sample(
                     logits, sinfo, rng, full_logprobs=False
                 )
@@ -1568,11 +1579,6 @@ class ModelRunner:
 
         meta2 = dataclasses.replace(meta, capture_all_hidden=True)
         kv, h = self.model(params, kv, meta2)  # [T, H]
-        head = (
-            params["embed"]
-            if self.model_config.tie_word_embeddings
-            else params["lm_head"]
-        )
         # per-TOKEN sampling params: gather the padded per-request rows by
         # the flat rows' owning request (padding rows point at a zeroed
         # request row -> greedy, harmless)
@@ -1581,7 +1587,7 @@ class ModelRunner:
 
         def chunk_fn(args):
             hc, ric, idx = args
-            logits = (hc @ head.T).astype(jnp.float32)  # [C, V]
+            logits = self._head_logits(params, hc)  # [C, V]
             if softcap:
                 # unlike greedy verify (argmax is softcap-invariant), the
                 # sampled distribution needs the served logits exactly

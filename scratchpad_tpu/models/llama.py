@@ -225,8 +225,17 @@ class LlamaForCausalLM:
         last = jnp.take(h, meta.last_token_idx, axis=0)  # [B, H]
         if getattr(meta, "capture_hidden", False):
             return last
-        head = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
-        logits = (last @ head.T).astype(jnp.float32)  # [B, V]
+        if "lm_head_q" in params:
+            logits = self.quant_matmul(
+                last, params["lm_head_q"], 0
+            ).astype(jnp.float32)
+        else:
+            head = (
+                params["embed"]
+                if cfg.tie_word_embeddings
+                else params["lm_head"]
+            )
+            logits = (last @ head.T).astype(jnp.float32)  # [B, V]
         if cfg.logit_softcap:
             logits = cfg.logit_softcap * jnp.tanh(logits / cfg.logit_softcap)
         return logits
@@ -407,6 +416,9 @@ class LlamaForCausalLM:
         x, kv_out = carry
         return x, kv_out
 
+    # decoder matmul stacks the executor may store transposed ([L, out,
+    # in]) on single-chip runs — see model_runner SPTPU_WT and lin()
+    TRANSPOSED_STACK_WEIGHTS = ("wq", "wk", "wv", "wo", "gate", "up", "down")
     # set by the executor before jit (page size is static per engine)
     page_size: int = 16
     # DP attention (models/common.py dp_attention_respec): the per-layer

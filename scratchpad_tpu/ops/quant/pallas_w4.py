@@ -31,8 +31,17 @@ def _w4_kernel(layer_ref, x_ref, q_ref, s_ref, z_ref, o_ref, *, group_size):
     # mosaic has no uint8 shift/cast ops: widen to int32 first, then all
     # bit math and the int32 -> f32 -> target-dtype cast chain are legal
     qi = q_ref[0].astype(jnp.int32)  # [half, OUT_BLK]
-    lo = (qi & 0xF).astype(jnp.float32).astype(dtype)
-    hi = ((qi >> 4) & 0xF).astype(jnp.float32).astype(dtype)
+    if os.environ.get("SPTPU_W4_DEQ", "v3") == "v3":
+        # leaner unpack (the 8B profile showed dequant VPU-bound at ~41%
+        # of HBM SOL): the stored bytes are two UNSIGNED nibbles, so
+        # qi >> 4 is already < 16 — no second mask — and a single
+        # int32 -> dtype convert per plane replaces the i32->f32->bf16
+        # chain (~5 VPU ops/byte instead of ~9)
+        lo = (qi & 0xF).astype(dtype)
+        hi = (qi >> 4).astype(dtype)
+    else:
+        lo = (qi & 0xF).astype(jnp.float32).astype(dtype)
+        hi = ((qi >> 4) & 0xF).astype(jnp.float32).astype(dtype)
     s = s_ref[0].astype(dtype)  # [G, OUT_BLK]
     z = z_ref[0].astype(dtype)
 

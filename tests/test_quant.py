@@ -317,3 +317,63 @@ class TestQuantizedMoE:
         runner.model.quant_matmul = w4a16_matmul_pallas  # interpret on CPU
         got = greedy_generate(runner, prompt, 6)
         assert got == ref
+
+
+class TestQuantizedLMHead:
+    """4-bit output head (quantize_lm_head): serves end-to-end; tied
+    models keep the bf16 embedding for lookups."""
+
+    def _engine(self, **kw):
+        from scratchpad_tpu.config import ServerArgs
+        from scratchpad_tpu.server.engine import Engine
+
+        return Engine(
+            ServerArgs(
+                preset="tiny-debug",
+                random_weights=True,
+                dtype="float32",
+                page_size=4,
+                max_total_tokens=2048,
+                **kw,
+            )
+        )
+
+    def test_serves_and_head_is_quantized(self):
+        from scratchpad_tpu.sampling.sampling_params import SamplingParams
+
+        eng = self._engine(quantize_lm_head=True)
+        params = eng.scheduler.runner.params
+        assert "lm_head_q" in params
+        sp = SamplingParams(temperature=0.0, max_new_tokens=5, ignore_eos=True)
+        out = eng.generate(input_ids=[1, 2, 3, 4], sampling_params=sp)
+        assert len(out.output_ids) == 5
+        eng.scheduler.check_memory_leak()
+
+    def test_logits_close_to_bf16_head(self):
+        """Teacher-forcing logprobs with the W4 head stay near the exact
+        head (group-128 int4 on the output projection)."""
+        import numpy as np
+
+        from scratchpad_tpu.sampling.sampling_params import SamplingParams
+
+        ids = list(range(1, 40))
+        sp = SamplingParams(temperature=0.0, max_new_tokens=0)
+
+        def score(**kw):
+            eng = self._engine(**kw)
+            r = eng._make_req(None, ids, sp)
+            r.is_score = True
+            eng.scheduler.add_request(r)
+            while not r.finished():
+                eng.scheduler.step()
+            return np.asarray(r.prompt_logprobs)
+
+        a = score()
+        b = score(quantize_lm_head=True)
+        # mean absolute logprob shift stays small; the random tiny model's
+        # near-uniform logits are far more head-sensitive than trained
+        # checkpoints (QUALITY.md gates the real ppl delta)
+        assert np.mean(np.abs(a - b)) < 0.12, np.mean(np.abs(a - b))
+        # and the resulting perplexity delta is fractional
+        ppl_a, ppl_b = np.exp(-a.mean()), np.exp(-b.mean())
+        assert abs(ppl_b - ppl_a) / ppl_a < 0.02, (ppl_a, ppl_b)
