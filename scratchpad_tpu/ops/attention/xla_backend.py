@@ -35,7 +35,14 @@ def _quantize_rows(x: jax.Array, qdtype) -> tuple[jax.Array, jax.Array]:
         ).astype(jnp.int8)
     else:  # fp8 e4m3
         scale = jnp.maximum(amax / 448.0, 1e-8)
-        q = (x.astype(jnp.float32) / scale[..., None]).astype(qdtype)
+        scaled = x.astype(jnp.float32) / scale[..., None]
+        # flush sub-normal e4m3 codes (|v| < 2^-6 = 1.5% of the row max):
+        # the decode kernel then rebuilds values with the cheap normal-only
+        # bit path (gqa_decode.py) — no denormal select per element. The
+        # flushed entries carry < 2^-6 of the row's max and are within the
+        # quantizer's own error floor.
+        scaled = jnp.where(jnp.abs(scaled) < 2.0**-6, 0.0, scaled)
+        q = scaled.astype(qdtype)
     return q, scale
 
 
