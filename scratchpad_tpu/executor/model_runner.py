@@ -626,19 +626,7 @@ class ModelRunner:
         # layout directly (see models/llama.py lin); SPTPU_WT=0 disables
         import os as _os
 
-        _twn = getattr(type(self.model), "TRANSPOSED_STACK_WEIGHTS", None)
-        if (
-            _os.environ.get("SPTPU_WT", "1") == "1"
-            and mesh is None
-            and "layers" in self.params
-            and _twn
-        ):
-            _lay = dict(self.params["layers"])
-            for _n in _twn:
-                if _n in _lay and _lay[_n].ndim == 3:
-                    _lay[_n] = jnp.swapaxes(_lay[_n], 1, 2)
-            self.params["layers"] = _lay
-            self.model.weights_transposed = True
+        self.params = self._maybe_transpose_stacks(self.params)
 
         self._rng = jax.random.PRNGKey(self.args.random_seed)
         self._jit_step = jax.jit(
@@ -1872,6 +1860,32 @@ class ModelRunner:
 
     # ---------------------------------------------------------- weight update
 
+    def _maybe_transpose_stacks(self, params: dict) -> dict:
+        """EXPERIMENT (SPTPU_WT=1, off by default): store decoder matmul
+        stacks [L, out, in] — the layout XLA's TPU dot prefers
+        (models/llama.py lin). The r3 A/B measured noise-level tok/s
+        change (the "transposed slice" fusions were VMEM prefetches, not
+        waste), and flag-conditional layouts are a foot-gun for params
+        handed between runners, so it stays opt-in for layout studies."""
+        import os as _os
+
+        twn = getattr(type(self.model), "TRANSPOSED_STACK_WEIGHTS", None)
+        if (
+            _os.environ.get("SPTPU_WT", "0") != "1"
+            or self.mesh is not None
+            or not twn
+            or "layers" not in params
+        ):
+            return params
+        lay = dict(params["layers"])
+        for n in twn:
+            if n in lay and lay[n].ndim == 3:
+                lay[n] = jnp.swapaxes(lay[n], 1, 2)
+        params = dict(params)
+        params["layers"] = lay
+        self.model.weights_transposed = True
+        return params
+
     def update_weights(self, state: dict) -> tuple[bool, str]:
         self._no_offload("in-place weight update")
         """In-place weight swap with rollback on failure
@@ -1886,6 +1900,7 @@ class ModelRunner:
                 host = quantize_model_params(host)
             if "toppings" in old:
                 host["toppings"] = old["toppings"]
+            host = self._maybe_transpose_stacks(host)
             if self.mesh is not None:
                 specs = self.model.param_specs()
                 if "layers_q" in host:

@@ -274,3 +274,25 @@ def apply_rope_interleaved(
     o2 = x1 * sin + x2 * cos
     out = jnp.stack([o1, o2], axis=-1).reshape(x.shape)
     return out.astype(x.dtype)
+
+
+def scan_layers(body, carry, xs):
+    """Run a decoder ``body`` over stacked per-layer xs.
+
+    Default: a python-unrolled loop — static a[l] views let XLA fuse the
+    weight reads in place, and host-side numpy ids/flags in ``xs`` reach
+    the body as CONCRETE values (the attention kernels then fold layer
+    page offsets and sliding windows in statically; see
+    ops/attention/gqa_decode.py static_layer). SPTPU_LAYER_SCAN=1 restores
+    lax.scan for depth-independent trace/compile time.
+    """
+    import os
+
+    if os.environ.get("SPTPU_LAYER_SCAN", "0") == "1":
+        xs = jax.tree.map(jnp.asarray, xs)
+        return jax.lax.scan(body, carry, xs)
+    n = jax.tree.leaves(xs)[0].shape[0]
+    for l in range(n):
+        sl = jax.tree.map(lambda a: a[l], xs)
+        carry, _ = body(carry, sl)
+    return carry, None

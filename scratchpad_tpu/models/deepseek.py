@@ -470,12 +470,14 @@ class DeepseekV2ForCausalLM:
                 x = x + silu_mul(h2 @ lp["gate"], h2 @ lp["up"]) @ lp["down"]
                 return (x, kv_c), None
 
-            (x, kv), _ = jax.lax.scan(
+            from scratchpad_tpu.models.common import scan_layers
+
+            (x, kv), _ = scan_layers(
                 dense_body,
                 (x, kv),
                 (
                     params["layers_dense"],
-                    jnp.arange(self.n_dense, dtype=jnp.int32),
+                    np.arange(self.n_dense, dtype=np.int32),
                 ),
             )
 
@@ -488,12 +490,14 @@ class DeepseekV2ForCausalLM:
                 x = x + self._moe(h2, lp)
                 return (x, kv_c), None
 
-            (x, kv), _ = jax.lax.scan(
+            from scratchpad_tpu.models.common import scan_layers
+
+            (x, kv), _ = scan_layers(
                 moe_body,
                 (x, kv),
                 (
                     params["layers"],
-                    self.n_dense + jnp.arange(self.n_moe, dtype=jnp.int32),
+                    self.n_dense + np.arange(self.n_moe, dtype=np.int32),
                 ),
             )
 

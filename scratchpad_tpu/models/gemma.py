@@ -214,8 +214,8 @@ class GemmaForCausalLM:
         inv_g = jnp.asarray(self.inv_freq_global)
         inv_l = jnp.asarray(self.inv_freq_local)
         local_flags, windows = self._layer_flags()
-        local_flags = jnp.asarray(local_flags)
-        windows = jnp.asarray(windows)
+        local_flags = np.asarray(local_flags)
+        windows = np.asarray(windows)
 
         x = jnp.take(params["embed"], meta.tokens, axis=0)
         x = x * jnp.asarray(np.sqrt(cfg.hidden_size), x.dtype)  # embed scale
@@ -264,12 +264,14 @@ class GemmaForCausalLM:
             x = x + gemma_rms_norm(mlp, lp["post_ffw_norm"], eps)
             return (x, kv_c), None
 
-        (x, kv_out), _ = jax.lax.scan(
+        from scratchpad_tpu.models.common import scan_layers
+
+        (x, kv_out), _ = scan_layers(
             body,
             (x, kv),
             (
                 params["layers"],
-                jnp.arange(L, dtype=jnp.int32),
+                np.arange(L, dtype=np.int32),
                 local_flags,
                 windows,
             ),

@@ -256,7 +256,7 @@ class GptOssForCausalLM:
         Hq, Hkv, D = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
         T = meta.num_tokens
         inv_freq = jnp.asarray(self.inv_freq)
-        windows = jnp.asarray(self._layer_windows())
+        windows = np.asarray(self._layer_windows())
 
         x = jnp.take(params["embed"], meta.tokens, axis=0)
         attend = (
@@ -316,10 +316,12 @@ class GptOssForCausalLM:
             x = x + self._moe(h2, lp, lidx, qlayers)
             return (x, kv_c), None
 
-        (x, kv_out), _ = jax.lax.scan(
+        from scratchpad_tpu.models.common import scan_layers
+
+        (x, kv_out), _ = scan_layers(
             body,
             (x, kv),
-            (params["layers"], jnp.arange(L, dtype=jnp.int32), windows),
+            (params["layers"], np.arange(L, dtype=np.int32), windows),
         )
         h = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
         if getattr(meta, "capture_all_hidden", False):

@@ -338,8 +338,10 @@ class MixtralForCausalLM:
             x = x + self._moe(h2, lp, lidx, qlayers)
             return (x, kv_c), None
 
-        (x, kv_out), _ = jax.lax.scan(
-            body, (x, kv), (params["layers"], jnp.arange(L, dtype=jnp.int32))
+        from scratchpad_tpu.models.common import scan_layers
+
+        (x, kv_out), _ = scan_layers(
+            body, (x, kv), (params["layers"], np.arange(L, dtype=np.int32))
         )
         h = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
         if getattr(meta, "capture_all_hidden", False):
