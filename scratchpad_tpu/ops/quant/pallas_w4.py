@@ -137,11 +137,13 @@ def _w4_call(x, q, s, z, layer_idx, *, group_size, out_block):
 
 
 def w4a16_matmul_pallas(
-    x: jax.Array, ql: QuantizedLinear, layer_idx, out_block: int = 512
+    x: jax.Array, ql: QuantizedLinear, layer_idx, out_block: int = None
 ) -> jax.Array:
     """x [B, In] @ stacked quantized W[L][In, Out], selecting layer_idx.
 
     For expert stacks quantized as [L*E, In, Out] pass layer*E + e."""
+    if out_block is None:
+        out_block = int(os.environ.get("SPTPU_W4_OUT_BLOCK", "512"))
     y = _w4_call(
         x,
         ql.q,
