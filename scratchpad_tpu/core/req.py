@@ -85,6 +85,8 @@ class Req:
     # assigned KVCache.cross slot (None until admission)
     cross_states: Optional[np.ndarray] = None
     cross_slot: Optional[int] = None
+    # valid cross rows (tiled Mllama: n_tiles * patches; None = all)
+    cross_len: Optional[int] = None
     # EAGLE: the target's feature at the last processed position (None =
     # features lost, e.g. after a plain decode window -> no speculation)
     last_feature: Optional[np.ndarray] = None

@@ -1150,22 +1150,30 @@ class Scheduler:
         if mrope_positions is None and any(r.mrope_delta for r in batch):
             rope_delta = np.array([r.mrope_delta for r in batch], np.int32)
 
-        cross_slots = cross_states = None
+        cross_slots = cross_states = cross_lens = None
         if getattr(self.runner.model, "has_cross_attention", False):
             cross_slots = np.array(
                 [r.cross_slot or 0 for r in batch], np.int32
             )
+            buf_len = self.runner.kv_config.cross_len
+            cross_lens = np.array(
+                [r.cross_len if r.cross_len is not None else buf_len
+                 for r in batch],
+                np.int32,
+            )
             if mode != ForwardMode.DECODE and any(
                 r.cross_states is not None for r in batch
             ):
-                S, H = next(
-                    r.cross_states.shape for r in batch
+                H = next(
+                    r.cross_states.shape[1] for r in batch
                     if r.cross_states is not None
                 )
-                cross_states = np.zeros((len(batch), S, H), np.float32)
+                cross_states = np.zeros((len(batch), buf_len, H), np.float32)
                 for i, r in enumerate(batch):
                     if r.cross_states is not None:
-                        cross_states[i] = r.cross_states
+                        cross_states[i, : r.cross_states.shape[0]] = (
+                            r.cross_states
+                        )
 
         maxp = max(len(r.pages) for r in batch)
         page_table = np.zeros((len(batch), maxp), np.int32)
@@ -1197,6 +1205,7 @@ class Scheduler:
             rope_delta=rope_delta,
             cross_slots=cross_slots,
             cross_states=cross_states,
+            cross_lens=cross_lens,
             mm_spans=mm_spans,
         )
 

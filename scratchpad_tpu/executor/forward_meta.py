@@ -71,6 +71,9 @@ class ForwardMeta:
     # and write into that slot
     cross_slots: Optional[jax.Array] = None  # i32[B]
     cross_states: Optional[jax.Array] = None  # f32[B, S_img, H]
+    # valid cross-KV rows per request (tiled Mllama: n_tiles * patches;
+    # None = the full buffer length)
+    cross_lens: Optional[jax.Array] = None  # i32[B]
     # Gemma3-MM: absolute (start, end) prompt ranges per request whose
     # tokens attend bidirectionally (HF token-type mask; zeros = no span)
     mm_spans: Optional[jax.Array] = None  # i32[B, M, 2]
@@ -113,6 +116,7 @@ jax.tree_util.register_dataclass(
         "rope_delta",
         "cross_slots",
         "cross_states",
+        "cross_lens",
         "mm_spans",
     ],
     meta_fields=[

@@ -68,6 +68,7 @@ class WorkerBatch:
     # cross-attention (Mllama): slot per request + prefill vision states
     cross_slots: Optional[np.ndarray] = None  # i32[B_real]
     cross_states: Optional[np.ndarray] = None  # f32[B_real, S_img, H]
+    cross_lens: Optional[np.ndarray] = None  # i32[B_real] valid cross rows
     # Gemma3-MM: absolute [B_real, M, 2] (start, end) bidirectional spans
     mm_spans: Optional[np.ndarray] = None
 
@@ -577,7 +578,9 @@ class ModelRunner:
         if getattr(self.model, "has_cross_attention", False):
             cross_kw = dict(
                 cross_layers=len(self.model.cross_idx),
-                cross_len=self.model.vision.num_patches,
+                # tiled models produce tiles x patches cross rows
+                cross_len=self.model.vision.num_patches
+                * self.model.vision.max_tiles,
                 cross_slots=self.args.cross_kv_slots + 1,  # +1 scratch slot 0
             )
         self.kv_config = KVCacheConfig(
@@ -937,12 +940,26 @@ class ModelRunner:
             and not self.param_offload
         )
 
-    def encode_images(self, pixel_values: np.ndarray) -> np.ndarray:
-        """Run the VLM's vision tower + projector: [N,C,S,S] -> [N,P,H]."""
+    def encode_images(
+        self, pixel_values: np.ndarray, ar_ids=None, n_tiles=None
+    ) -> np.ndarray:
+        """Run the VLM's vision tower + projector: [N,C,S,S] -> [N,P,H]
+        (tiled Mllama: [N,T,C,S,S] + aspect-ratio ids / tile counts ->
+        [N, T*P, H])."""
         if not hasattr(self.model, "encode_images"):
             raise ValueError(
                 f"{self.model_config.architecture} is not a multimodal model"
             )
+        if ar_ids is not None:
+            if not hasattr(self, "_jit_encode_tiled"):
+                self._jit_encode_tiled = jax.jit(self.model.encode_images)
+            feats = self._jit_encode_tiled(
+                self.params,
+                jnp.asarray(pixel_values, self._dtype()),
+                jnp.asarray(ar_ids, jnp.int32),
+                jnp.asarray(n_tiles, jnp.int32),
+            )
+            return np.asarray(feats, np.float32)
         if not hasattr(self, "_jit_encode_images"):
             self._jit_encode_images = jax.jit(self.model.encode_images)
         feats = self._jit_encode_images(
@@ -1300,12 +1317,14 @@ class ModelRunner:
         if wb.mm_spans is not None:
             mm_spans = np.zeros((B,) + wb.mm_spans.shape[1:], np.int32)
             mm_spans[:B_real] = wb.mm_spans
-        cross_slots = cross_states = None
+        cross_slots = cross_states = cross_lens = None
         if wb.cross_slots is not None:
             cross_slots = pad1(wb.cross_slots.astype(np.int32), B)
         if wb.cross_states is not None:
             cross_states = np.zeros((B,) + wb.cross_states.shape[1:], np.float32)
             cross_states[: wb.cross_states.shape[0]] = wb.cross_states
+        if wb.cross_lens is not None:
+            cross_lens = pad1(wb.cross_lens.astype(np.int32), B)
         meta = ForwardMeta(
             mode=wb.mode,
             tokens=tokens,
@@ -1323,6 +1342,7 @@ class ModelRunner:
             rope_delta=rope_delta,
             cross_slots=cross_slots,
             cross_states=cross_states,
+            cross_lens=cross_lens,
             mm_spans=mm_spans,
         )
         si = wb.sampling_info

@@ -65,6 +65,7 @@ class MllamaVisionTower:
             vcfg.get("intermediate_layers_indices", [self.layers - 1])
         )
         sup = vcfg.get("supported_aspect_ratios") or [[1, 1]]
+        self.supported_aspect_ratios = [tuple(a) for a in sup]
         self.max_ar_id = len(sup)
         self.grid = self.image_size // self.patch
         self.num_patches = self.grid * self.grid + 1
@@ -174,55 +175,85 @@ class MllamaVisionTower:
             out[which] = {k: np.stack(v) for k, v in stacks[which].items()}
         return jax.tree.map(lambda x: jnp.asarray(x, dtype), out)
 
-    def __call__(self, params: dict, px: jax.Array) -> jax.Array:
-        """[N, C, S, S] single-tile images -> [N, num_patches, out_dim]."""
-        N = px.shape[0]
+    def __call__(
+        self, params: dict, px: jax.Array, ar_ids=None, n_tiles=None
+    ) -> jax.Array:
+        """Tiled images -> per-patch features.
+
+        px: [N, T, C, S, S] (T = max_num_tiles, zero-padded) or the legacy
+        single-tile [N, C, S, S]. ar_ids i32[N] index the config's
+        supported_aspect_ratios table 1-based (HF convention; defaults to
+        1 = the first entry, usually 1x1); n_tiles i32[N] counts the live
+        tiles per image. Returns [N, T*num_patches, out_dim] for tiled
+        input ([N, num_patches, out_dim] legacy) — all tiles attend
+        JOINTLY in both transformers like HF MllamaVisionModel, and padded
+        tiles are masked with the same (pad q, pad k)-pair rule as the
+        patch padding."""
+        single = px.ndim == 4
+        if single:
+            px = px[:, None]
+        N, T = px.shape[0], px.shape[1]
         Hv, p, g = self.hv, self.patch, self.grid
         C = self.channels
         heads, hd = self.heads, Hv // self.heads
         scale = hd**-0.5
-        ar = 1  # single 1x1 tile; id 0 is padding
+        if ar_ids is None:
+            ar_ids = jnp.ones((N,), jnp.int32)
+        if n_tiles is None:
+            n_tiles = jnp.full((N,), T, jnp.int32)
+        ar_ids = jnp.asarray(ar_ids, jnp.int32)
+        n_tiles = jnp.asarray(n_tiles, jnp.int32)
+        Tm = self.max_tiles
 
         # conv patch embed == row-major patch extraction @ flattened kernel
-        x = px.reshape(N, C, g, p, g, p).transpose(0, 2, 4, 1, 3, 5)
-        x = x.reshape(N, g * g, C * p * p).astype(params["patch_w"].dtype)
-        x = x @ params["patch_w"]  # [N, P0-1, Hv]
+        x = px.reshape(N, T, C, g, p, g, p).transpose(0, 1, 3, 5, 2, 4, 6)
+        x = x.reshape(N, T, g * g, C * p * p).astype(params["patch_w"].dtype)
+        x = x @ params["patch_w"]  # [N, T, P0-1, Hv]
 
-        # pre-tile embedding (gated), tile 0 of aspect ratio 1
-        pre = params["pre_tile_emb"][ar].reshape(self.max_tiles, 1, Hv)[0]
+        # gated pre-tile embedding, per (aspect ratio, tile)
+        pre = params["pre_tile_emb"][ar_ids].reshape(N, Tm, 1, Hv)[:, :T]
         x = x + pre * jnp.tanh(params["pre_tile_gate"])
 
-        cls = jnp.broadcast_to(params["class_emb"], (N, 1, Hv))
-        x = jnp.concatenate([cls, x], axis=1)  # [N, P0, Hv]
+        cls = jnp.broadcast_to(params["class_emb"], (N, T, 1, Hv))
+        x = jnp.concatenate([cls, x], axis=2)  # [N, T, P0, Hv]
         P0 = self.num_patches
 
         gate = jnp.tanh(params["pos_gate"])
         x = x + (1 - gate) * params["pos_emb"]
-        tile_pos = params["tile_pos_emb"][ar].reshape(self.max_tiles, P0, Hv)[0]
+        tile_pos = params["tile_pos_emb"][ar_ids].reshape(N, Tm, P0, Hv)[:, :T]
         x = x + gate * tile_pos
 
         x = _ln(x, params["ln_pre_w"], params["ln_pre_b"])
 
         pad = (8 - P0 % 8) % 8
         Pp = P0 + pad
-        x = jnp.pad(x, [(0, 0), (0, pad), (0, 0)])
+        x = jnp.pad(x, [(0, 0), (0, 0), (0, pad), (0, 0)])
+        L = T * Pp
+        x = x.reshape(N, L, Hv)
         # HF masks only (pad q, pad k) pairs — valid queries DO attend the
-        # zero-padded rows (modeling_mllama._prepare_aspect_ratio_attention_mask)
-        inv = (jnp.arange(Pp) >= P0).astype(jnp.float32)
-        bias = inv[:, None] * inv[None, :] * _NEG  # [Pp, Pp]
+        # zero rows (modeling_mllama._prepare_aspect_ratio_attention_mask);
+        # a padded TILE's patches count as padding wholesale
+        patch_pad = jnp.arange(Pp) >= P0  # [Pp]
+        tile_pad = (
+            jnp.arange(T)[None, :] >= n_tiles[:, None]
+        )  # [N, T]
+        inv = (
+            tile_pad[:, :, None] | patch_pad[None, None, :]
+        ).reshape(N, L).astype(jnp.float32)
+        bias = inv[:, :, None] * inv[:, None, :] * _NEG  # [N, L, L]
 
         def enc_layer(h, lp, gated):
             y = _ln(h, lp["ln1_w"], lp["ln1_b"])
-            q = (y @ lp["wq"]).reshape(N, Pp, heads, hd)
-            kk = (y @ lp["wk"]).reshape(N, Pp, heads, hd)
-            v = (y @ lp["wv"]).reshape(N, Pp, heads, hd)
+            q = (y @ lp["wq"]).reshape(N, L, heads, hd)
+            kk = (y @ lp["wk"]).reshape(N, L, heads, hd)
+            v = (y @ lp["wv"]).reshape(N, L, heads, hd)
             s = (
                 jnp.einsum("nqhd,nkhd->nhqk", q, kk).astype(jnp.float32)
                 * scale
-                + bias[None, None]
+                + bias[:, None]
             )
             a = jax.nn.softmax(s, axis=-1).astype(h.dtype)
-            o = jnp.einsum("nhqk,nkhd->nqhd", a, v).reshape(N, Pp, Hv)
+            o = jnp.einsum("nhqk,nkhd->nqhd", a, v).reshape(N, L, Hv)
             o = o @ lp["wo"]
             if gated:
                 o = o * jnp.tanh(lp["gate_attn"])
@@ -245,19 +276,27 @@ class MllamaVisionTower:
                 inters.append(x)
 
         x = _ln(x, params["ln_post_w"], params["ln_post_b"])
-        post = params["post_tile_emb"][ar].reshape(self.max_tiles, 1, Hv)[0]
-        x = x + post * jnp.tanh(params["post_tile_gate"])
+        post = params["post_tile_emb"][ar_ids].reshape(N, Tm, 1, Hv)[:, :T]
+        x = (x.reshape(N, T, Pp, Hv) + post * jnp.tanh(
+            params["post_tile_gate"]
+        )).reshape(N, L, Hv)
 
         for li in range(self.global_layers):
             lp = jax.tree.map(lambda a: a[li], params["global"])
             x = enc_layer(x, lp, gated=True)
 
-        x = x[:, :P0]
+        def unpad(h):
+            return h.reshape(N, T, Pp, -1)[:, :, :P0].reshape(N, T * P0, -1)
+
+        x = unpad(x)
         # HF stacks intermediates on a trailing axis then flattens, so the
         # feature order interleaves (dim, layer) — not a plain concat
-        inter = jnp.stack([h[:, :P0] for h in inters], axis=-1)
-        inter = inter.reshape(N, P0, -1)
-        return jnp.concatenate([x, inter], axis=-1)  # [N, P0, out_dim]
+        inter = jnp.stack([unpad(h) for h in inters], axis=-1)
+        inter = inter.reshape(N, T * P0, -1)
+        out = jnp.concatenate([x, inter], axis=-1)  # [N, T*P0, out_dim]
+        if single:
+            return out
+        return out
 
 
 class MllamaForCausalLM(LlamaForCausalLM):
@@ -456,9 +495,12 @@ class MllamaForCausalLM(LlamaForCausalLM):
 
     # ---------------------------------------------------------------- vision
 
-    def encode_images(self, params: dict, pixel_values: jax.Array) -> jax.Array:
-        """[N, C, S, S] -> projected cross states [N, S_img, H_text]."""
-        feats = self.vision(params["vision"], pixel_values)
+    def encode_images(
+        self, params: dict, pixel_values: jax.Array, ar_ids=None, n_tiles=None
+    ) -> jax.Array:
+        """[N, C, S, S] or tiled [N, T, C, S, S] -> projected cross states
+        [N, S_img, H_text] (S_img = tiles x patches for tiled input)."""
+        feats = self.vision(params["vision"], pixel_values, ar_ids, n_tiles)
         pr = params["projector"]
         return feats @ pr["w"] + pr["b"]
 
@@ -495,6 +537,14 @@ class MllamaForCausalLM(LlamaForCausalLM):
                        kt.astype(jnp.float32))
             * (D**-0.5)
         )
+        if meta.cross_lens is not None:
+            # tiled images: only n_tiles * patches cross rows are live
+            # (HF masks pad tiles via cross_attention_mask)
+            cl = meta.cross_lens[meta.req_indices]  # [T]
+            pos = jnp.arange(kt.shape[1], dtype=jnp.int32)
+            s = jnp.where(
+                pos[None, None, None, :] < cl[:, None, None, None], s, -1e30
+            )
         a = jax.nn.softmax(s, axis=-1)
         o = jnp.einsum("thgs,tshd->thgd", a, vt.astype(jnp.float32))
         o = o.reshape(T, Hq * D).astype(x.dtype) @ cp["wo"]

@@ -66,3 +66,62 @@ def preprocess_clip(
     x = np.asarray(img, np.float32) / 255.0  # [S, S, 3]
     x = (x - mean) / std
     return x.transpose(2, 0, 1)
+
+
+def select_tiling(w: int, h: int, tile_size: int, supported) -> tuple:
+    """Pick the aspect-ratio tile grid for a (w, h) image — HF
+    ``get_optimal_tiled_canvas``: among supported (th, tw) grids prefer the
+    smallest upscale that fits, else the largest downscale; ties break on
+    the smallest canvas area. Returns (index_1based, th, tw)."""
+    best = None
+    for i, (th, tw) in enumerate(supported):
+        ch, cw = th * tile_size, tw * tile_size
+        scale = min(cw / w, ch / h)
+        area = ch * cw
+        # sort key: upscales (scale >= 1) win over downscales; among
+        # upscales smaller scale first; among downscales larger scale
+        # first; then smaller canvas
+        if scale >= 1:
+            key = (0, scale, area)
+        else:
+            key = (1, -scale, area)
+        if best is None or key < best[0]:
+            best = (key, i + 1, th, tw)
+    return best[1], best[2], best[3]
+
+
+def preprocess_tiled(
+    img,
+    tile_size: int,
+    supported,
+    max_tiles: int,
+    mean=CLIP_MEAN,
+    std=CLIP_STD,
+):
+    """HF MllamaImageProcessor equivalent: resize into the optimal tile
+    canvas (aspect preserved), zero-pad, split into row-major tiles, and
+    zero-pad the tile stack to ``max_tiles``.
+
+    Returns (tiles [max_tiles, 3, S, S] f32, aspect_ratio_id (1-based),
+    n_tiles)."""
+    from PIL import Image
+
+    w, h = img.size
+    ar_id, th, tw = select_tiling(w, h, tile_size, supported)
+    ch, cw = th * tile_size, tw * tile_size
+    scale = min(cw / w, ch / h)
+    nw, nh = max(1, round(w * scale)), max(1, round(h * scale))
+    img = img.resize((nw, nh), Image.BICUBIC)
+    canvas = np.zeros((ch, cw, 3), np.float32)
+    canvas[:nh, :nw] = np.asarray(img, np.float32) / 255.0
+    canvas = (canvas - mean) / std
+    x = canvas.transpose(2, 0, 1)  # [3, ch, cw]
+    tiles = (
+        x.reshape(3, th, tile_size, tw, tile_size)
+        .transpose(1, 3, 0, 2, 4)
+        .reshape(th * tw, 3, tile_size, tile_size)
+    )
+    n = th * tw
+    out = np.zeros((max_tiles, 3, tile_size, tile_size), np.float32)
+    out[:n] = tiles
+    return out, ar_id, n

@@ -248,7 +248,7 @@ class Engine:
             input_ids = self.tokenizer.encode(prompt)
         mm_positions = mm_features = mm_spans = None
         mrope_table, mrope_delta = None, 0
-        cross_states = None
+        cross_states = cross_len = None
         if video_data is not None:
             assert image_data is None, (
                 "one request carries images OR one video (v1)"
@@ -261,6 +261,7 @@ class Engine:
                 mrope_delta,
                 cross_states,
                 mm_spans,
+                cross_len,
             ) = self._prepare_video(list(input_ids), video_data)
         elif image_data is not None:
             (
@@ -271,6 +272,7 @@ class Engine:
                 mrope_delta,
                 cross_states,
                 mm_spans,
+                cross_len,
             ) = self._prepare_multimodal(list(input_ids), image_data)
         topping_idx = 0
         if topping:
@@ -288,19 +290,35 @@ class Engine:
             mrope_table=mrope_table,
             mrope_delta=mrope_delta,
             cross_states=cross_states,
+            cross_len=cross_len,
         )
         gk = sp.grammar_key()
         if gk is not None and self.grammar_backend is not None:
             req.grammar = self.grammar_backend.get_grammar(*gk)
         return req
 
-    def preprocess_image(self, img) -> np.ndarray:
+    def preprocess_image(self, img):
         """PIL image -> normalized [3, S, S] pixels at the model's expected
-        resolution (fixed per engine; the reference's dynamic-resolution HF
-        processors are replaced by one static size for XLA shape stability)."""
+        resolution — or, for tiled cross-attention models (Mllama with
+        max_num_tiles > 1), the HF-equivalent (tiles, aspect_ratio_id,
+        n_tiles) tuple (multimodal/image.py preprocess_tiled). Static
+        shapes either way: tiles are zero-padded to max_num_tiles."""
         from scratchpad_tpu.multimodal import preprocess_clip
 
         model = self.scheduler.runner.model
+        if (
+            getattr(model, "has_cross_attention", False)
+            and getattr(model, "vision", None) is not None
+            and model.vision.max_tiles > 1
+        ):
+            from scratchpad_tpu.multimodal.image import preprocess_tiled
+
+            return preprocess_tiled(
+                img,
+                model.vision.image_size,
+                model.vision.supported_aspect_ratios,
+                model.vision.max_tiles,
+            )
         mm = getattr(self.model_config, "multimodal", None) or {}
         if getattr(model, "uses_mrope", False):  # Qwen2-VL fixed square
             return preprocess_clip(img, model.vision.image_size)
@@ -390,6 +408,7 @@ class Engine:
             mrope_delta,
             None,
             None,
+            None,
         )
 
     def _prepare_multimodal(self, input_ids: list[int], image_data):
@@ -409,18 +428,34 @@ class Engine:
             raise ValueError(
                 f"{self.model_config.architecture} does not accept image_data"
             )
-        px = np.asarray(image_data, np.float32)
-        if px.ndim == 3:
-            px = px[None]
-        assert px.ndim == 4, "image_data must be [N, C, H, W] pixel values"
-        expected = getattr(getattr(model, "vision", None), "image_size", None)
-        if expected is not None and px.shape[2:] != (expected, expected):
-            raise ValueError(
-                f"image_data is {px.shape[2]}x{px.shape[3]} but "
-                f"{self.model_config.architecture} expects "
-                f"{expected}x{expected} pixels (use Engine.preprocess_image)"
+        cross_len = None
+        if isinstance(image_data, tuple):
+            # tiled Mllama input from preprocess_image: (tiles
+            # [max_tiles, C, S, S], aspect_ratio_id, n_tiles)
+            assert getattr(model, "has_cross_attention", False), (
+                "tiled image tuples are for cross-attention (Mllama) models"
             )
-        feats = self.scheduler.runner.encode_images(px)  # [N, P, H]
+            tiles, ar_id, n_tiles = image_data
+            px = np.asarray(tiles, np.float32)[None]  # [1, Tm, C, S, S]
+            feats = self.scheduler.runner.encode_images(
+                px, np.array([ar_id], np.int32), np.array([n_tiles], np.int32)
+            )  # [1, Tm*P0, H]
+            cross_len = int(n_tiles) * model.vision.num_patches
+        else:
+            px = np.asarray(image_data, np.float32)
+            if px.ndim == 3:
+                px = px[None]
+            assert px.ndim == 4, "image_data must be [N, C, H, W] pixel values"
+            expected = getattr(
+                getattr(model, "vision", None), "image_size", None
+            )
+            if expected is not None and px.shape[2:] != (expected, expected):
+                raise ValueError(
+                    f"image_data is {px.shape[2]}x{px.shape[3]} but "
+                    f"{self.model_config.architecture} expects "
+                    f"{expected}x{expected} pixels (use Engine.preprocess_image)"
+                )
+            feats = self.scheduler.runner.encode_images(px)  # [N, P, H]
         cross_states = None
         if getattr(model, "has_cross_attention", False):
             # Mllama: the image contributes CROSS-attention states, not
@@ -428,6 +463,8 @@ class Engine:
             # learned <|image|> embedding under a content-hashed pseudo id
             assert px.shape[0] == 1, "one image per request for Mllama (v1)"
             cross_states = np.asarray(feats[0], np.float32)  # [S_img, H]
+            if cross_len is None:
+                cross_len = cross_states.shape[0]
             emb = self.scheduler.runner.image_token_embedding()
             feats = np.broadcast_to(emb, (1, 1, emb.shape[-1]))
         N, Pn, H = feats.shape
@@ -485,6 +522,7 @@ class Engine:
             mrope_delta,
             cross_states,
             mm_spans,
+            cross_len,
         )
 
     # ------------------------------------------------------------ sync API

@@ -495,6 +495,11 @@ class ServerApp:
 
         if images and video is not None:
             raise ValueError("a request carries images OR one video (v1)")
+        if images and isinstance(images[0], tuple):
+            # tiled Mllama preprocessing returns (tiles, ar_id, n_tiles)
+            if len(images) > 1:
+                raise ValueError("one tiled image per request (Mllama v1)")
+            return images[0], video
         return (np.stack(images) if images else None), video
 
     def _apply_chat_template(self, messages: list[ChatMessage]) -> str:

@@ -201,3 +201,154 @@ def test_mixed_image_text_batch_and_slot_reuse():
     n = eng.scheduler.runner.kv_config.cross_slots
     assert sorted(eng.scheduler.cross_slot_free) == list(range(1, n))
     eng.scheduler.check_memory_leak()
+
+
+# ------------------------------------------------------------- multi-tile
+
+
+MT_VISION_KW = dict(
+    VISION_KW,
+    max_num_tiles=4,
+    supported_aspect_ratios=[[1, 1], [1, 2], [2, 1], [2, 2]],
+)
+
+
+def mt_config():
+    kw = dict(TEXT_KW)
+    cross = kw.pop("cross_attention_layers")
+    return ModelConfig(
+        architecture="MllamaForConditionalGeneration",
+        **kw,
+        head_dim=16,
+        cross_attention_layers=cross,
+        multimodal=dict(
+            vision_config=dict(MT_VISION_KW), image_token_index=IMG_TOK
+        ),
+    )
+
+
+def mt_build_hf(seed=0):
+    torch = pytest.importorskip("torch")
+    from transformers import MllamaConfig
+    from transformers import MllamaForConditionalGeneration as HFMllama
+
+    tkw = dict(TEXT_KW)
+    tkw.update(pad_token_id=0, bos_token_id=1, eos_token_id=2)
+    tkw["rope_scaling"] = {"rope_type": "default"}
+    cfg = MllamaConfig(
+        vision_config=dict(MT_VISION_KW),
+        text_config=tkw,
+        image_token_index=IMG_TOK,
+    )
+    cfg.text_config._attn_implementation = "eager"
+    cfg.vision_config._attn_implementation = "eager"
+    torch.manual_seed(seed)
+    return HFMllama(cfg).eval().to(torch.float32)
+
+
+def mt_engine(hf):
+    from scratchpad_tpu.server.engine import Engine
+
+    args = ServerArgs(
+        max_total_tokens=2048, page_size=4, dtype="float32", cross_kv_slots=4
+    )
+    eng = Engine(args, model_config=mt_config())
+    state = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    ok, msg = eng.scheduler.runner.update_weights(state)
+    assert ok, msg
+    return eng
+
+
+def test_select_tiling_prefers_matching_aspect():
+    from scratchpad_tpu.multimodal.image import select_tiling
+
+    sup = [(1, 1), (1, 2), (2, 1), (2, 2)]
+    # wide image -> 1 row x 2 cols of 32px tiles
+    assert select_tiling(64, 32, 32, sup) == (2, 1, 2)
+    # tall image -> 2 rows x 1 col
+    assert select_tiling(32, 64, 32, sup) == (3, 2, 1)
+    # big square -> 2x2
+    assert select_tiling(100, 100, 32, sup) == (4, 2, 2)
+
+
+def test_multitile_vision_matches_hf():
+    """Tiled vision tower (joint-tile attention, per-tile embeddings,
+    pad-tile masking) == HF MllamaVisionModel at a 1x2 aspect ratio."""
+    torch = pytest.importorskip("torch")
+    hf = mt_build_hf()
+    eng = mt_engine(hf)
+    rng = np.random.default_rng(3)
+    tiles = np.zeros((4, 3, 32, 32), np.float32)
+    tiles[:2] = rng.standard_normal((2, 3, 32, 32)).astype(np.float32) * 0.5
+    ar_id, n_tiles = 2, 2  # [1, 2]
+    ours = eng.scheduler.runner.encode_images(
+        tiles[None], np.array([ar_id]), np.array([n_tiles])
+    )  # [1, 4*17, 64]
+    with torch.no_grad():
+        out = hf.model.vision_model(
+            pixel_values=torch.tensor(tiles)[None, None],  # [1,1,4,C,S,S]
+            aspect_ratio_ids=torch.tensor([[ar_id]]),
+            aspect_ratio_mask=torch.tensor([[[1, 1, 0, 0]]]),
+        ).last_hidden_state  # [1, 1, 4, 17, 96]
+        theirs = hf.model.multi_modal_projector(out[:, 0]).numpy()
+    theirs = theirs.reshape(1, -1, 64)
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, atol=3e-4, rtol=1e-3)
+
+
+def test_multitile_greedy_parity():
+    """End-to-end: a (1x2)-tiled image through the engine's tuple path ==
+    HF generate with aspect_ratio/cross-attention masks excluding the pad
+    tiles."""
+    torch = pytest.importorskip("torch")
+    hf = mt_build_hf(seed=5)
+    eng = mt_engine(hf)
+
+    from scratchpad_tpu.sampling.sampling_params import SamplingParams
+
+    rng = np.random.default_rng(6)
+    tiles = np.zeros((4, 3, 32, 32), np.float32)
+    tiles[:2] = rng.standard_normal((2, 3, 32, 32)).astype(np.float32) * 0.5
+    ar_id, n_tiles = 2, 2
+    prompt = [IMG_TOK, 7, 11, 13, 17, 19]
+    n_new = 8
+    sp = SamplingParams(temperature=0.0, max_new_tokens=n_new, ignore_eos=True)
+    out = eng.generate(
+        input_ids=prompt,
+        sampling_params=sp,
+        image_data=(tiles, ar_id, n_tiles),
+    )
+
+    with torch.no_grad():
+        cam = torch.zeros(1, len(prompt), 1, 4, dtype=torch.long)
+        cam[:, :, :, :n_tiles] = 1
+        hf_out = hf.generate(
+            input_ids=torch.tensor([prompt]),
+            pixel_values=torch.tensor(tiles)[None, None],
+            aspect_ratio_ids=torch.tensor([[ar_id]]),
+            aspect_ratio_mask=torch.tensor([[[1, 1, 0, 0]]]),
+            cross_attention_mask=cam,
+            max_new_tokens=n_new,
+            do_sample=False,
+            temperature=None,
+            top_p=None,
+            top_k=None,
+        )
+    theirs = hf_out[0, len(prompt):].tolist()
+    assert out.output_ids == theirs, f"{out.output_ids} vs {theirs}"
+    eng.scheduler.check_memory_leak()
+
+
+def test_preprocess_tiled_shapes():
+    from PIL import Image
+
+    from scratchpad_tpu.multimodal.image import preprocess_tiled
+
+    img = Image.new("RGB", (100, 40), (200, 30, 50))  # wide -> 1x2
+    tiles, ar_id, n = preprocess_tiled(
+        img, 32, [(1, 1), (1, 2), (2, 1), (2, 2)], 4
+    )
+    assert tiles.shape == (4, 3, 32, 32)
+    assert (ar_id, n) == (2, 2)
+    # pad tiles stay zero
+    assert np.abs(tiles[2:]).sum() == 0
