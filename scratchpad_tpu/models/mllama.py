@@ -4,11 +4,13 @@ Counterpart of the reference's largest vision model
 (reference: scratchpad/nn/models/mllama.py, 1,028 LoC). TPU-native shape of
 the rebuild:
 
-- **single-tile static resolution**: the HF model tiles images by aspect
-  ratio (dynamic shapes); here every image is one fixed square tile
-  (aspect ratio [1,1]) so the vision step compiles once per image-count
-  bucket. The tile/aspect embedding machinery is kept (weight-compatible,
-  indexed at ratio id 1).
+- **static-shape multi-tile resolution**: HF tiles images by aspect ratio
+  with dynamic shapes; here the tile stack is always zero-padded to
+  max_num_tiles (multimodal/image.py preprocess_tiled picks the HF
+  aspect-ratio canvas), so the vision step compiles ONCE while matching
+  HF's dynamic tiling bit-for-bit — pad tiles are masked in the vision
+  transformers ((pad q, pad k)-pair rule) and in cross attention
+  (ForwardMeta.cross_lens).
 - the vision tower runs as its own jitted step producing cross-attention
   states [S_img, H_text]; the decoder caches per-layer cross K/V in
   per-request SLOTS of a dedicated buffer (``KVCache.cross``) written once
@@ -49,7 +51,7 @@ def _ln(x, w, b, eps=1e-5):
 
 
 class MllamaVisionTower:
-    """HF MllamaVisionModel at one fixed 1x1-tile resolution."""
+    """HF MllamaVisionModel at static max_num_tiles tile stacks."""
 
     def __init__(self, vcfg: dict):
         self.hv = vcfg["hidden_size"]
