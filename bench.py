@@ -12,7 +12,7 @@ when no accelerator is available.
 Variants (env):
   SPTPU_BENCH_PRESET  model preset (default llama-3.2-1b; north-star =
                       llama-3.1-8b per BASELINE.json config 3)
-  SPTPU_BENCH_QUANT   w4a16 | fp8 (weight quantization)
+  SPTPU_BENCH_QUANT   w4a16 | w4a8 | fp8 (weight quantization)
   SPTPU_BENCH_KV      int8 | fp8 (KV-cache quantization)
   SPTPU_BENCH_BS      batch size (default 64 for 1B, 32 for 8B)
   SPTPU_BENCH_SAMPLED temperature=0.8/top_p=0.9/top_k=64 instead of greedy

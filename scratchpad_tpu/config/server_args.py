@@ -20,8 +20,10 @@ class ServerArgs:
     preset: Optional[str] = None  # built-in architecture preset (offline runs)
     tokenizer_path: Optional[str] = None
     dtype: str = "bfloat16"
-    # None | w4a16 | fp8 (quantize at load) | awq | gptq | gptq_v2 (import
-    # a pre-quantized AutoAWQ/AutoGPTQ int4 checkpoint, bit-exact)
+    # None | w4a16 | w4a8 (4-bit weights + per-token int8 activations on
+    # the s8 MXU path; same storage as w4a16) | fp8 (quantize at load) |
+    # awq | gptq | gptq_v2 (import a pre-quantized AutoAWQ/AutoGPTQ int4
+    # checkpoint, bit-exact)
     quantization: Optional[str] = None
     kv_cache_dtype: str = "auto"  # auto | bfloat16 | int8 | fp8
     # 4-bit (group-128) LM head: the output projection reads its full

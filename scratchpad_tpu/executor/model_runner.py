@@ -112,6 +112,26 @@ class ModelRunner:
 
         model_cls = get_model_class(cfg.architecture)
         self.model = model_cls(cfg)
+        if self.args.quantization == "w4a8":
+            # same QuantizedLinear storage as w4a16 (checkpoint-compatible
+            # with awq/gptq imports) — only the matmul path swaps: per-token
+            # int8 activations on the s8 MXU (ops/quant/pallas_w4.py
+            # _w4a8_kernel; ~1.3x the bf16 group dots at 8B shapes)
+            if jax.default_backend() == "cpu":
+                from scratchpad_tpu.ops.quant import (
+                    slice_layer,
+                    w4a8_matmul_xla,
+                )
+
+                self.model.quant_matmul = lambda x, ql, l: w4a8_matmul_xla(
+                    x, slice_layer(ql, l)
+                )
+            else:
+                from scratchpad_tpu.ops.quant.pallas_w4 import (
+                    w4a8_matmul_pallas,
+                )
+
+                self.model.quant_matmul = w4a8_matmul_pallas
         self.model.page_size = self.page_size
         self.model.mesh = mesh
         self.model.use_ep = bool(self.args.enable_ep and mesh is not None)
@@ -419,7 +439,7 @@ class ModelRunner:
             self.params = params
         else:
             quantizing = self.args.quantization in (
-                "w4a16", "w4", "fp8", "awq", "gptq", "gptq_v2",
+                "w4a16", "w4", "w4a8", "fp8", "awq", "gptq", "gptq_v2",
             )
             prequantized = self.args.quantization in ("awq", "gptq", "gptq_v2")
             # quantization reads weights on the host — init/convert on CPU so
@@ -1914,7 +1934,7 @@ class ModelRunner:
         old = self.params
         try:
             host = self.model.convert_hf_state(state, self._dtype())
-            if self.args.quantization in ("w4a16", "w4"):
+            if self.args.quantization in ("w4a16", "w4", "w4a8"):
                 from scratchpad_tpu.ops.quant import quantize_model_params
 
                 host = quantize_model_params(host)

@@ -5,6 +5,7 @@ from scratchpad_tpu.ops.quant.w4a16 import (
     slice_layer,
     dequantize_w4,
     w4a16_matmul_xla,
+    w4a8_matmul_xla,
     QuantizedLinear,
     QUANT_TARGETS,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "slice_layer",
     "dequantize_w4",
     "w4a16_matmul_xla",
+    "w4a8_matmul_xla",
     "QuantizedLinear",
     "QUANT_TARGETS",
 ]

@@ -238,3 +238,36 @@ def w4a16_matmul_xla(x: jax.Array, ql: QuantizedLinear) -> jax.Array:
     w_hi = (hi - z[..., half:, :]) * s[..., half:, :]
     y = x[..., :half] @ w_lo + x[..., half:] @ w_hi
     return y[..., : ql.out_true] if ql.out_true else y
+
+
+def w4a8_matmul_xla(x: jax.Array, ql: QuantizedLinear) -> jax.Array:
+    """W4A8 reference path mirroring the Pallas kernel's exact int math:
+    per-token symmetric int8 activations, i32 group dots, group-factored
+    scale/zero application. Used on CPU and for parity tests."""
+    In = ql.in_features
+    half = In // 2
+    gs, G = ql.group_size, ql.s.shape[-2]
+    lead = x.shape[:-1]
+    xf = x.reshape(-1, In).astype(jnp.float32)
+    B = xf.shape[0]
+    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    ax = jnp.where(amax == 0.0, 1.0, amax / 127.0)
+    x8 = jnp.clip(jnp.round(xf / ax), -127, 127).astype(jnp.int8)
+    # nibble planes back to full [In, Out] int rows
+    n = jnp.concatenate(
+        [(ql.q & 0xF).astype(jnp.int8), (ql.q >> 4).astype(jnp.int8)],
+        axis=-2,
+    )
+    pg = jax.lax.dot_general(
+        x8.reshape(B, G, gs),
+        n.reshape(G, gs, -1),
+        (((2,), (1,)), ((1,), (0,))),
+        preferred_element_type=jnp.int32,
+    )  # [G, B, Out]
+    s = ql.s.astype(jnp.float32)
+    z = ql.z.astype(jnp.float32)
+    acc = jnp.einsum("gbo,go->bo", pg.astype(jnp.float32), s)
+    xg_sum = jnp.sum(x8.astype(jnp.float32).reshape(B, G, gs), axis=2)
+    acc = acc + xg_sum @ (-(z * s))
+    y = (acc * ax).astype(x.dtype).reshape(*lead, -1)
+    return y[..., : ql.out_true] if ql.out_true else y

@@ -1,0 +1,98 @@
+"""W4A8 tests: int8-activation matmul paths + e2e engine.
+
+W4A8 reuses W4A16's QuantizedLinear storage (checkpoint-compatible); only
+the matmul swaps to per-token int8 activations with i32 group dots on the
+s8 MXU (ops/quant/pallas_w4.py _w4a8_kernel). Reference analogue: triteia's
+quantized GEMM (scratchpad/nn/layers/linear.py:24) — activation quant is a
+TPU-side extension (the reference has no A8 path).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from scratchpad_tpu.ops.quant import (
+    dequantize_w4,
+    quantize_w4,
+    quantize_stacked,
+    slice_layer,
+    w4a8_matmul_xla,
+)
+
+
+class TestW4A8Matmul:
+    def test_xla_close_to_dequant_reference(self):
+        rng = np.random.default_rng(0)
+        w = rng.normal(size=(256, 128)).astype(np.float32)
+        x = jnp.asarray(rng.normal(size=(4, 256)), jnp.float32)
+        ql = quantize_w4(w, group_size=64, dtype=jnp.float32)
+        ref = np.asarray(x @ dequantize_w4(ql, jnp.float32))
+        out = np.asarray(w4a8_matmul_xla(x, ql))
+        # int8 activation quantization: ~1% relative error budget
+        scale = np.abs(ref).max()
+        assert np.abs(out - ref).max() / scale < 0.02
+
+    def test_zero_rows_are_safe(self):
+        """Padding rows are all-zero; the amax guard must not produce NaN."""
+        rng = np.random.default_rng(1)
+        w = rng.normal(size=(128, 128)).astype(np.float32)
+        ql = quantize_w4(w, group_size=64, dtype=jnp.float32)
+        x = jnp.zeros((4, 128), jnp.float32)
+        out = np.asarray(w4a8_matmul_xla(x, ql))
+        assert np.isfinite(out).all() and np.abs(out).max() == 0.0
+
+    def test_pallas_matches_xla(self):
+        """Interpret-mode Pallas kernel vs the jnp reference: identical int
+        math, near-exact agreement."""
+        from scratchpad_tpu.ops.quant.pallas_w4 import w4a8_matmul_pallas
+
+        rng = np.random.default_rng(2)
+        L, In, Out = 2, 256, 256
+        w = rng.normal(size=(L, In, Out)).astype(np.float32)
+        ql = quantize_stacked(w, group_size=128, dtype=jnp.float32)
+        x = jnp.asarray(rng.normal(size=(8, In)), jnp.float32)
+        for l in range(L):
+            ref = w4a8_matmul_xla(x, slice_layer(ql, l))
+            out = w4a8_matmul_pallas(x, ql, jnp.int32(l), out_block=128)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+            )
+
+    def test_out_true_slicing(self):
+        """Padded Out (out_true) slices back like the w4a16 path."""
+        rng = np.random.default_rng(3)
+        w = rng.normal(size=(1, 128, 200)).astype(np.float32)
+        ql = quantize_stacked(w, group_size=64, dtype=jnp.float32)
+        assert ql.out_true == 200
+        x = jnp.asarray(rng.normal(size=(4, 128)), jnp.float32)
+        out = w4a8_matmul_xla(x, slice_layer(ql, 0))
+        assert out.shape == (4, 200)
+
+
+class TestW4A8Engine:
+    def test_e2e_generation_quality(self):
+        from scratchpad_tpu.config import ServerArgs
+        from scratchpad_tpu.sampling.sampling_params import SamplingParams
+        from scratchpad_tpu.server.engine import Engine
+
+        common = dict(
+            preset="tiny-debug",
+            random_weights=True,
+            dtype="float32",
+            page_size=4,
+            max_total_tokens=2048,
+        )
+        p = np.random.default_rng(3).integers(1, 500, 16).tolist()
+        sp = SamplingParams(temperature=0.0, max_new_tokens=8)
+
+        ref = Engine(ServerArgs(**common)).generate(
+            input_ids=p, sampling_params=sp, return_logprob=True
+        )
+        out = Engine(ServerArgs(quantization="w4a8", **common)).generate(
+            input_ids=p, sampling_params=sp, return_logprob=True
+        )
+        assert len(out.output_ids) == 8
+        a = np.asarray(ref.output_token_logprobs)
+        b = np.asarray(out.output_token_logprobs)
+        assert np.isfinite(b).all()
+        assert np.abs(a.mean() - b.mean()) < 0.7, (a, b)
