@@ -81,7 +81,13 @@ def main() -> None:
         max_prefill_tokens=4096 if on_tpu else prompt_len,
         chunked_prefill_size=2048 if on_tpu else prompt_len,
         decode_window_size=int(os.environ.get("SPTPU_BENCH_WINDOW", "64")),
-        enable_overlap=os.environ.get("SPTPU_BENCH_OVERLAP", "") not in ("", "0"),
+        # unset -> None (auto: the one-window decode pipeline on a single
+        # TPU chip, +1.2% on-chip r3); "0" forces off, anything else on
+        enable_overlap=(
+            None
+            if "SPTPU_BENCH_OVERLAP" not in os.environ
+            else os.environ["SPTPU_BENCH_OVERLAP"] not in ("", "0")
+        ),
         speculative_algorithm=spec,
         speculative_draft_preset=preset if spec == "draft" else None,
         # the warmup serve below compiles every bucket this run will hit;

@@ -136,7 +136,9 @@ def _w4_call(x, q, s, z, layer_idx, *, group_size, out_block):
     )(jnp.atleast_1d(layer_idx).astype(jnp.int32), x, q, s, z)
 
 
-def _w4a8_kernel(layer_ref, x8_ref, ax_ref, q_ref, s_ref, z_ref, o_ref, *, group_size):
+def _w4a8_kernel(
+    layer_ref, x8_ref, ax_ref, gsum_ref, q_ref, s_ref, z_ref, o_ref, *, group_size
+):
     """W4A8: per-token int8 activations on the s8 MXU path.
 
     The 8B r3 profile showed the bf16 group dots + dequant at ~41% of the
@@ -169,10 +171,11 @@ def _w4a8_kernel(layer_ref, x8_ref, ax_ref, q_ref, s_ref, z_ref, o_ref, *, group
         acc = acc + pg.astype(jnp.float32) * s_ref[0][g][None, :].astype(
             jnp.float32
         )
-    # zero correction: per-group int8 input sums @ (-z*s)
-    xg_sum = jnp.sum(
-        x8.astype(jnp.float32).reshape(B, G, group_size), axis=2
-    )
+    # zero correction: per-group int8 input sums @ (-z*s). The sums come in
+    # precomputed ([B, G], XLA-fused): summing in-kernel materialised a
+    # [ROW_BLK, In] f32 intermediate per out-block (VMEM OOM at the
+    # 4096-token prefill bucket) and redid the work for every o block.
+    xg_sum = gsum_ref[...]
     zs = -(z_ref[0].astype(jnp.float32) * s_ref[0].astype(jnp.float32))
     acc = acc + jax.lax.dot(xg_sum, zs, preferred_element_type=jnp.float32)
     o_ref[...] = (acc * ax_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
@@ -189,9 +192,10 @@ def _w4a8_call(x, q, s, z, layer_idx, *, group_size, out_block):
     ROW_BLK = min(B, 512)
 
     # int8 x halves the activation block; i32 widen + two i8 planes keep
-    # the same ~7 B/elem dequant-intermediate footprint as the bf16 kernel
+    # the same ~7 B/elem dequant-intermediate footprint as the bf16 kernel,
+    # plus per-group pg/acc f32 accumulators on the out block
     def vmem_cost(r, o):
-        return 2 * r * In + 7 * (half * o) + 8 * r * o
+        return 2 * r * In + 7 * (half * o) + 12 * r * o
 
     BUDGET = 14 * 2**20
     while vmem_cost(ROW_BLK, OUT_BLK) > BUDGET and OUT_BLK > 128:
@@ -207,6 +211,10 @@ def _w4a8_call(x, q, s, z, layer_idx, *, group_size, out_block):
     x8 = jnp.clip(
         jnp.round(x.astype(jnp.float32) / ax), -127, 127
     ).astype(jnp.int8)
+    # per-group input sums for the zero correction, precomputed once
+    gsum = jnp.sum(
+        x8.reshape(B, G, group_size).astype(jnp.int32), axis=2
+    ).astype(jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -214,6 +222,7 @@ def _w4a8_call(x, q, s, z, layer_idx, *, group_size, out_block):
         in_specs=[
             pl.BlockSpec((ROW_BLK, In), lambda r, o, l: (r, 0)),
             pl.BlockSpec((ROW_BLK, 1), lambda r, o, l: (r, 0)),
+            pl.BlockSpec((ROW_BLK, G), lambda r, o, l: (r, 0)),
             pl.BlockSpec((1, half, OUT_BLK), lambda r, o, l: (l[0], 0, o)),
             pl.BlockSpec((1, G, OUT_BLK), lambda r, o, l: (l[0], 0, o)),
             pl.BlockSpec((1, G, OUT_BLK), lambda r, o, l: (l[0], 0, o)),
@@ -225,7 +234,7 @@ def _w4a8_call(x, q, s, z, layer_idx, *, group_size, out_block):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Out), x.dtype),
         interpret=jax.default_backend() == "cpu",
-    )(jnp.atleast_1d(layer_idx).astype(jnp.int32), x8, ax, q, s, z)
+    )(jnp.atleast_1d(layer_idx).astype(jnp.int32), x8, ax, gsum, q, s, z)
 
 
 def w4a8_matmul_pallas(

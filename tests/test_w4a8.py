@@ -96,3 +96,31 @@ class TestW4A8Engine:
         b = np.asarray(out.output_token_logprobs)
         assert np.isfinite(b).all()
         assert np.abs(a.mean() - b.mean()) < 0.7, (a, b)
+
+    def test_moe_expert_stacks(self):
+        """W4A8 on a MoE model exercises the [L*E]-flattened expert-stack
+        indexing (layer*E + e scalar prefetch) through the a8 kernel."""
+        from scratchpad_tpu.config import ServerArgs
+        from scratchpad_tpu.sampling.sampling_params import SamplingParams
+        from scratchpad_tpu.server.engine import Engine
+
+        common = dict(
+            preset="tiny-gpt-oss",
+            random_weights=True,
+            dtype="float32",
+            page_size=4,
+            max_total_tokens=2048,
+        )
+        p = np.random.default_rng(5).integers(1, 400, 12).tolist()
+        sp = SamplingParams(temperature=0.0, max_new_tokens=6)
+        ref = Engine(ServerArgs(**common)).generate(
+            input_ids=p, sampling_params=sp, return_logprob=True
+        )
+        out = Engine(ServerArgs(quantization="w4a8", **common)).generate(
+            input_ids=p, sampling_params=sp, return_logprob=True
+        )
+        assert len(out.output_ids) == 6
+        b = np.asarray(out.output_token_logprobs)
+        assert np.isfinite(b).all()
+        a = np.asarray(ref.output_token_logprobs)
+        assert np.abs(a.mean() - b.mean()) < 1.0, (a, b)
