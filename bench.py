@@ -1,13 +1,21 @@
 """Serving benchmark: decode throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line PER CONFIG (the driver parses the LAST line as the
+headline): {"metric", "value", "unit", "vs_baseline", ...}.
 ``vs_baseline`` is the fraction of the HBM-bandwidth speed-of-light for the
 decode step (params + live KV read once per step) — the roofline the
 reference's simulator uses for GPUs
 (reference: tools/simulator/internal/configs/hardware_params.py).
 
-Run on the real chip (default backend); falls back to CPU with a tiny model
-when no accelerator is available.
+Device-epoch variance dominates cross-session A/Bs (PERF_r03.md): identical
+code measured 9.06-9.74k tok/s hours apart while in-session repeats agree to
+0.1%. So each config is measured ``SPTPU_BENCH_REPEATS`` times in-session and
+reported as the median, with min/max recorded for spread.
+
+Default (no env): a suite of bf16 -> w4a8 -> w4a8+int8KV on one engine
+build each, so the driver record reflects the quantized serving configs,
+not just the slowest bf16 one. Any variant env below switches to a single
+explicit config.
 
 Variants (env):
   SPTPU_BENCH_PRESET  model preset (default llama-3.2-1b; north-star =
@@ -15,55 +23,31 @@ Variants (env):
   SPTPU_BENCH_QUANT   w4a16 | w4a8 | fp8 (weight quantization)
   SPTPU_BENCH_KV      int8 | fp8 (KV-cache quantization)
   SPTPU_BENCH_BS      batch size (default 64 for 1B, 32 for 8B)
+  SPTPU_BENCH_REPEATS in-session measurement repeats (default 3)
+  SPTPU_BENCH_SUITE   comma list for the default suite, entries
+                      "<quant?>+<kv?>" e.g. "bf16,w4a8,w4a8+int8"
   SPTPU_BENCH_SAMPLED temperature=0.8/top_p=0.9/top_k=64 instead of greedy
   SPTPU_BENCH_SPEC    ngram | draft | eagle: speculative decoding over a
                       repetitive prompt set (drafts actually hit)
+  SPTPU_BENCH_PIPELINE decode pipeline depth (default auto=2 on TPU)
 """
 
 from __future__ import annotations
 
+import gc
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 
-def main() -> None:
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-
-    import os
-
-    on_tpu = jax.default_backend() not in ("cpu",)
-    quant = os.environ.get("SPTPU_BENCH_QUANT")  # e.g. "w4a16"
-    attn = os.environ.get("SPTPU_ATTN", "auto")
-    page_size = int(os.environ.get("SPTPU_PS", "16"))
-    kv_dtype = os.environ.get("SPTPU_BENCH_KV", "auto")  # e.g. "int8"
-    sampled = os.environ.get("SPTPU_BENCH_SAMPLED", "") not in ("", "0")
-    spec = os.environ.get("SPTPU_BENCH_SPEC") or None  # ngram|draft|eagle
-    if on_tpu:
-        preset = os.environ.get("SPTPU_BENCH_PRESET", "llama-3.2-1b")
-        dtype = "bfloat16"
-        default_bs = 32 if "8b" in preset or "70b" in preset else 64
-        batch_size = int(os.environ.get("SPTPU_BENCH_BS", str(default_bs)))
-        prompt_len, decode_len = 128, 128
-        hbm_gbps = 819.0  # v5e
-        default_tokens = 65536 if default_bs == 64 else 32768
-        max_total_tokens = int(
-            os.environ.get("SPTPU_BENCH_TOKENS", str(default_tokens))
-        )
-    else:
-        preset, dtype = "tiny-debug", "float32"
-        batch_size, prompt_len, decode_len = 8, 32, 16
-        hbm_gbps = 50.0
-        max_total_tokens = 8192
-
+def build_sched(preset, dtype, quant, kv_dtype, batch_size, max_total_tokens,
+                prompt_len, on_tpu, spec, n_toppings, rng):
     from scratchpad_tpu.config import ServerArgs
     from scratchpad_tpu.config.model_config import get_preset
-    from scratchpad_tpu.core.req import Req
     from scratchpad_tpu.core.scheduler import Scheduler
-    from scratchpad_tpu.sampling.sampling_params import SamplingParams
 
     cfg = get_preset(preset, dtype=dtype)
     args = ServerArgs(
@@ -73,20 +57,25 @@ def main() -> None:
         quantization=quant,
         kv_cache_dtype=kv_dtype,
         kv_layout=os.environ.get("SPTPU_BENCH_KV_LAYOUT", "auto"),
-        attention_backend=attn,
-        page_size=page_size,
+        attention_backend=os.environ.get("SPTPU_ATTN", "auto"),
+        page_size=int(os.environ.get("SPTPU_PS", "16")),
         max_total_tokens=max_total_tokens,
         max_running_requests=batch_size,
         # the ragged kernel serves batched chunked prefill directly
         max_prefill_tokens=4096 if on_tpu else prompt_len,
         chunked_prefill_size=2048 if on_tpu else prompt_len,
         decode_window_size=int(os.environ.get("SPTPU_BENCH_WINDOW", "64")),
-        # unset -> None (auto: the one-window decode pipeline on a single
-        # TPU chip, +1.2% on-chip r3); "0" forces off, anything else on
+        # unset -> None (auto: the decode-window pipeline on a single
+        # TPU chip); "0" forces off, anything else on
         enable_overlap=(
             None
             if "SPTPU_BENCH_OVERLAP" not in os.environ
             else os.environ["SPTPU_BENCH_OVERLAP"] not in ("", "0")
+        ),
+        decode_pipeline_depth=(
+            int(os.environ["SPTPU_BENCH_PIPELINE"])
+            if "SPTPU_BENCH_PIPELINE" in os.environ
+            else None
         ),
         speculative_algorithm=spec,
         speculative_draft_preset=preset if spec == "draft" else None,
@@ -97,11 +86,9 @@ def main() -> None:
         quantize_lm_head=os.environ.get("SPTPU_BENCH_QLM", "") not in ("", "0"),
     )
     sched = Scheduler(cfg, args)
-    rng = np.random.default_rng(0)
 
     # multi-adapter serving overhead: register N random rank-16 LoRA
-    # adapters and spread requests round-robin (VERDICT item 5 bench)
-    n_toppings = int(os.environ.get("SPTPU_BENCH_TOPPINGS", "0"))
+    # adapters and spread requests round-robin
     if n_toppings:
         from scratchpad_tpu.toppings import ToppingsManager
 
@@ -128,25 +115,41 @@ def main() -> None:
                     )
             tm.register_state(f"adapter{a}", state, scaling=1.0)
         sched.runner.attach_toppings(tm)
+    return sched, cfg
+
+
+def run_config(jax, *, preset, dtype, quant, kv_dtype, batch_size, prompt_len,
+               decode_len, max_total_tokens, hbm_gbps, on_tpu, repeats,
+               sampled, spec, n_toppings):
+    from scratchpad_tpu.core.req import Req
+    from scratchpad_tpu.sampling.sampling_params import SamplingParams
+
+    rng = np.random.default_rng(0)
+    sched, cfg = build_sched(
+        preset, dtype, quant, kv_dtype, batch_size, max_total_tokens,
+        prompt_len, on_tpu, spec, n_toppings, rng,
+    )
 
     if sampled:
         sp_kw = dict(temperature=0.8, top_p=0.9, top_k=64)
     else:
         sp_kw = dict(temperature=0.0)
 
+    hi = min(32000, cfg.vocab_size)  # stay in-vocab for tiny presets
+
     def bench_prompt():
         if spec:
             # periodic prompts: greedy decode of a random model on a cycle
             # almost always cycles too, so ngram/draft proposals hit
-            base = rng.integers(1, 32000, 8).tolist()
+            base = rng.integers(1, hi, 8).tolist()
             return (base * (prompt_len // 8 + 1))[:prompt_len]
-        return rng.integers(1, 32000, prompt_len).tolist()
+        return rng.integers(1, hi, prompt_len).tolist()
 
-    def submit():
+    def submit(tag):
         for i in range(batch_size):
             sched.add_request(
                 Req(
-                    rid=f"r{i}",
+                    rid=f"{tag}-r{i}",
                     origin_input_ids=bench_prompt(),
                     sampling_params=SamplingParams(
                         max_new_tokens=decode_len, ignore_eos=True, **sp_kw
@@ -156,44 +159,42 @@ def main() -> None:
             )
 
     # warmup: compiles prefill + decode buckets
-    submit()
+    submit("warm")
     while sched.has_work():
         sched.step()
 
-    # measured run
-    submit()
-    # drive all prefills first
-    while sched.num_queued() > 0 or sched.chunked_req is not None:
-        sched.step()
     prof_dir = os.environ.get("SPTPU_BENCH_PROFILE")
-    if prof_dir:
-        jax.profiler.start_trace(prof_dir)
-    decode_tokens = 0
-    t0 = time.perf_counter()
-    while sched.has_work():
-        events = sched.step()
-        decode_tokens += sum(len(ev.new_tokens) for ev in events)
-    dt = time.perf_counter() - t0
-    if prof_dir:
-        jax.profiler.stop_trace()
+    samples = []
+    for rep in range(repeats):
+        submit(f"m{rep}")
+        # drive all prefills first
+        while sched.num_queued() > 0 or sched.chunked_req is not None:
+            sched.step()
+        if prof_dir and rep == repeats - 1:
+            jax.profiler.start_trace(prof_dir)
+        decode_tokens = 0
+        t0 = time.perf_counter()
+        while sched.has_work():
+            events = sched.step()
+            decode_tokens += sum(len(ev.new_tokens) for ev in events)
+        dt = time.perf_counter() - t0
+        if prof_dir and rep == repeats - 1:
+            jax.profiler.stop_trace()
+        samples.append(decode_tokens / dt)
 
-    tok_s = decode_tokens / dt
+    tok_s = float(np.median(samples))
 
     # speed-of-light decode step: read all params + each request's live KV
     param_bytes = sched.runner.param_bytes
     avg_ctx = prompt_len + decode_len / 2
-    kv_bytes = (
-        batch_size
-        * avg_ctx
-        * sched.runner.kv_bytes_per_token()
-    )
+    kv_bytes = batch_size * avg_ctx * sched.runner.kv_bytes_per_token()
     sol_step = (param_bytes + kv_bytes) / (hbm_gbps * 1e9)
     sol_tok_s = batch_size / sol_step
 
     tag = f"decode_tok_s_{preset}_bs{batch_size}"
     if quant:
         tag += f"_{quant}"
-    if kv_dtype not in ("auto",):
+    if kv_dtype not in ("auto", None):
         tag += f"_kv{kv_dtype}"
     if sampled:
         tag += "_sampled"
@@ -201,24 +202,95 @@ def main() -> None:
         tag += f"_lora{n_toppings}"
     if spec:
         tag += f"_spec-{spec}"
-        import sys
-
         acc = sched.num_spec_accepted / max(sched.num_spec_steps, 1)
-        print(  # diagnostics on stderr: stdout stays ONE JSON line
+        print(  # diagnostics on stderr: stdout stays JSON-lines only
             f"spec_steps={sched.num_spec_steps} "
             f"accepted_per_step={acc:.3f}",
             file=sys.stderr,
         )
-    print(
-        json.dumps(
-            {
-                "metric": tag,
-                "value": round(tok_s, 1),
-                "unit": "tok/s",
-                "vs_baseline": round(tok_s / sol_tok_s, 4),
-            }
+    result = {
+        "metric": tag,
+        "value": round(tok_s, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / sol_tok_s, 4),
+        "repeats": repeats,
+        "min": round(min(samples), 1),
+        "max": round(max(samples), 1),
+    }
+    # release device memory before the next engine build
+    del sched
+    gc.collect()
+    return result
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    quant = os.environ.get("SPTPU_BENCH_QUANT")  # e.g. "w4a16"
+    kv_dtype = os.environ.get("SPTPU_BENCH_KV", "auto")  # e.g. "int8"
+    sampled = os.environ.get("SPTPU_BENCH_SAMPLED", "") not in ("", "0")
+    spec = os.environ.get("SPTPU_BENCH_SPEC") or None  # ngram|draft|eagle
+    n_toppings = int(os.environ.get("SPTPU_BENCH_TOPPINGS", "0"))
+    repeats = int(os.environ.get("SPTPU_BENCH_REPEATS", "3"))
+    if on_tpu:
+        preset = os.environ.get("SPTPU_BENCH_PRESET", "llama-3.2-1b")
+        dtype = "bfloat16"
+        default_bs = 32 if "8b" in preset or "70b" in preset else 64
+        batch_size = int(os.environ.get("SPTPU_BENCH_BS", str(default_bs)))
+        prompt_len, decode_len = 128, 128
+        hbm_gbps = 819.0  # v5e
+        # 3B bf16 params (~6.4 GiB) need KV headroom on a 16 GiB chip
+        default_tokens = (
+            65536 if (default_bs == 64 and "3b" not in preset) else 32768
         )
+        max_total_tokens = int(
+            os.environ.get("SPTPU_BENCH_TOKENS", str(default_tokens))
+        )
+    else:
+        preset, dtype = "tiny-debug", "float32"
+        batch_size, prompt_len, decode_len = 8, 32, 16
+        hbm_gbps = 50.0
+        max_total_tokens = 8192
+        repeats = int(os.environ.get("SPTPU_BENCH_REPEATS", "1"))
+
+    common = dict(
+        preset=preset, dtype=dtype, batch_size=batch_size,
+        prompt_len=prompt_len, decode_len=decode_len,
+        max_total_tokens=max_total_tokens, hbm_gbps=hbm_gbps,
+        on_tpu=on_tpu, repeats=repeats, sampled=sampled, spec=spec,
+        n_toppings=n_toppings,
     )
+
+    explicit = (
+        quant is not None
+        or kv_dtype != "auto"
+        or sampled
+        or spec
+        or n_toppings
+        or "SPTPU_BENCH_PRESET" in os.environ
+        or not on_tpu
+    )
+    if explicit:
+        # single explicit config (variant envs / CPU fallback)
+        res = run_config(jax, quant=quant, kv_dtype=kv_dtype, **common)
+        print(json.dumps(res))
+        return
+
+    # default suite: bf16 then the quantized serving configs; the LAST
+    # line is the headline the driver records (w4a8+int8KV = the fastest
+    # production config, VERDICT r3 item 3)
+    suite = os.environ.get("SPTPU_BENCH_SUITE", "bf16,w4a8,w4a8+int8")
+    for entry in suite.split(","):
+        entry = entry.strip()
+        q, _, kv = entry.partition("+")
+        q = None if q in ("", "bf16", "none") else q
+        res = run_config(
+            jax, quant=q, kv_dtype=(kv or "auto"), **common
+        )
+        print(json.dumps(res), flush=True)
 
 
 if __name__ == "__main__":

@@ -174,6 +174,19 @@ PRESETS: dict[str, dict[str, Any]] = {
                       "low_freq_factor": 1.0, "high_freq_factor": 4.0,
                       "original_max_position_embeddings": 8192},
     ),
+    # 3B is the north-star A/B size: bf16 (~6.4 GiB) AND W4 both fit one
+    # v5e chip, so the quantized-vs-bf16 decode ratio is measurable
+    # same-session (BASELINE.json north_star; 8B bf16 OOMs single-chip)
+    "llama-3.2-3b": dict(
+        architecture="LlamaForCausalLM",
+        vocab_size=128256, hidden_size=3072, intermediate_size=8192,
+        num_hidden_layers=28, num_attention_heads=24, num_key_value_heads=8,
+        head_dim=128, max_position_embeddings=131072, rms_norm_eps=1e-5,
+        rope_theta=500000.0, tie_word_embeddings=True,
+        rope_scaling={"rope_type": "llama3", "factor": 32.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 8192},
+    ),
     "llama-3.1-8b": dict(
         architecture="LlamaForCausalLM",
         vocab_size=128256, hidden_size=4096, intermediate_size=14336,

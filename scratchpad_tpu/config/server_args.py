@@ -100,11 +100,15 @@ class ServerArgs:
     # sampling / constrained decoding
     grammar_backend: str = "native"  # native regex/json FSM engine
     disable_penalizer: bool = False
-    # one-window-deep decode pipelining (device-chained token carry).
+    # decode-window pipelining (device-chained token carry).
     # None = auto: ON for single-chip TPU decode (r3 on-chip A/B: 9,510
     # vs 9,398 tok/s; it also hides host detokenize/stream work on local
     # hosts), off on CPU/meshes. Set explicitly to force either way.
     enable_overlap: Optional[bool] = None
+    # max in-flight decode windows when overlapping. None = auto (2): one
+    # window executes while another stays queued, hiding the host's
+    # dispatch + fetch relay round trips between windows.
+    decode_pipeline_depth: Optional[int] = None
     # speculative decoding: None | "ngram" (prompt-lookup drafts) | "draft"
     # (a small draft model proposes, fused k-step window; its KV pool shares
     # the target's page geometry so the radix cache covers both). Drafts are

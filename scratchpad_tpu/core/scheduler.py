@@ -152,9 +152,11 @@ class Scheduler:
             self.init_new_token_ratio - self.min_new_token_ratio
         ) / 600.0
 
-        # one-window-deep decode pipeline (overlap scheduling analogue,
-        # reference: managers/tp_worker_client.py): {"batch", "pending", "K"}
-        self._inflight = None
+        # decode-window pipeline (overlap scheduling analogue, reference:
+        # managers/tp_worker_client.py): list of in-flight windows, oldest
+        # first, each {"batch", "pending", "K"}. Depth >1 keeps the device
+        # busy across the host's dispatch/fetch relay round trips.
+        self._inflight: list = []
 
         # stats
         self.num_generated_tokens = 0
@@ -197,7 +199,7 @@ class Scheduler:
     def drain(self) -> list[StepEvent]:
         """Complete any in-flight decode window and release finished reqs."""
         events: list[StepEvent] = []
-        while self._inflight is not None:
+        while self._inflight:
             events.extend(self._step_pipelined())
         self._sweep_external_finishes()
         return events
@@ -207,7 +209,7 @@ class Scheduler:
             self.waiting
             or self.running
             or self.chunked_req
-            or self._inflight is not None
+            or bool(self._inflight)
         )
 
     def num_queued(self) -> int:
@@ -221,7 +223,7 @@ class Scheduler:
     def step(self) -> list[StepEvent]:
         """One scheduling iteration: build a batch, run it, process results."""
         self.step_count += 1
-        if self._inflight is not None:
+        if self._inflight:
             return self._step_pipelined()
         self._sweep_external_finishes()
 
@@ -278,7 +280,7 @@ class Scheduler:
             )
         if overlap and self._pipeline_ok(batch, wb):
             pending = self.runner.dispatch_decode_window(wb, K)
-            self._inflight = {"batch": list(batch), "pending": pending, "K": K}
+            self._inflight = [{"batch": list(batch), "pending": pending, "K": K}]
             return []  # results surface next step, overlapped with host work
         token_ids, logprobs, tops = self.runner.run_decode_window(wb, K)
         events = self._process_decode_result(batch, token_ids, logprobs, tops)
@@ -688,12 +690,20 @@ class Scheduler:
                 self.req_slots.write_pages(r.req_slot, 0, r.pages)
         return True
 
+    def _pipeline_depth(self) -> int:
+        """Max in-flight decode windows. Depth 2 keeps a queued window on
+        the device while the host fetches/processes the previous one, hiding
+        the per-window dispatch+fetch relay latency (reference analogue: the
+        one-batch-deep overlap loop, scheduler.py:409)."""
+        d = self.args.decode_pipeline_depth
+        return max(d if d is not None else 2, 1)
+
     def _step_pipelined(self) -> list[StepEvent]:
-        """Fetch the in-flight window; when possible, dispatch the next one
-        FIRST (chained via the device-resident last samples) so the device
-        never idles while the host detokenizes/streams."""
+        """Top the pipeline up to depth (chained via the device-resident
+        last samples) BEFORE fetching the oldest window, so the device never
+        idles while the host detokenizes/streams or pays relay round trips."""
         infl = self._inflight
-        batch, K = infl["batch"], infl["K"]
+        batch = infl[0]["batch"]
         chain = (
             not self.waiting
             and self.chunked_req is None
@@ -702,23 +712,24 @@ class Scheduler:
             and all(not r.finished() for r in batch)
             and self._pipeline_ok(batch)
         )
-        next_pending = None
-        K2 = 0
         if chain:
-            K2 = self._pick_decode_window()
-            if self._try_alloc_decode_pages(K + K2):
-                wb2 = self._build_decode_wb_ahead(batch, K)
-                next_pending = self.runner.dispatch_decode_window(
-                    wb2, K2, prev_tokens=infl["pending"][1]
+            depth = self._pipeline_depth()
+            total_K = sum(w["K"] for w in infl)
+            while len(infl) < depth:
+                K2 = self._pick_decode_window(ahead=total_K)
+                if K2 <= 0 or not self._try_alloc_decode_pages(total_K + K2):
+                    break
+                wb2 = self._build_decode_wb_ahead(batch, total_K)
+                pending = self.runner.dispatch_decode_window(
+                    wb2, K2, prev_tokens=infl[-1]["pending"][1]
                 )
-        token_ids, logprobs, _ = self.runner.fetch_decode_window(infl["pending"])
+                infl.append({"batch": batch, "pending": pending, "K": K2})
+                total_K += K2
+        head = infl.pop(0)
+        token_ids, logprobs, _ = self.runner.fetch_decode_window(head["pending"])
         events = self._process_decode_result(
-            batch, token_ids, logprobs, defer_finish=next_pending is not None
+            head["batch"], token_ids, logprobs, defer_finish=bool(infl)
         )
-        if next_pending is not None:
-            self._inflight = {"batch": batch, "pending": next_pending, "K": K2}
-        else:
-            self._inflight = None
         return events
 
     def _build_decode_wb_ahead(self, batch: list[Req], offset: int) -> WorkerBatch:
@@ -782,10 +793,11 @@ class Scheduler:
                 return self.running, ForwardMode.DECODE, None
         return None, None, None
 
-    def _pick_decode_window(self) -> int:
+    def _pick_decode_window(self, ahead: int = 0) -> int:
         """Decode steps fused per dispatch. Long windows amortise host-device
         round trips (the CUDA-graph/overlap analogue); short windows keep
-        admission latency low when work is waiting."""
+        admission latency low when work is waiting. Returns 0 when ``ahead``
+        in-flight tokens already exhaust every request's budget."""
         w = self.args.decode_window_size
         if getattr(self.runner, "param_offload", False):
             return 1  # host-resident layers stream once per dispatch
@@ -807,7 +819,8 @@ class Scheduler:
         # scratchpad/server/args.py stream_interval)
         if any(r.stream for r in self.running):
             w = min(w, max(self.args.stream_interval, 8))
-        # never decode past every request's remaining budget
+        # never decode past every request's remaining budget (``ahead``
+        # tokens are already in flight when topping up a deep pipeline)
         rem = max(
             (
                 r.sampling_params.max_new_tokens - len(r.output_ids)
@@ -815,6 +828,9 @@ class Scheduler:
             ),
             default=w,
         )
+        rem -= ahead
+        if ahead > 0 and rem <= 0:
+            return 0
         w = min(w, max(rem, 1))
         # round down to a power of two for compile-cache reuse
         k = 1

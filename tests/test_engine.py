@@ -232,6 +232,51 @@ class TestOverlapPipeline:
         assert out.output_ids == base.output_ids[:6]
         ov.scheduler.check_memory_leak()
 
+    @pytest.mark.parametrize("depth", [1, 3])
+    def test_pipeline_depth_matches_plain(self, depth):
+        """Deep pipelines (several windows in flight) are bit-identical to
+        the unpipelined schedule, including EOS + budget exhaustion while
+        later windows are already dispatched."""
+        prompts = [prompt(n, seed=320 + n) for n in (12, 30, 8)]
+        sp = SamplingParams(temperature=0.0, max_new_tokens=13, ignore_eos=True)
+        plain = make_engine(decode_window_size=4)
+        ref = [
+            o.output_ids
+            for o in plain.generate(input_ids=prompts, sampling_params=[sp] * 3)
+        ]
+        deep = make_engine(
+            enable_overlap=True,
+            decode_window_size=4,
+            decode_pipeline_depth=depth,
+        )
+        got = [
+            o.output_ids
+            for o in deep.generate(input_ids=prompts, sampling_params=[sp] * 3)
+        ]
+        assert got == ref
+        deep.scheduler.check_memory_leak()
+
+    def test_pipeline_depth_eos_midwindow(self):
+        deep = make_engine(
+            enable_overlap=True, decode_window_size=4, decode_pipeline_depth=3
+        )
+        p = prompt(10, seed=330)
+        base = deep.generate(
+            input_ids=p,
+            sampling_params=SamplingParams(temperature=0.0, max_new_tokens=20),
+        )
+        stop_tok = base.output_ids[5]
+        out = deep.generate(
+            input_ids=p,
+            sampling_params=SamplingParams(
+                temperature=0.0, max_new_tokens=20, stop_token_ids=[stop_tok]
+            ),
+        )
+        assert out.output_ids[-1] == stop_tok
+        first = base.output_ids.index(stop_tok)
+        assert out.output_ids == base.output_ids[: first + 1]
+        deep.scheduler.check_memory_leak()
+
 
 class TestAdaptiveDecodeWindow:
     """_pick_decode_window: stream cap, remaining-budget cap, admission."""
