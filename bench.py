@@ -165,11 +165,18 @@ def run_config(jax, *, preset, dtype, quant, kv_dtype, batch_size, prompt_len,
 
     prof_dir = os.environ.get("SPTPU_BENCH_PROFILE")
     samples = []
+    prefill_samples = []
     for rep in range(repeats):
         submit(f"m{rep}")
-        # drive all prefills first
+        # drive all prefills first, timed separately (first recorded
+        # extend-path numbers — VERDICT r3 item 5; the reference measures
+        # TTFT with tools/benchmark/bench_perf.py:21-120)
+        tp0 = time.perf_counter()
         while sched.num_queued() > 0 or sched.chunked_req is not None:
             sched.step()
+        prefill_samples.append(
+            batch_size * prompt_len / (time.perf_counter() - tp0)
+        )
         if prof_dir and rep == repeats - 1:
             jax.profiler.start_trace(prof_dir)
         decode_tokens = 0
@@ -183,6 +190,16 @@ def run_config(jax, *, preset, dtype, quant, kv_dtype, batch_size, prompt_len,
         samples.append(decode_tokens / dt)
 
     tok_s = float(np.median(samples))
+    prefill_tok_s = float(np.median(prefill_samples))
+    # prefill is MXU-bound: model FLOPs/token ~= 2 * matmul params; the
+    # bf16 MXU peak on v5e is ~197 TFLOP/s (jax-ml.github.io/scaling-book)
+    H, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    Dq = cfg.num_attention_heads * cfg.head_dim
+    Dkv = cfg.num_kv_heads * cfg.head_dim
+    matmul_params = L * (H * Dq + 2 * H * Dkv + Dq * H + 3 * H * I)
+    matmul_params += cfg.vocab_size * H  # lm head read every chunk
+    peak_flops = 197e12 if on_tpu else 1e12
+    prefill_mfu = prefill_tok_s * 2 * matmul_params / peak_flops
 
     # speed-of-light decode step: read all params + each request's live KV
     param_bytes = sched.runner.param_bytes
@@ -216,6 +233,8 @@ def run_config(jax, *, preset, dtype, quant, kv_dtype, batch_size, prompt_len,
         "repeats": repeats,
         "min": round(min(samples), 1),
         "max": round(max(samples), 1),
+        "prefill_tok_s": round(prefill_tok_s, 1),
+        "prefill_mfu": round(prefill_mfu, 4),
     }
     # release device memory before the next engine build
     del sched

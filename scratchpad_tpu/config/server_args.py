@@ -51,7 +51,9 @@ class ServerArgs:
     # gqa backend (halves KV HBM + decode read; memory/kv_cache.py);
     # "padded" keeps the lane-padded [2Hkv, 128] layout; "packed" forces
     # packing (errors if unsupported)
-    kv_layout: str = "auto"  # auto | padded | packed
+    # auto | padded | packed | lanes (lane-folded heads: quantized TP pools
+    # at any tp | 2*Hkv — auto-selected when the sublane layout can't slice)
+    kv_layout: str = "auto"
     mem_fraction_static: float = 0.85
     disable_radix_cache: bool = False
     # CPU parameter offload: decoder layer groups live in host memory and

@@ -112,26 +112,20 @@ class ModelRunner:
 
         model_cls = get_model_class(cfg.architecture)
         self.model = model_cls(cfg)
-        if self.args.quantization == "w4a8":
+        if (
+            self.args.quantization == "w4a8"
+            # a model that set quant_matmul=None declared quantization
+            # unsupported (e.g. models/gemma.py) — keep the sentinel
+            and getattr(self.model, "quant_matmul", None) is not None
+        ):
             # same QuantizedLinear storage as w4a16 (checkpoint-compatible
             # with awq/gptq imports) — only the matmul path swaps: per-token
             # int8 activations on the s8 MXU (ops/quant/pallas_w4.py
-            # _w4a8_kernel; ~1.3x the bf16 group dots at 8B shapes)
-            if jax.default_backend() == "cpu":
-                from scratchpad_tpu.ops.quant import (
-                    slice_layer,
-                    w4a8_matmul_xla,
-                )
+            # _w4a8_kernel; ~1.3x the bf16 group dots at 8B shapes).
+            # SPTPU_W4_IMPL=xla routes to the XLA path like w4a16 does.
+            from scratchpad_tpu.models.common import make_w4a8_quant_matmul
 
-                self.model.quant_matmul = lambda x, ql, l: w4a8_matmul_xla(
-                    x, slice_layer(ql, l)
-                )
-            else:
-                from scratchpad_tpu.ops.quant.pallas_w4 import (
-                    w4a8_matmul_pallas,
-                )
-
-                self.model.quant_matmul = w4a8_matmul_pallas
+            self.model.quant_matmul = make_w4a8_quant_matmul()
         self.model.page_size = self.page_size
         self.model.mesh = mesh
         self.model.use_ep = bool(self.args.enable_ep and mesh is not None)
@@ -213,6 +207,7 @@ class ModelRunner:
             # open their own shard_map and cannot nest — keep the
             # auto-partitioned XLA path
             backend = "xla"
+        self.kv_lane_heads = False
         if mesh is not None and backend in ("ragged", "pallas", "gqa"):
             # pallas_call doesn't auto-partition under pjit; the ragged
             # backend has a shard_map head-parallel wrapper for pure-TP
@@ -227,26 +222,29 @@ class ModelRunner:
             )
             if backend == "ragged" and pure_tp and ragged_ok:
                 backend = "ragged_tp"
-            elif (
-                backend == "gqa"
-                and pure_tp
-                and ragged_ok  # the tp extend wrapper is the ragged kernel
-                and (
-                    self.args.kv_cache_dtype not in ("int8", "fp8")
-                    # 8-bit pools sublane-pack 4 head slots per tile: the
-                    # per-shard page DMA needs (2*Hkv)/tp % 4 == 0 (AOT-
-                    # verified: tp=4/Hkv=8 compiles, tp=8 does not slice —
-                    # tools/aot_tp_quant_check.py). CPU interpret mode has
-                    # no tiling constraint.
-                    or (2 * cfg.num_kv_heads // tp) % 4 == 0
-                    or jax.default_backend() == "cpu"
-                )
-            ):
+            elif backend == "gqa" and pure_tp and ragged_ok:
                 # int8/fp8 KV rides gqa_tp too: the scale pool shards into
                 # per-tp 128-lane blocks (memory/kv_cache.py) so decode
                 # streams local scale pages and extend dequantizes local
-                # pages into a per-shard scratch pool
+                # pages into a per-shard scratch pool.
+                # 8-bit pools sublane-pack 4 head slots per tile: the
+                # per-shard page DMA needs (2*Hkv)/tp % 4 == 0 (AOT-
+                # verified: tp=4/Hkv=8 compiles, tp=8 does not slice —
+                # tools/aot_tp_quant_check.py). Shards that fail the
+                # sublane gate switch to the LANE-FOLDED pool layout
+                # ([Pg, ps, 2Hkv*Dp], memory/kv_cache.py lane_heads),
+                # which slices head slots as 128-lane blocks at any
+                # tp | 2*Hkv — this is what makes tp=8 + int8 KV + Hkv=8
+                # (BASELINE config 3 on one v5e-8 host) expressible.
                 backend = "gqa_tp"
+                if (
+                    self.args.kv_cache_dtype in ("int8", "fp8")
+                    and (2 * cfg.num_kv_heads // tp) % 4 != 0
+                    # CPU interpret mode has no tiling constraint: keep the
+                    # sublane layout there so tests cover both layouts
+                    and jax.default_backend() != "cpu"
+                ):
+                    self.kv_lane_heads = True
             else:
                 logger.warning("mesh run: falling back to XLA attention backend")
                 backend = "xla"
@@ -286,6 +284,13 @@ class ModelRunner:
                     "head_dim <= 64, no cross-attention, and (for int8/fp8 "
                     "KV) num_kv_heads % 4 == 0"
                 )
+        if self.args.kv_layout == "lanes":
+            if backend not in ("gqa", "gqa_tp") or cfg.is_mla:
+                raise ValueError(
+                    "kv_layout=lanes needs the gqa/gqa_tp backend (plain MHA)"
+                )
+            self.kv_lane_heads = True
+            self.kv_packed = False
 
         if backend == "ragged":
             from scratchpad_tpu.ops.attention.ragged_backend import (
@@ -618,6 +623,7 @@ class ModelRunner:
             ),
             mla=cfg.is_mla,
             packed=self.kv_packed,
+            lane_heads=self.kv_lane_heads,
             **cross_kw,
         )
         self.kv_cache = create_kv_cache(

@@ -56,6 +56,15 @@ class KVCacheConfig:
     # array would silently occupy the padded footprint anyway; packing two
     # 64-lane vectors per physical row is the only way to use those lanes.
     packed: bool = False
+    # lane-folded head layout for QUANTIZED TP pools: [pages, ps, 2Hkv*Dp]
+    # with each (K or V, head) slot one Dp(=128)-lane block, row lane order
+    # [k0 | v0 | k1 | v1 | ...]. Sharding the LANE axis over "tp" hands
+    # every shard [pages, ps, (2Hkv/tp)*128] — tile-aligned for 8-bit
+    # dtypes at ANY tp (the sublane-major [.., 2Hkv/tp, 128] layout needs
+    # (2Hkv)/tp % 4 == 0, i.e. tp <= 4 for Hkv=8; the lane layout carries
+    # the same bytes in the order the gqa kernel's flattened [CHUNK, LANES]
+    # block consumes, so page DMAs stay whole-leading-dim slices).
+    lane_heads: bool = False
     # MLA latent cache (reference: MLATokenToKVPool, memory/pool.py:427-474):
     # ONE vector per token per layer holding [c_kv(kv_lora_rank), k_rope],
     # i.e. head axis is 1 and head_dim is the latent width.
@@ -114,13 +123,24 @@ class KVCache:
     # number of 128-lane blocks the scale pool's lane axis is split into
     # (= the tp size the kv head axis shards over; 1 = unsharded)
     scale_shards: int = 1
+    # lane-folded layout (see KVCacheConfig.lane_heads): kv is 3-D
+    # [pages, ps, head_slots * head_dim]; 0 = the 4-D layouts above
+    lane_head_slots: int = 0
+
+    @property
+    def lane_heads(self) -> bool:
+        return self.lane_head_slots > 0
 
     @property
     def head_dim(self) -> int:
+        if self.lane_heads:
+            return self.kv.shape[-1] // self.lane_head_slots
         return self.kv.shape[-1]
 
     @property
     def num_kv_heads(self) -> int:
+        if self.lane_heads:
+            return self.lane_head_slots // 2
         return self.kv.shape[-2] if self.packed else self.kv.shape[-2] // 2
 
     @property
@@ -135,7 +155,7 @@ class KVCache:
 jax.tree_util.register_dataclass(
     KVCache,
     data_fields=["kv", "scale", "cross"],
-    meta_fields=["num_layers", "packed", "scale_shards"],
+    meta_fields=["num_layers", "packed", "scale_shards", "lane_head_slots"],
 )
 
 
@@ -152,12 +172,21 @@ def create_kv_cache(
         head_slots = cfg.num_kv_heads
     else:
         head_slots = 1 if cfg.mla else 2 * cfg.num_kv_heads
-    shape = (
-        cfg.total_pages,
-        cfg.page_size,
-        head_slots,
-        cfg.head_dim,
-    )
+    if cfg.lane_heads:
+        assert not (cfg.packed or cfg.mla), "lane_heads is plain MHA only"
+        assert cfg.head_dim % 128 == 0, "lane blocks must be lane-tiled"
+        shape = (
+            cfg.total_pages,
+            cfg.page_size,
+            head_slots * cfg.head_dim,
+        )
+    else:
+        shape = (
+            cfg.total_pages,
+            cfg.page_size,
+            head_slots,
+            cfg.head_dim,
+        )
     store_dtype = cfg.quant_dtype if cfg.quantized else cfg.dtype
 
     scale_shards = 1
@@ -173,7 +202,13 @@ def create_kv_cache(
         # pipeline parallelism: the layer-major global page axis shards
         # exactly into per-stage layer blocks (parallel/pp.py)
         page_spec = "pp" if "pp" in mesh.axis_names else None
-        kv_sharding = NamedSharding(mesh, P(page_spec, None, head_spec, None))
+        if cfg.lane_heads:
+            # lane-folded heads: shard the lane axis in Dp-lane-block units
+            kv_sharding = NamedSharding(mesh, P(page_spec, None, head_spec))
+        else:
+            kv_sharding = NamedSharding(
+                mesh, P(page_spec, None, head_spec, None)
+            )
         # the scale pool's lane axis is laid out as one 128-lane block per
         # tp shard (see KVCache.scale) so it shards WITH the kv heads and
         # each shard's local view is exactly the single-device layout —
@@ -200,7 +235,11 @@ def create_kv_cache(
         scale_slots = 2 * cfg.num_kv_heads
         assert scale_slots % scale_shards == 0
         lanes = scale_shards * max(128, scale_slots // scale_shards)
-        scale = _zeros(shape[:-2] + (lanes,), jnp.float32, scale_sharding)
+        scale = _zeros(
+            (cfg.total_pages, cfg.page_size, lanes),
+            jnp.float32,
+            scale_sharding,
+        )
     cross = None
     if cfg.cross_layers:
         cross = _zeros(
@@ -221,4 +260,5 @@ def create_kv_cache(
         num_layers=cfg.num_layers,
         packed=cfg.packed,
         scale_shards=scale_shards,
+        lane_head_slots=(2 * cfg.num_kv_heads) if cfg.lane_heads else 0,
     )

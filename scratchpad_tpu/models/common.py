@@ -44,6 +44,21 @@ def make_quant_matmul():
     return w4a16_matmul_pallas
 
 
+def make_w4a8_quant_matmul():
+    """Per-layer W4A8 matmul (int8 activations on the s8 MXU): Pallas on
+    accelerators, XLA reference path on CPU or with SPTPU_W4_IMPL=xla —
+    the same A/B-debug escape hatch the w4a16 path honors (ADVICE r3)."""
+    import os
+
+    if jax.default_backend() == "cpu" or os.environ.get("SPTPU_W4_IMPL") == "xla":
+        from scratchpad_tpu.ops.quant import slice_layer, w4a8_matmul_xla
+
+        return lambda x, ql, l: w4a8_matmul_xla(x, slice_layer(ql, l))
+    from scratchpad_tpu.ops.quant.pallas_w4 import w4a8_matmul_pallas
+
+    return w4a8_matmul_pallas
+
+
 def dp_attention_respec(specs: dict, attn_keys: frozenset) -> dict:
     """Replicate attention weights for DP attention.
 

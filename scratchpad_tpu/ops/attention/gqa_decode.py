@@ -65,6 +65,7 @@ def _gqa_decode_kernel(
     with_sinks: bool,
     packed: bool = False,
     page_base: int = 0,
+    head_slots: Optional[int] = None,
 ):
     if dynamic_window:
         # i32[1] per-CALL window (a per-layer value traced through the
@@ -98,7 +99,11 @@ def _gqa_decode_kernel(
     CP = chunk_pages
     CHUNK = CP * page_size
     Hq, Dp = q_ref.shape[1], q_ref.shape[2]
-    H2 = kv_buf.shape[3]  # combined (K,V) head slots (= Hkv when packed)
+    # combined (K,V) head slots (= Hkv when packed). Lane-folded pools
+    # ([Pg, ps, H2*Dp] — see memory/kv_cache.py lane_heads) carry a 3-D
+    # VMEM block, so the slot count comes in statically; the flattened
+    # [CHUNK, LANES] form below is IDENTICAL either way.
+    H2 = head_slots if head_slots is not None else kv_buf.shape[3]
     LANES = H2 * Dp
     G = Hq // H2 if packed else Hq // (H2 // 2)
 
@@ -329,11 +334,12 @@ def _gqa_decode_kernel(
         "num_layers",
         "packed",
         "static_layer",
+        "lane_head_slots",
     ),
 )
 def _gqa_decode_call(
     q,  # [B, Hq, D]
-    kv_pages,  # [Pg, ps, 2Hkv, Dp]
+    kv_pages,  # [Pg, ps, 2Hkv, Dp] (or [Pg, ps, 2Hkv*Dp] lane-folded)
     kv_scale,  # f32[Pg, ps, 2Hkv] for int8 pages, else None
     layer_idx,
     page_table,  # [B, P] per-layer page ids
@@ -349,9 +355,18 @@ def _gqa_decode_call(
     num_layers,
     packed=False,
     static_layer=None,
+    lane_head_slots=None,
 ):
     B, Hq, D = q.shape
-    Pg, ps, H2, Dp = kv_pages.shape
+    if lane_head_slots is not None:
+        # lane-folded pool [Pg, ps, H2*Dp]: same bytes per row in the same
+        # order as the flattened VMEM block the kernel computes on, but
+        # sliceable on the lane axis at any tp (memory/kv_cache.py)
+        Pg, ps, LANES = kv_pages.shape
+        H2 = lane_head_slots
+        Dp = LANES // H2
+    else:
+        Pg, ps, H2, Dp = kv_pages.shape
     Ptot = Pg // num_layers
     quantized = kv_scale is not None
     # packed + quantized compose: scale lanes stay interleaved
@@ -402,13 +417,19 @@ def _gqa_decode_call(
         with_sinks=with_sinks,
         packed=packed,
         page_base=page_base,
+        head_slots=H2 if lane_head_slots is not None else None,
     )
     in_specs = [
         pl.BlockSpec((1, Hq, Dp), lambda b, *_: (b, 0, 0)),
         pl.BlockSpec(memory_space=pl.ANY),  # kv pages stay in HBM
     ]
     scratch = [
-        pltpu.VMEM((2, CP, ps, H2, Dp), kv_pages.dtype),
+        pltpu.VMEM(
+            (2, CP, ps, H2 * Dp)
+            if lane_head_slots is not None
+            else (2, CP, ps, H2, Dp),
+            kv_pages.dtype,
+        ),
     ]
     operands = [pt_global, seq_lens.astype(jnp.int32)]
     if dynamic_window:
@@ -506,6 +527,7 @@ def decode_attention_gqa(
         num_layers=kv.num_layers,
         packed=kv.packed,
         static_layer=static_layer,
+        lane_head_slots=kv.lane_head_slots or None,
     )
 
 
@@ -539,6 +561,13 @@ def make_decode_attention_gqa_tp(mesh):
             assert kv.scale_shards == mesh.shape["tp"], (
                 "quantized TP decode needs the per-shard-block scale pool"
             )
+        # lane-folded pools shard head slots on the LANE axis — each shard
+        # sees [Pg, ps, (H2/tp)*Dp], tile-aligned for 8-bit dtypes at any
+        # tp (memory/kv_cache.py lane_heads; the sublane-major layout
+        # needs (2*Hkv)/tp % 4 == 0)
+        local_slots = (
+            kv.lane_head_slots // mesh.shape["tp"] if kv.lane_heads else None
+        )
 
         def body(qq, kk, sc, li, pt, sl):
             return _gqa_decode_call(
@@ -553,11 +582,13 @@ def make_decode_attention_gqa_tp(mesh):
                 logit_cap=logit_cap,
                 sliding_window=sliding_window,
                 num_layers=kv.num_layers,
+                lane_head_slots=local_slots,
             )
 
         in_specs = [
             PS(None, "tp", None),        # q: heads sharded
-            PS(None, None, "tp", None),  # kv pages: heads sharded
+            # kv pages: heads sharded (lane axis for lane-folded pools)
+            PS(None, None, "tp") if kv.lane_heads else PS(None, None, "tp", None),
             # scale pool: one 128-lane block per shard, sharded with heads
             PS(None, None, "tp") if quantized else PS(),
             PS(), PS(), PS(),            # layer_idx, page_table, seq_lens

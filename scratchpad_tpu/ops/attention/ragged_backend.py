@@ -262,7 +262,7 @@ def make_attention_ragged_quant_tp(mesh):
     ) -> jax.Array:
         del page_size
         T, Hq, D = q.shape
-        Dp = kv.kv.shape[-1]
+        Dp = kv.head_dim  # lane-folded pools fold slots into the last dim
         Ptot = kv.pages_per_layer
         B, P = meta.page_table.shape
         pt_global = (
@@ -279,16 +279,35 @@ def make_attention_ragged_quant_tp(mesh):
         q = q * jnp.asarray(sm_scale, q.dtype)
         scratch_pt = jnp.arange(B * P, dtype=jnp.int32).reshape(B, P)
 
+        lane_local = (
+            kv.lane_head_slots // mesh.shape["tp"] if kv.lane_heads else 0
+        )
+
         def body(qq, kk, sc_pool, kl, pt, cq, ns):
-            H2l = kk.shape[2]
             rows = pt.reshape(-1)
-            pages = jnp.take(kk, rows, axis=0)  # [B*P, ps, H2l, Dp]
-            sc = jnp.take(sc_pool, rows, axis=0)[..., :H2l]  # local block
-            if pages.dtype == jnp.int8:
-                deq = pages.astype(jnp.int32).astype(jnp.float32)
-            else:  # fp8 e4m3: direct cast
-                deq = pages.astype(jnp.float32)
-            deq = (deq * sc[..., None]).astype(qq.dtype)
+            pages = jnp.take(kk, rows, axis=0)
+            if lane_local:
+                # lane-folded shard [Pg, ps, H2l*Dp]: expand the per-slot
+                # scales across each slot's Dp lanes, dequantize flat, and
+                # reshape the batch-sized scratch (not the pool) to the 4-D
+                # form the ragged kernel consumes
+                H2l = lane_local
+                sc = jnp.take(sc_pool, rows, axis=0)[..., :H2l]
+                sc_lanes = jnp.repeat(sc, Dp, axis=-1)  # [B*P, ps, H2l*Dp]
+                if pages.dtype == jnp.int8:
+                    deq = pages.astype(jnp.int32).astype(jnp.float32)
+                else:
+                    deq = pages.astype(jnp.float32)
+                deq = (deq * sc_lanes).astype(qq.dtype)
+                deq = deq.reshape(deq.shape[0], deq.shape[1], H2l, Dp)
+            else:
+                H2l = kk.shape[2]
+                sc = jnp.take(sc_pool, rows, axis=0)[..., :H2l]  # local block
+                if pages.dtype == jnp.int8:
+                    deq = pages.astype(jnp.int32).astype(jnp.float32)
+                else:  # fp8 e4m3: direct cast
+                    deq = pages.astype(jnp.float32)
+                deq = (deq * sc[..., None]).astype(qq.dtype)
             if use_kernel:
                 from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (  # noqa: E501
                     ragged_paged_attention,
@@ -311,7 +330,10 @@ def make_attention_ragged_quant_tp(mesh):
             mesh=mesh,
             in_specs=(
                 PS(None, "tp", None),        # q: heads sharded
-                PS(None, None, "tp", None),  # kv pages: heads sharded
+                # kv pages: heads sharded (lane axis for lane-folded pools)
+                PS(None, None, "tp")
+                if kv.lane_heads
+                else PS(None, None, "tp", None),
                 PS(None, None, "tp"),        # scale: per-shard lane blocks
                 PS(), PS(), PS(), PS(),      # metadata replicated
             ),

@@ -60,6 +60,8 @@ def write_kv(
     reference: scratchpad/memory/pool.py:392-424). INT8 caches additionally
     store per-(row, head) scales — finer than the reference's static
     per-layer fp8 scales (pool.py:274-278)."""
+    if kv.lane_heads:
+        return _write_kv_lanes(kv, k_new, v_new, layer_idx, out_cache_loc)
     Pg, ps, H2, Dp = kv.kv.shape
     T, Hkv, D = k_new.shape
     if kv.packed:
@@ -140,9 +142,54 @@ def write_kv(
     return dataclasses.replace(kv, kv=new_kv, scale=scale)
 
 
+def _write_kv_lanes(
+    kv: KVCache, k_new, v_new, layer_idx, out_cache_loc
+) -> KVCache:
+    """write_kv for the lane-folded pool [Pg, ps, 2Hkv*Dp] (see
+    memory/kv_cache.py KVCacheConfig.lane_heads): rows carry the head
+    slots as consecutive Dp-lane blocks, so the scatter writes whole
+    flattened rows exactly like the 4-D path — same layout-landmine-safe
+    1-D leading-dim scatter, just wider rows."""
+    import dataclasses
+
+    Pg, ps, L = kv.kv.shape
+    H2 = kv.lane_head_slots
+    Dp = L // H2
+    T, Hkv, D = k_new.shape
+    if Dp != D:
+        pad = [(0, 0), (0, 0), (0, Dp - D)]
+        k_new = jnp.pad(k_new, pad)
+        v_new = jnp.pad(v_new, pad)
+    # interleave per head: [T, Hkv, 2, Dp] -> [T, H2, Dp]
+    upd = jnp.stack([k_new, v_new], axis=2).reshape(T, H2, Dp)
+    rows = layer_idx * kv.slots_per_layer + out_cache_loc
+    scale = kv.scale
+    if kv.kv.dtype in _QUANT_KV_DTYPES:
+        upd, sc = _quantize_rows(upd, kv.kv.dtype)  # sc [T, H2]
+        SL = scale.shape[-1]
+        ns = kv.scale_shards
+        per = SL // ns
+        sc = jnp.pad(
+            sc.reshape(T, ns, H2 // ns),
+            [(0, 0), (0, 0), (0, per - H2 // ns)],
+        ).reshape(T, SL)
+        scale = (
+            scale.reshape(Pg * ps, SL).at[rows].set(sc).reshape(Pg, ps, SL)
+        )
+    new_kv = (
+        kv.kv.reshape(Pg * ps, L)
+        .at[rows]
+        .set(upd.astype(kv.kv.dtype).reshape(T, L))
+        .reshape(Pg, ps, L)
+    )
+    return dataclasses.replace(kv, kv=new_kv, scale=scale)
+
+
 def _gather_kv(kv: KVCache, layer_idx, meta: ForwardMeta, page_size: int, D: int):
     """Dense per-request KV: [B, S_max, Hkv, D], S_max = MAXP * page_size.
     Dequantizes int8 rows with their stored scales."""
+    if kv.lane_heads:
+        return _gather_kv_lanes(kv, layer_idx, meta, page_size, D)
     Pg, ps, H2, Dp = kv.kv.shape
     B, maxp = meta.page_table.shape
     offsets = jnp.arange(page_size, dtype=jnp.int32)
@@ -184,6 +231,34 @@ def _gather_kv(kv: KVCache, layer_idx, meta: ForwardMeta, page_size: int, D: int
     k = g[:, :, 0::2, :]
     v = g[:, :, 1::2, :]
     return k, v
+
+
+def _gather_kv_lanes(
+    kv: KVCache, layer_idx, meta: ForwardMeta, page_size: int, D: int
+):
+    """_gather_kv for the lane-folded pool: rows gather flat [2Hkv*Dp] and
+    reshape into head blocks AFTER the gather (batch-sized, not pool-sized,
+    so the pool keeps its default layout)."""
+    Pg, ps, L = kv.kv.shape
+    H2 = kv.lane_head_slots
+    Dp = L // H2
+    B, maxp = meta.page_table.shape
+    offsets = jnp.arange(page_size, dtype=jnp.int32)
+    slots = (
+        meta.page_table[:, :, None] * page_size + offsets[None, None, :]
+    ).reshape(B, maxp * page_size)
+    rows = layer_idx * kv.slots_per_layer + slots
+    flat = kv.kv.reshape(Pg * ps, L)
+    g = jnp.take(flat, rows, axis=0)  # [B, S_max, L]
+    g = g.reshape(B, g.shape[1], H2, Dp)[..., :D]
+    if kv.kv.dtype in _QUANT_KV_DTYPES:
+        SL = kv.scale.shape[-1]
+        ns = kv.scale_shards
+        sc = jnp.take(kv.scale.reshape(Pg * ps, SL), rows, axis=0)
+        sc = sc.reshape(sc.shape[:-1] + (ns, SL // ns))[..., : H2 // ns]
+        sc = sc.reshape(sc.shape[:-2] + (H2,))
+        g = g.astype(jnp.float32) * sc[..., None]
+    return g[:, :, 0::2, :], g[:, :, 1::2, :]
 
 
 def _softcap(scores: jax.Array, cap: Optional[float]) -> jax.Array:

@@ -193,9 +193,11 @@ def _w4a8_call(x, q, s, z, layer_idx, *, group_size, out_block):
 
     # int8 x halves the activation block; i32 widen + two i8 planes keep
     # the same ~7 B/elem dequant-intermediate footprint as the bf16 kernel,
-    # plus per-group pg/acc f32 accumulators on the out block
+    # plus per-group pg/acc f32 accumulators on the out block, plus the
+    # double-buffered ax ([r, 1] f32) and gsum ([r, G] f32) input blocks
+    # (ADVICE r3: these were unaccounted — ~0.5 MiB at r=512, G=112)
     def vmem_cost(r, o):
-        return 2 * r * In + 7 * (half * o) + 12 * r * o
+        return 2 * r * In + 7 * (half * o) + 12 * r * o + 8 * r * G + 8 * r
 
     BUDGET = 14 * 2**20
     while vmem_cost(ROW_BLK, OUT_BLK) > BUDGET and OUT_BLK > 128:

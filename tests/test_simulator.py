@@ -200,3 +200,83 @@ class TestScalingProjection:
         )
         assert abs(p.step_time_s - 0.0167) < 1e-9
         assert p.efficiency >= 0.99
+
+
+class TestTraceWorkloads:
+    """Trace ingestion (tools/workload.py) -> bench + simulator replay
+    (reference: tools/benchmark/gen_workload.py:18-40)."""
+
+    def _sharegpt(self, tmp_path):
+        data = [
+            {
+                "conversations": [
+                    {"from": "human", "value": "tell me a story " * 16},
+                    {"from": "gpt", "value": "once upon a time " * 32},
+                ]
+            },
+            {
+                "conversations": [
+                    {"from": "user", "value": "short?"},
+                    {"from": "assistant", "value": "yes " * 8},
+                ]
+            },
+            {"conversations": [{"from": "human", "value": "no reply"}]},
+        ]
+        p = tmp_path / "sharegpt.json"
+        p.write_text(json.dumps(data))
+        return str(p)
+
+    def test_sharegpt_ingestion(self, tmp_path):
+        from tools.workload import assign_arrivals, load_trace
+
+        items = load_trace(self._sharegpt(tmp_path))
+        assert len(items) == 2  # the reply-less record is dropped
+        assert items[0].prompt.startswith("tell me a story")
+        assert items[0].prompt_len > items[1].prompt_len
+        assert items[0].output_len > 1
+        assign_arrivals(items, rate=10.0, seed=0)
+        assert items[0].arrival == 0.0
+
+    def test_jsonl_ingestion_rebases_timestamps(self, tmp_path):
+        from tools.workload import load_trace
+
+        p = tmp_path / "azure.jsonl"
+        rows = [
+            {"prompt_len": 100, "output_len": 20, "tstamp": 1000.5},
+            {"prompt_len": 50, "output_len": 10, "tstamp": 1000.0},
+            {"prompt": "hello world, how are you?", "output_len": 5,
+             "tstamp": 1002.0, "model": "delta-1"},
+        ]
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        items = load_trace(str(p))
+        assert [round(i.arrival, 1) for i in items] == [0.0, 0.5, 2.0]
+        assert items[2].model == "delta-1"
+        assert items[2].prompt_len >= 5  # estimated from text
+
+    def test_model_distribution(self, tmp_path):
+        import dataclasses
+
+        from tools.workload import assign_models, load_trace
+
+        base_items = load_trace(self._sharegpt(tmp_path))
+        items = [
+            dataclasses.replace(it) for _ in range(50) for it in base_items
+        ]
+        assign_models(items, ["base", "d1", "d2"], "zipf:1.5", seed=0)
+        counts = {}
+        for it in items:
+            counts[it.model] = counts.get(it.model, 0) + 1
+        assert counts["base"] > counts.get("d2", 0)  # zipf head-heavy
+
+    def test_simulator_replays_trace(self, tmp_path):
+        from tools.workload import assign_arrivals, load_trace, to_sim_requests
+
+        items = assign_arrivals(
+            load_trace(self._sharegpt(tmp_path)), rate=50.0
+        )
+        reqs = to_sim_requests(items)
+        sim = ClusterSimulator(SimConfig(), num_engines=1)
+        report = sim.run(reqs)
+        assert report["num_requests"] == len(reqs)
+        assert report["completed"] == len(reqs)
+        assert report["ttft_mean_s"] > 0

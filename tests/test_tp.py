@@ -151,6 +151,77 @@ class TestTensorParallel:
         assert got == ref
         eng.scheduler.check_memory_leak()
 
+    def test_tp2_int8_kv_lane_layout_matches(self):
+        """The lane-folded pool ([Pg, ps, 2Hkv*Dp], kv_layout=lanes) must be
+        bit-identical to the single-device int8 engine. This is the layout
+        that makes quantized KV sliceable at tp=8 on real chips (the
+        sublane-major layout needs (2*Hkv)/tp % 4 == 0 — VERDICT r3 item 4,
+        BASELINE config 3 at tp=8)."""
+        sp = SamplingParams(temperature=0.0, max_new_tokens=6)
+        ref = [
+            o.output_ids
+            for o in make_engine(
+                kv_cache_dtype="int8", attention_backend="gqa"
+            ).generate(input_ids=prompts(), sampling_params=[sp] * 3)
+        ]
+        eng = make_engine(
+            mesh=tp_mesh(2),
+            kv_cache_dtype="int8",
+            attention_backend="gqa",
+            kv_layout="lanes",
+        )
+        assert eng.scheduler.runner.attention_backend == "gqa_tp"
+        assert eng.scheduler.runner.kv_cache.lane_heads
+        assert eng.scheduler.runner.kv_cache.kv.ndim == 3
+        got = [
+            o.output_ids
+            for o in eng.generate(input_ids=prompts(), sampling_params=[sp] * 3)
+        ]
+        assert got == ref
+        eng.scheduler.check_memory_leak()
+
+    def test_tp8_int8_kv_lane_layout_matches(self):
+        """tp=8 + int8 KV + Hkv=8 — the BASELINE config-3 head geometry on a
+        full v5e-8 host, inexpressible in the sublane layout ((2*8)/8 = 2
+        head slots per shard). The lane-folded pool shards head slots as
+        128-lane blocks, so every tp | 2*Hkv works."""
+        from scratchpad_tpu.config.model_config import get_preset
+
+        cfg = get_preset(
+            "tiny-debug", num_key_value_heads=8, num_attention_heads=8
+        )
+        sp = SamplingParams(temperature=0.0, max_new_tokens=6)
+
+        def engine(mesh=None, **kw):
+            args = ServerArgs(
+                preset="tiny-debug",
+                random_weights=True,
+                dtype="float32",
+                page_size=4,
+                max_total_tokens=2048,
+                kv_cache_dtype="int8",
+                attention_backend="gqa",
+                **kw,
+            )
+            return Engine(args, mesh=mesh, model_config=cfg)
+
+        ref = [
+            o.output_ids
+            for o in engine().generate(
+                input_ids=prompts(), sampling_params=[sp] * 3
+            )
+        ]
+        eng = engine(mesh=tp_mesh(8), kv_layout="lanes")
+        assert eng.scheduler.runner.attention_backend == "gqa_tp"
+        assert eng.scheduler.runner.kv_cache.lane_heads
+        assert eng.scheduler.runner.kv_cache.scale_shards == 8
+        got = [
+            o.output_ids
+            for o in eng.generate(input_ids=prompts(), sampling_params=[sp] * 3)
+        ]
+        assert got == ref
+        eng.scheduler.check_memory_leak()
+
     def test_tp2_int8_kv_w4a16_runs(self):
         """The full BASELINE config-3 shape (W4A16 weights + INT8 KV) on a
         TP mesh keeps the fast kernels (no XLA-gather fallback)."""

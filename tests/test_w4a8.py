@@ -58,6 +58,28 @@ class TestW4A8Matmul:
                 np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
             )
 
+    def test_pallas_reduced_group_size(self):
+        """Non-128 group sizes (quantize_stacked clamps g to In/2 for small
+        layers; GPT-OSS lands on g=120) slice the int8 x lane dim and the
+        i8 plane sublane dim at non-tile-aligned offsets — stricter under
+        int8's (32, 128) Mosaic granularity than the proven bf16 path
+        (ADVICE r3). Interpret-mode coverage for the slicing math; the
+        on-chip compile is covered by the w4a8 MoE bench variant."""
+        from scratchpad_tpu.ops.quant.pallas_w4 import w4a8_matmul_pallas
+
+        rng = np.random.default_rng(7)
+        L, In, Out, g = 2, 240, 256, 120
+        w = rng.normal(size=(L, In, Out)).astype(np.float32)
+        ql = quantize_stacked(w, group_size=g, dtype=jnp.float32)
+        assert ql.group_size == g
+        x = jnp.asarray(rng.normal(size=(8, In)), jnp.float32)
+        for l in range(L):
+            ref = w4a8_matmul_xla(x, slice_layer(ql, l))
+            out = w4a8_matmul_pallas(x, ql, jnp.int32(l), out_block=128)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+            )
+
     def test_out_true_slicing(self):
         """Padded Out (out_true) slices back like the w4a16 path."""
         rng = np.random.default_rng(3)
@@ -99,7 +121,9 @@ class TestW4A8Engine:
 
     def test_moe_expert_stacks(self):
         """W4A8 on a MoE model exercises the [L*E]-flattened expert-stack
-        indexing (layer*E + e scalar prefetch) through the a8 kernel."""
+        slice_layer indexing. On CPU the engine routes to w4a8_matmul_xla
+        (the Pallas kernel + its prefetch index map run on-chip only; the
+        kernel's own math is covered by TestW4A8Matmul interpret tests)."""
         from scratchpad_tpu.config import ServerArgs
         from scratchpad_tpu.sampling.sampling_params import SamplingParams
         from scratchpad_tpu.server.engine import Engine

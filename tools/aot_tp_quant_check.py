@@ -16,6 +16,12 @@ write_kv/_gather_kv); this tool is the regression check for the TP variant
 on a virtual v5e-8 topology (jax.experimental.topologies) and counting
 copy/transpose instructions whose operand is pool-sized.
 
+Two configurations compile (VERDICT r3 item 4):
+  tp=4  sublane-major pool [Pg, ps, 2Hkv, Dp]  ((2*Hkv)/tp % 4 == 0 holds)
+  tp=8  lane-folded  pool [Pg, ps, 2Hkv*Dp]   (memory/kv_cache.py
+        lane_heads — the layout that makes BASELINE config 3 expressible
+        on a full v5e-8 host)
+
 Run: python tools/aot_tp_quant_check.py   (exit 0 = clean)
 """
 
@@ -36,25 +42,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # Llama-3.1-8B-ish attention shapes at serving size. TP = 4: 8-bit pools
 # sublane-pack 4 head slots per (32, 128) tile, so the per-shard page DMA
 # needs (2*Hkv)/tp % 4 == 0 — tp=8 leaves 2 local slots and Mosaic rejects
-# the slice ("must be aligned to tiling (4)"); the runner falls back to the
-# XLA backend there (model_runner backend selection).
+# the sublane slice ("must be aligned to tiling (4)"); tp=8 instead uses
+# the lane-folded layout below.
 B, Hq, Hkv, D, ps = 64, 32, 8, 128, 16
 L, Ptot, PP = 32, 2048, 16  # layers, pages/layer, pages/req
-TP = 4
 
 
-def get_mesh():
+def get_mesh(tp):
     topo = topologies.get_topology_desc(
         platform="tpu",
         topology_name="v5e:2x4",
         chips_per_host_bounds=(2, 4, 1),
         num_slices=1,
     )
-    devs = np.array(topo.devices[:TP]).reshape(1, TP)
+    devs = np.array(topo.devices[:tp]).reshape(1, tp)
     return Mesh(devs, ("dp", "tp"))
 
 
-def build(mesh):
+def build(mesh, tp, lane_heads):
     from scratchpad_tpu.memory.kv_cache import KVCache
     from scratchpad_tpu.ops.attention.gqa_decode import (
         make_decode_attention_gqa_tp,
@@ -71,7 +76,11 @@ def build(mesh):
 
     def step(kv_pool, kv_scale, q, k_new, v_new, page_table, seq_lens, loc):
         kv = KVCache(
-            kv=kv_pool, scale=kv_scale, num_layers=L, scale_shards=TP
+            kv=kv_pool,
+            scale=kv_scale,
+            num_layers=L,
+            scale_shards=tp,
+            lane_head_slots=H2 if lane_heads else 0,
         )
         meta = ForwardMeta(
             mode=ForwardMode.DECODE,
@@ -93,9 +102,15 @@ def build(mesh):
         )
         return out_d, out_e, kv.kv, kv.scale
 
+    pool_shape = (
+        (L * Ptot, ps, H2 * D) if lane_heads else (L * Ptot, ps, H2, D)
+    )
+    pool_spec = (
+        P(None, None, "tp") if lane_heads else P(None, None, "tp", None)
+    )
     shapes = dict(
-        kv_pool=jax.ShapeDtypeStruct((L * Ptot, ps, H2, D), jnp.int8),
-        kv_scale=jax.ShapeDtypeStruct((L * Ptot, ps, TP * 128), jnp.float32),
+        kv_pool=jax.ShapeDtypeStruct(pool_shape, jnp.int8),
+        kv_scale=jax.ShapeDtypeStruct((L * Ptot, ps, tp * 128), jnp.float32),
         q=jax.ShapeDtypeStruct((B, Hq, D), jnp.bfloat16),
         k_new=jax.ShapeDtypeStruct((B, Hkv, D), jnp.bfloat16),
         v_new=jax.ShapeDtypeStruct((B, Hkv, D), jnp.bfloat16),
@@ -104,7 +119,7 @@ def build(mesh):
         loc=jax.ShapeDtypeStruct((B,), jnp.int32),
     )
     shardings = dict(
-        kv_pool=NamedSharding(mesh, P(None, None, "tp", None)),
+        kv_pool=NamedSharding(mesh, pool_spec),
         kv_scale=NamedSharding(mesh, P(None, None, "tp")),
         q=NamedSharding(mesh, P(None, "tp", None)),
         k_new=NamedSharding(mesh, P(None, "tp", None)),
@@ -123,7 +138,7 @@ def build(mesh):
     return jitted.lower(*shapes.values())
 
 
-def check(txt: str) -> int:
+def check(txt: str) -> list:
     """Count copy/transpose/bitcast-convert instructions whose result is
     pool-sized (>= 1/4 of the full pool row count) — a layout conflict
     shows up as a whole-pool copy, not a page-sized one."""
@@ -140,20 +155,28 @@ def check(txt: str) -> int:
     return bad
 
 
-def main():
-    mesh = get_mesh()
-    lowered = build(mesh)
+def run_one(tp, lane_heads) -> bool:
+    tag = f"tp={tp} {'lane-folded' if lane_heads else 'sublane-major'}"
+    mesh = get_mesh(tp)
+    lowered = build(mesh, tp, lane_heads)
     compiled = lowered.compile()
     txt = compiled.as_text()
     bad = check(txt)
     n_copy = txt.count(" copy(")
-    print(f"compiled ok: hlo {len(txt)} chars, {n_copy} copy instrs")
+    print(f"[{tag}] compiled ok: hlo {len(txt)} chars, {n_copy} copy instrs")
     if bad:
-        print("POOL-SIZED RELAYOUT COPIES FOUND:")
+        print(f"[{tag}] POOL-SIZED RELAYOUT COPIES FOUND:")
         for line in bad:
             print(" ", line)
-        sys.exit(1)
-    print("no pool-sized relayout copies — quantized TP path is clean")
+        return False
+    print(f"[{tag}] no pool-sized relayout copies — clean")
+    return True
+
+
+def main():
+    ok = run_one(4, lane_heads=False)
+    ok &= run_one(8, lane_heads=True)
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,88 @@
+"""Same-session A/B sweeps on the real chip (device-epoch variance makes
+cross-session comparisons meaningless — PERF_r03.md). Each sweep builds one
+engine per config IN ONE PROCESS and prints a JSON line per run.
+
+Usage: python tools/bench_ab.py <suite> [repeats]
+Suites:
+  northstar3b  bf16 vs W4A16 vs W4A8 on llama-3.2-3b (BASELINE north-star
+               ratio: the 8B FP16 side OOMs single-chip, 3B fits both ways)
+  depth1b      decode pipeline depth 1 vs 2 vs 3 on bf16 llama-3.2-1b
+  w4a8_8b      8B W4A8(+int8 KV) bs32/64 (kernel-tuning target)
+  prefill      prefill/extend throughput (see bench_prefill suite entries)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    suite = sys.argv[1] if len(sys.argv) > 1 else "northstar3b"
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    import bench
+
+    hbm = 819.0
+    common = dict(
+        prompt_len=128, decode_len=128, hbm_gbps=hbm, on_tpu=True,
+        repeats=repeats, sampled=False, spec=None, n_toppings=0,
+    )
+
+    if suite == "northstar3b":
+        runs = [
+            dict(preset="llama-3.2-3b", dtype="bfloat16", quant=None,
+                 kv_dtype="auto", batch_size=64, max_total_tokens=32768),
+            dict(preset="llama-3.2-3b", dtype="bfloat16", quant="w4a16",
+                 kv_dtype="auto", batch_size=64, max_total_tokens=32768),
+            dict(preset="llama-3.2-3b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="auto", batch_size=64, max_total_tokens=32768),
+            dict(preset="llama-3.2-3b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="int8", batch_size=64, max_total_tokens=32768),
+            dict(preset="llama-3.2-3b", dtype="bfloat16", quant=None,
+                 kv_dtype="auto", batch_size=32, max_total_tokens=32768),
+            dict(preset="llama-3.2-3b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="auto", batch_size=32, max_total_tokens=32768),
+        ]
+    elif suite == "depth1b":
+        runs = []
+        for depth in (1, 2, 3):
+            runs.append(
+                dict(preset="llama-3.2-1b", dtype="bfloat16", quant=None,
+                     kv_dtype="auto", batch_size=64, max_total_tokens=65536,
+                     env={"SPTPU_BENCH_PIPELINE": str(depth)})
+            )
+    elif suite == "w4a8_8b":
+        runs = [
+            dict(preset="llama-3.1-8b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="int8", batch_size=32, max_total_tokens=32768),
+            dict(preset="llama-3.1-8b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="int8", batch_size=64, max_total_tokens=32768),
+        ]
+    else:
+        raise SystemExit(f"unknown suite {suite!r}")
+
+    for run in runs:
+        env = run.pop("env", {})
+        saved = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            res = bench.run_config(jax, **common, **run)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+        res.update({k: v for k, v in env.items()})
+        print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()

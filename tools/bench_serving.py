@@ -48,13 +48,13 @@ async def run_one(
     session: aiohttp.ClientSession,
     base_url: str,
     model: str,
-    prompt_ids: list[int],
+    prompt_ids,  # list[int] token ids, or str text (trace-driven)
     output_len: int,
 ) -> RequestResult:
     res = RequestResult(prompt_len=len(prompt_ids))
     payload = {
         "model": model,
-        "prompt": [prompt_ids],
+        "prompt": prompt_ids if isinstance(prompt_ids, str) else [prompt_ids],
         "max_tokens": output_len,
         "temperature": 0.0,
         "ignore_eos": True,
@@ -100,11 +100,41 @@ async def run_one(
 
 async def run_benchmark(args) -> dict:
     rng = random.Random(args.seed)
-    prompts = [
-        [rng.randint(1, 30000) for _ in range(args.input_len)]
-        for _ in range(args.num_prompts)
-    ]
-    gaps = poisson_arrivals(args.num_prompts, args.request_rate, rng)
+    if args.trace:
+        # trace-driven workload (reference: tools/benchmark/gen_workload.py):
+        # ShareGPT text prompts + reply lengths, or a generic jsonl trace
+        # with lengths/timestamps (Azure-style)
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+        from tools.workload import assign_arrivals, load_trace
+
+        items = load_trace(
+            args.trace, args.trace_format, max_items=args.num_prompts
+        )
+        if not any(i.arrival > 0 for i in items):
+            assign_arrivals(items, args.request_rate, args.seed)
+        prompts = []
+        for it in items:
+            if it.prompt is not None:
+                prompts.append(it.prompt)
+            else:  # length-only trace row: synthesize ids at that length
+                prompts.append(
+                    [rng.randint(1, 30000) for _ in range(it.prompt_len)]
+                )
+        out_lens = [it.output_len for it in items]
+        arrivals = [it.arrival for it in items]
+        gaps = [arrivals[0]] + [
+            b - a for a, b in zip(arrivals, arrivals[1:])
+        ]
+    else:
+        prompts = [
+            [rng.randint(1, 30000) for _ in range(args.input_len)]
+            for _ in range(args.num_prompts)
+        ]
+        out_lens = [args.output_len] * args.num_prompts
+        gaps = poisson_arrivals(args.num_prompts, args.request_rate, rng)
 
     conn = aiohttp.TCPConnector(limit=args.max_concurrency or 0)
     async with aiohttp.ClientSession(
@@ -112,11 +142,11 @@ async def run_benchmark(args) -> dict:
     ) as session:
         t0 = time.perf_counter()
         tasks = []
-        for p, gap in zip(prompts, gaps):
+        for p, ol, gap in zip(prompts, out_lens, gaps):
             await asyncio.sleep(gap)
             tasks.append(
                 asyncio.create_task(
-                    run_one(session, args.base_url, args.model, p, args.output_len)
+                    run_one(session, args.base_url, args.model, p, ol)
                 )
             )
         results: list[RequestResult] = list(await asyncio.gather(*tasks))
@@ -175,6 +205,13 @@ def main():
     ap.add_argument("--slo-itl", type=float, default=0.1)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--output", type=str, default=None, help="write JSON report here")
+    ap.add_argument(
+        "--trace", type=str, default=None,
+        help="trace file (ShareGPT json or jsonl) replacing synthetic prompts",
+    )
+    ap.add_argument(
+        "--trace-format", default="auto", choices=["auto", "sharegpt", "jsonl"]
+    )
     args = ap.parse_args()
     report = asyncio.run(run_benchmark(args))
     print(json.dumps(report, indent=2))

@@ -311,9 +311,31 @@ def main():
     ap.add_argument("--num-requests", type=int, default=200)
     ap.add_argument("--rate", type=float, default=8.0)
     ap.add_argument("--trace", type=str, default=None)
+    ap.add_argument(
+        "--workload", type=str, default=None,
+        help="replay a recorded trace (ShareGPT json / jsonl) instead of "
+        "the synthetic Poisson workload (tools/workload.py)",
+    )
+    ap.add_argument("--workload-format", default="auto")
     args = ap.parse_args()
     sim = ClusterSimulator(SimConfig(hardware=args.hardware), args.num_engines, args.policy)
-    reqs = gen_synthetic_workload(args.num_requests, args.rate)
+    if args.workload:
+        import os
+        import sys
+
+        sys.path.insert(
+            0, os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+        )
+        from tools.workload import assign_arrivals, load_trace, to_sim_requests
+
+        items = load_trace(
+            args.workload, args.workload_format, max_items=args.num_requests
+        )
+        if not any(i.arrival > 0 for i in items):
+            assign_arrivals(items, args.rate)
+        reqs = to_sim_requests(items)
+    else:
+        reqs = gen_synthetic_workload(args.num_requests, args.rate)
     report = sim.run(reqs)
     print(json.dumps(report, indent=2))
     if args.trace:
