@@ -162,6 +162,9 @@ class ServerArgs:
     chat_template: Optional[str] = None
     # text form of the VLM image placeholder in chat prompts
     mm_image_token: str = "<image>"
+    # threads decoding/resizing images+video off the HTTP event loop
+    # (reference: managers/image_processor.py:599 async executor pool)
+    mm_preprocess_workers: int = 4
     # text form of the video placeholder + frames sampled per video
     # (reference: managers/image_processor.py encode_video)
     mm_video_token: str = "<video>"

@@ -98,6 +98,7 @@ class ServerApp:
         self.args = args
         self.runner = AsyncEngineRunner(engine)
         self.app = web.Application(middlewares=[self._auth_middleware])
+        self._mm_pool = None  # lazy multimodal preprocessing executor
         self._metrics = None
         if args.enable_metrics:
             from scratchpad_tpu.server.metrics import ServerMetrics
@@ -446,15 +447,50 @@ class ServerApp:
 
     # ------------------------------------------------------ chat completions
 
-    def _extract_images(self, messages: list[ChatMessage]):
+    def _mm_executor(self):
+        """Shared thread pool for multimodal preprocessing — image/video
+        decode+resize runs OFF the event loop so vision-heavy requests don't
+        serialize behind each other or stall token streaming (reference runs
+        the same work in an async executor pool,
+        managers/image_processor.py:599)."""
+        if self._mm_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._mm_pool = ThreadPoolExecutor(
+                max_workers=self.args.mm_preprocess_workers,
+                thread_name_prefix="mm-prep",
+            )
+        return self._mm_pool
+
+    def _decode_preprocess_image(self, src):
+        from scratchpad_tpu.multimodal import decode_image
+
+        return self.engine.preprocess_image(decode_image(src))
+
+    def _decode_preprocess_video(self, src):
+        import numpy as np
+
+        from scratchpad_tpu.multimodal.video import decode_video
+
+        frames = decode_video(src, num_frames=self.args.video_frames)
+        return np.stack([self.engine.preprocess_image(f) for f in frames])
+
+    async def _extract_images(self, messages: list[ChatMessage]):
         """Flatten OpenAI content parts: image_url parts (data:/base64/local
         path) become the model's image token in the text stream and their
         pixel values are returned for the vision encoder; video_url parts
         decode + uniformly sample frames (multimodal/video.py; reference:
         managers/image_processor.py:20 encode_video). Returns
-        (images [N,C,H,W] | None, video_frames [T,C,H,W] | None)."""
-        images = []
-        video = None
+        (images [N,C,H,W] | None, video_frames [T,C,H,W] | None).
+
+        The CPU-heavy decode/resize work is scheduled on the shared thread
+        pool and awaited concurrently (all images of a request in parallel,
+        the event loop free throughout)."""
+        import asyncio
+
+        loop = asyncio.get_running_loop()
+        img_futs = []
+        video_fut = None
         for m in messages:
             if not isinstance(m.content, list):
                 continue
@@ -464,33 +500,32 @@ class ServerApp:
                 if ptype == "text":
                     texts.append(part.get("text", ""))
                 elif ptype in ("image_url", "image"):
-                    from scratchpad_tpu.multimodal import decode_image
-
                     url = part.get("image_url")
                     if isinstance(url, dict):
                         url = url.get("url")
-                    img = decode_image(url if url else part.get("image"))
-                    images.append(self.engine.preprocess_image(img))
+                    img_futs.append(
+                        loop.run_in_executor(
+                            self._mm_executor(),
+                            self._decode_preprocess_image,
+                            url if url else part.get("image"),
+                        )
+                    )
                     texts.append(self.args.mm_image_token)
                 elif ptype in ("video_url", "video"):
-                    from scratchpad_tpu.multimodal.video import decode_video
-
-                    if video is not None:
+                    if video_fut is not None:
                         raise ValueError("one video per request")
                     url = part.get("video_url")
                     if isinstance(url, dict):
                         url = url.get("url")
-                    frames = decode_video(
+                    video_fut = loop.run_in_executor(
+                        self._mm_executor(),
+                        self._decode_preprocess_video,
                         url if url else part.get("video"),
-                        num_frames=self.args.video_frames,
-                    )
-                    import numpy as np
-
-                    video = np.stack(
-                        [self.engine.preprocess_image(f) for f in frames]
                     )
                     texts.append(self.args.mm_video_token)
             m.content = "".join(texts)
+        images = list(await asyncio.gather(*img_futs)) if img_futs else []
+        video = (await video_fut) if video_fut is not None else None
         import numpy as np
 
         if images and video is not None:
@@ -530,7 +565,7 @@ class ServerApp:
         if self.engine.tokenizer is None:
             return self._bad_request("no tokenizer loaded; chat API unavailable")
         try:
-            image_data, video_data = self._extract_images(creq.messages)
+            image_data, video_data = await self._extract_images(creq.messages)
         except (ValueError, TypeError) as e:
             return self._bad_request(str(e))
         prompt = self._apply_chat_template(creq.messages)

@@ -1,5 +1,6 @@
 """Image decoding/preprocessing + OpenAI chat content-part extraction."""
 
+import asyncio
 import base64
 import io
 import types
@@ -65,6 +66,7 @@ class TestChatExtraction:
         from scratchpad_tpu.server.http_server import ServerApp
 
         app = ServerApp.__new__(ServerApp)
+        app._mm_pool = None
         app.args = ServerArgs(preset="tiny-debug", random_weights=True).resolve()
         app.engine = types.SimpleNamespace(
             model_config=types.SimpleNamespace(
@@ -93,7 +95,7 @@ class TestChatExtraction:
                 ],
             ),
         ]
-        px, video = app._extract_images(msgs)
+        px, video = asyncio.run(app._extract_images(msgs))
         assert px.shape == (1, 3, 24, 24)
         assert video is None
         assert msgs[1].content == "what is this? <image> thanks"
@@ -104,7 +106,7 @@ class TestChatExtraction:
 
         app = self.make_app()
         msgs = [ChatMessage(role="user", content=[{"type": "text", "text": "hi"}])]
-        assert app._extract_images(msgs) == (None, None)
+        assert asyncio.run(app._extract_images(msgs)) == (None, None)
         assert msgs[0].content == "hi"
 
 
@@ -130,7 +132,70 @@ class TestChatExtraction:
                 ],
             ),
         ]
-        px, video = app._extract_images(msgs)
+        px, video = asyncio.run(app._extract_images(msgs))
         assert px is None
         assert video.shape == (6, 3, 24, 24)
         assert msgs[0].content == "describe <video>"
+
+
+class TestAsyncPreprocessing:
+    """Multimodal preprocessing must run OFF the event loop and in parallel
+    across images (VERDICT r3 item 8; reference runs it in an async
+    executor pool, managers/image_processor.py:599)."""
+
+    def test_images_preprocess_concurrently(self):
+        import time
+
+        from scratchpad_tpu.config import ServerArgs
+        from scratchpad_tpu.server.http_server import ServerApp
+        from scratchpad_tpu.server.openai_api.protocol import ChatMessage
+
+        delay = 0.15
+
+        def slow_preprocess(img):
+            time.sleep(delay)
+            return preprocess_clip(img, 24)
+
+        app = ServerApp.__new__(ServerApp)
+        app._mm_pool = None
+        app.args = ServerArgs(preset="tiny-debug", random_weights=True).resolve()
+        app.engine = types.SimpleNamespace(preprocess_image=slow_preprocess)
+
+        b64 = base64.b64encode(make_png()).decode()
+        n = 4
+        msgs = [
+            ChatMessage(
+                role="user",
+                content=[
+                    {
+                        "type": "image_url",
+                        "image_url": {"url": f"data:image/png;base64,{b64}"},
+                    }
+                    for _ in range(n)
+                ],
+            )
+        ]
+
+        async def drive():
+            # the event loop must stay responsive while images decode: a
+            # heartbeat task ticking every 10 ms proves nothing blocks it
+            ticks = []
+
+            async def heartbeat():
+                while True:
+                    ticks.append(time.perf_counter())
+                    await asyncio.sleep(0.01)
+
+            hb = asyncio.ensure_future(heartbeat())
+            t0 = time.perf_counter()
+            px, video = await app._extract_images(msgs)
+            wall = time.perf_counter() - t0
+            hb.cancel()
+            return px, wall, len(ticks)
+
+        px, wall, n_ticks = asyncio.run(drive())
+        assert px.shape == (n, 3, 24, 24)
+        # serial would be >= n * delay; the pool runs all n together
+        assert wall < (n - 1) * delay, f"preprocessing serialized: {wall:.2f}s"
+        # the loop kept ticking while workers slept
+        assert n_ticks >= int(delay / 0.01) - 2
