@@ -503,9 +503,25 @@ class ModelRunner:
 
                     self.params = quantize_model_params_fp8(self.params)
                 elif quantizing:
+                    import os as _os
+
                     from scratchpad_tpu.ops.quant import quantize_model_params
 
-                    self.params = quantize_model_params(self.params)
+                    self.params = quantize_model_params(
+                        self.params,
+                        # fused gate|up: one W4 call per MLP instead of two
+                        # (single-device only; a TP shard of the naive
+                        # concat would span gate-only columns)
+                        fuse_gate_up=(
+                            mesh is None
+                            and not self.args.enable_param_offload
+                            and getattr(
+                                self.model, "supports_fused_gate_up", False
+                            )
+                            and _os.environ.get("SPTPU_FUSE_GATE_UP", "1")
+                            not in ("0", "")
+                        ),
+                    )
             if self.args.quantize_lm_head and mesh is None:
                 # W4 output head: the LM head reads its FULL [V, H] matrix
                 # every decode step (1.05 GiB bf16 at 8B — 1.4 ms/step in

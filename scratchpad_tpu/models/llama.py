@@ -40,6 +40,10 @@ from scratchpad_tpu.ops.attention import (
 class LlamaForCausalLM:
     """Functional model: __call__(params, kv, meta) -> (kv, logits)."""
 
+    # the decoder body consumes the fused gate|up W4 stack when present
+    # (quantize_model_params fuse_gate_up)
+    supports_fused_gate_up = True
+
     def __init__(self, cfg: ModelConfig):
         self.cfg = cfg
         self.inv_freq = compute_inv_freq(cfg)
@@ -381,12 +385,27 @@ class LlamaForCausalLM:
             # rows so gate/up/down run tensor-parallel over tp
             x = shard_rows(x, dpa_mesh, "dp")
             h2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
-            x = x + lin(
-                silu_mul(lin(h2, lp, "gate", lidx), lin(h2, lp, "up", lidx)),
-                lp,
-                "down",
-                lidx,
-            )
+            if qlayers is not None and "gate_up_f" in qlayers:
+                # fused gate|up W4 matmul (single-device): one kernel call
+                # quantizes/reads the activations once for both projections
+                gu = self.quant_matmul(h2, qlayers["gate_up_f"], lidx)
+                Ih = gu.shape[-1] // 2
+                g, u = gu[..., :Ih], gu[..., Ih:]
+                if use_toppings:
+                    g = apply_topping(
+                        h2, g, toppings, "gate", lidx,
+                        meta.active_adapters, token_slot,
+                    )
+                    u = apply_topping(
+                        h2, u, toppings, "up", lidx,
+                        meta.active_adapters, token_slot,
+                    )
+                act = silu_mul(g, u)
+            else:
+                act = silu_mul(
+                    lin(h2, lp, "gate", lidx), lin(h2, lp, "up", lidx)
+                )
+            x = x + lin(act, lp, "down", lidx)
             return (x, kv_c), None
 
         # Unrolled layer loop (default): lax.scan over stacked weights made

@@ -377,3 +377,45 @@ class TestQuantizedLMHead:
         # and the resulting perplexity delta is fractional
         ppl_a, ppl_b = np.exp(-a.mean()), np.exp(-b.mean())
         assert abs(ppl_b - ppl_a) / ppl_a < 0.02, (ppl_a, ppl_b)
+
+
+def test_fused_gate_up_matches_unfused():
+    """quantize_model_params(fuse_gate_up=True) must generate bit-identical
+    logprobs to the unfused engine: group quantization runs along In, so
+    concatenating gate|up along Out changes nothing per column — only the
+    number of kernel calls (VERDICT r3 item 6)."""
+    import os
+
+    from scratchpad_tpu.config import ServerArgs
+    from scratchpad_tpu.sampling.sampling_params import SamplingParams
+    from scratchpad_tpu.server.engine import Engine
+
+    common = dict(
+        preset="tiny-debug",
+        random_weights=True,
+        dtype="float32",
+        page_size=4,
+        max_total_tokens=1024,
+        quantization="w4a16",
+    )
+    p = np.random.default_rng(11).integers(1, 500, 12).tolist()
+    sp = SamplingParams(temperature=0.0, max_new_tokens=6, ignore_eos=True)
+
+    fused = Engine(ServerArgs(**common))
+    assert "gate_up_f" in fused.scheduler.runner.params["layers_q"]
+    a = fused.generate(input_ids=p, sampling_params=sp, return_logprob=True)
+
+    os.environ["SPTPU_FUSE_GATE_UP"] = "0"
+    try:
+        plain = Engine(ServerArgs(**common))
+        assert "gate" in plain.scheduler.runner.params["layers_q"]
+        b = plain.generate(input_ids=p, sampling_params=sp, return_logprob=True)
+    finally:
+        del os.environ["SPTPU_FUSE_GATE_UP"]
+
+    assert a.output_ids == b.output_ids
+    np.testing.assert_allclose(
+        np.asarray(a.output_token_logprobs),
+        np.asarray(b.output_token_logprobs),
+        rtol=1e-6, atol=1e-6,
+    )
