@@ -43,6 +43,10 @@ class ServerArgs:
     enable_mixed_chunk: bool = False
     stream_interval: int = 1
     watchdog_timeout: float = 120.0
+    # multi-turn session store bounds (Engine.open_session): LRU capacity
+    # + idle TTL so long-lived serving can't accumulate history unbounded
+    max_sessions: int = 1024
+    session_ttl: float = 3600.0  # seconds idle before expiry; <= 0 = never
 
     # memory
     page_size: int = 16  # tokens per KV page (TPU DMA granularity)

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from scratchpad_tpu.config import ServerArgs
 from scratchpad_tpu.config.model_config import ModelConfig
 from scratchpad_tpu.executor.model_runner import ModelRunner

@@ -4,6 +4,8 @@ image-span attention mask and chunk alignment around spans."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from scratchpad_tpu.config import ServerArgs
 from scratchpad_tpu.config.model_config import ModelConfig
 

@@ -4,6 +4,8 @@ alternating sliding/full layers, clamped-swiglu MoE, yarn rope)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from scratchpad_tpu.config import ServerArgs
 from scratchpad_tpu.config.model_config import ModelConfig
 from scratchpad_tpu.executor.model_runner import ModelRunner

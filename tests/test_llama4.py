@@ -5,6 +5,8 @@ routing + shared expert, interleaved dense/MoE layers, L2 qk-norm)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from scratchpad_tpu.config import ServerArgs
 from scratchpad_tpu.config.model_config import ModelConfig
 from scratchpad_tpu.executor.model_runner import ModelRunner

@@ -1,6 +1,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from scratchpad_tpu.config import ServerArgs
 from scratchpad_tpu.config.model_config import ModelConfig, get_preset
 from scratchpad_tpu.executor.model_runner import ModelRunner

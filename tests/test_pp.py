@@ -8,6 +8,8 @@ greedy outputs against the single-device engine.
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 from jax.sharding import Mesh
 

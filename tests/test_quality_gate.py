@@ -15,6 +15,8 @@ Recorded values live in QUALITY.md.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from scratchpad_tpu.config import ServerArgs
 from scratchpad_tpu.server.engine import Engine
 

@@ -3,6 +3,8 @@ conversion into the engine's nibble-plane QuantizedLinear format."""
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import jax.numpy as jnp
 
 from scratchpad_tpu.ops.quant.import_hf import (

@@ -2,6 +2,8 @@
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import torch
 
 from scratchpad_tpu.config.model_config import ModelConfig

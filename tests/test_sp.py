@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from scratchpad_tpu.config.model_config import ModelConfig
 from scratchpad_tpu.executor.forward_meta import ForwardMeta, ForwardMode
 from scratchpad_tpu.memory.kv_cache import KVCacheConfig, create_kv_cache

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from scratchpad_tpu.config import ServerArgs
 from scratchpad_tpu.sampling.sampling_params import SamplingParams
 from scratchpad_tpu.server.engine import Engine

@@ -8,6 +8,8 @@ reuse, windows, pipelining) — and no page/slot ever leaks.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from scratchpad_tpu.config import ServerArgs
 from scratchpad_tpu.sampling.sampling_params import SamplingParams
 from scratchpad_tpu.server.engine import Engine
