@@ -121,11 +121,28 @@ def _eval(args: argparse.Namespace) -> None:
                 "lm-eval is not installed in this image; use --eval-data "
                 "JSONL for offline perplexity / multiple-choice evaluation"
             )
-        # lm-eval drives an OpenAI endpoint; point it at a running server
-        sys.exit(
-            "run `sptpu serve` and invoke lm-eval with "
-            "--model local-completions pointing at the server"
-        )
+        if not args.base_url:
+            sys.exit(
+                "--lm-eval needs --base-url of a running `sptpu serve` "
+                "endpoint (lm-eval drives the OpenAI completions API)"
+            )
+        # passthrough: run the harness against our served endpoint — the
+        # reference's `sp benchmark` shape (reference: cli/sp.py:59-68)
+        import subprocess
+
+        cmd = [
+            sys.executable, "-m", "lm_eval",
+            "--model", "local-completions",
+            "--model_args",
+            (
+                f"base_url={args.base_url}/v1/completions,"
+                "model=model,tokenized_requests=False"
+            ),
+            "--tasks", args.lm_eval,
+        ]
+        if args.limit:
+            cmd += ["--limit", str(args.limit)]
+        raise SystemExit(subprocess.run(cmd).returncode)
 
     if args.base_url:
         # HTTP mode: score through a running server's echo+logprobs

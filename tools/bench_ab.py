@@ -65,6 +65,26 @@ def main() -> None:
             dict(preset="llama-3.1-8b", dtype="bfloat16", quant="w4a8",
                  kv_dtype="int8", batch_size=64, max_total_tokens=32768),
         ]
+    elif suite == "r4round2":
+        # one session: pipeline-depth A/B on the recorded bf16 1B config,
+        # then the quantized 1B/8B configs with the fused gate|up kernel
+        runs = [
+            dict(preset="llama-3.2-1b", dtype="bfloat16", quant=None,
+                 kv_dtype="auto", batch_size=64, max_total_tokens=65536,
+                 env={"SPTPU_BENCH_PIPELINE": "1"}),
+            dict(preset="llama-3.2-1b", dtype="bfloat16", quant=None,
+                 kv_dtype="auto", batch_size=64, max_total_tokens=65536,
+                 env={"SPTPU_BENCH_PIPELINE": "2"}),
+            dict(preset="llama-3.2-1b", dtype="bfloat16", quant=None,
+                 kv_dtype="auto", batch_size=64, max_total_tokens=65536,
+                 env={"SPTPU_BENCH_PIPELINE": "3"}),
+            dict(preset="llama-3.2-1b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="auto", batch_size=64, max_total_tokens=65536),
+            dict(preset="llama-3.2-1b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="int8", batch_size=64, max_total_tokens=65536),
+            dict(preset="llama-3.1-8b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="int8", batch_size=32, max_total_tokens=32768),
+        ]
     else:
         raise SystemExit(f"unknown suite {suite!r}")
 
