@@ -106,12 +106,24 @@ def preprocess_tiled(
     n_tiles)."""
     from PIL import Image
 
+    import math
+
     w, h = img.size
     ar_id, th, tw = select_tiling(w, h, tile_size, supported)
     ch, cw = th * tile_size, tw * tile_size
-    scale = min(cw / w, ch / h)
-    nw, nh = max(1, round(w * scale)), max(1, round(h * scale))
-    img = img.resize((nw, nh), Image.BICUBIC)
+    # HF get_image_size_fit_to_canvas: clamp the target into
+    # [tile_size, canvas], scale by the binding axis, FLOOR the other
+    # (bilinear resample — the HF default; bicubic mismatched ~all pixels)
+    tgt_w = min(max(w, tile_size), cw)
+    tgt_h = min(max(h, tile_size), ch)
+    scale_w, scale_h = tgt_w / w, tgt_h / h
+    if scale_w < scale_h:
+        nw = tgt_w
+        nh = min(math.floor(h * scale_w) or 1, tgt_h)
+    else:
+        nh = tgt_h
+        nw = min(math.floor(w * scale_h) or 1, tgt_w)
+    img = img.resize((nw, nh), Image.BILINEAR)
     canvas = np.zeros((ch, cw, 3), np.float32)
     canvas[:nh, :nw] = np.asarray(img, np.float32) / 255.0
     canvas = (canvas - mean) / std
