@@ -112,6 +112,7 @@ class TestLearnedRouter:
             _toy_embed,
             penalty=np.array([50.0, 0.0], np.float32),
             epochs=200,
+            seed=0,  # unseeded init made this order-dependent across runs
         )
         assert r.route("hello there friend") == "chat"
         assert r.route("thanks") == "chat"

@@ -67,8 +67,13 @@ def main() -> None:
         ]
     elif suite == "r4round2":
         # one session: pipeline-depth A/B on the recorded bf16 1B config,
-        # then the quantized 1B/8B configs with the fused gate|up kernel
+        # then the quantized configs with the fused gate|up kernel; the 3B
+        # pair re-anchors the north-star ratio with the fusion in
         runs = [
+            dict(preset="llama-3.2-3b", dtype="bfloat16", quant=None,
+                 kv_dtype="auto", batch_size=64, max_total_tokens=32768),
+            dict(preset="llama-3.2-3b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="int8", batch_size=64, max_total_tokens=32768),
             dict(preset="llama-3.2-1b", dtype="bfloat16", quant=None,
                  kv_dtype="auto", batch_size=64, max_total_tokens=65536,
                  env={"SPTPU_BENCH_PIPELINE": "1"}),
