@@ -538,6 +538,32 @@ class ModelRunner:
                 self.params["lm_head_q"] = quantize_stacked(
                     jnp.swapaxes(jnp.asarray(w), 0, 1)[None]
                 )
+            if (
+                "layers_q" in self.params
+                and mesh is None
+                and jax.default_backend() != "cpu"
+                and __import__("os").environ.get("SPTPU_W4_4BIT", "0") == "1"
+            ):
+                # 4-bit-native storage (opt-in): one Mosaic cast replaces
+                # the whole u8 unpack chain (pallas_w4.Quantized4bit).
+                # Non-32-multiple group sizes keep u8 planes — the cast
+                # result's sublane group slices wouldn't tile.
+                from scratchpad_tpu.ops.quant.pallas_w4 import to_4bit
+                from scratchpad_tpu.ops.quant.w4a16 import QuantizedLinear
+
+                def conv4(v):
+                    if (
+                        isinstance(v, QuantizedLinear)
+                        and v.group_size % 32 == 0
+                    ):
+                        return to_4bit(v)
+                    return v
+
+                self.params["layers_q"] = {
+                    k: conv4(v) for k, v in self.params["layers_q"].items()
+                }
+                if "lm_head_q" in self.params:
+                    self.params["lm_head_q"] = conv4(self.params["lm_head_q"])
             if mesh is not None and self.pp_size > 1:
                 from scratchpad_tpu.parallel.pp import pp_param_specs
 

@@ -39,9 +39,18 @@ def make_quant_matmul():
         from scratchpad_tpu.ops.quant import slice_layer, w4a16_matmul_xla
 
         return lambda x, ql, l: w4a16_matmul_xla(x, slice_layer(ql, l))
-    from scratchpad_tpu.ops.quant.pallas_w4 import w4a16_matmul_pallas
+    from scratchpad_tpu.ops.quant.pallas_w4 import (
+        Quantized4bit,
+        w4_matmul_4bit,
+        w4a16_matmul_pallas,
+    )
 
-    return w4a16_matmul_pallas
+    def dispatch(x, ql, l):
+        if isinstance(ql, Quantized4bit):  # 4-bit-native storage opt-in
+            return w4_matmul_4bit(x, ql, l, a8=False)
+        return w4a16_matmul_pallas(x, ql, l)
+
+    return dispatch
 
 
 def make_w4a8_quant_matmul():
@@ -54,9 +63,18 @@ def make_w4a8_quant_matmul():
         from scratchpad_tpu.ops.quant import slice_layer, w4a8_matmul_xla
 
         return lambda x, ql, l: w4a8_matmul_xla(x, slice_layer(ql, l))
-    from scratchpad_tpu.ops.quant.pallas_w4 import w4a8_matmul_pallas
+    from scratchpad_tpu.ops.quant.pallas_w4 import (
+        Quantized4bit,
+        w4_matmul_4bit,
+        w4a8_matmul_pallas,
+    )
 
-    return w4a8_matmul_pallas
+    def dispatch(x, ql, l):
+        if isinstance(ql, Quantized4bit):  # 4-bit-native storage opt-in
+            return w4_matmul_4bit(x, ql, l, a8=True)
+        return w4a8_matmul_pallas(x, ql, l)
+
+    return dispatch
 
 
 def dp_attention_respec(specs: dict, attn_keys: frozenset) -> dict:

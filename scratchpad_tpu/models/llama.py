@@ -63,20 +63,11 @@ class LlamaForCausalLM:
         # attention impls; the executor may swap in Pallas kernels
         self.decode_attention = decode_attention_xla
         self.extend_attention = extend_attention_xla
-        # W4A16 matmul: Pallas on accelerators, XLA reference path on CPU
-        # (SPTPU_W4_IMPL=xla forces the XLA fused-dequant path for A/B tests)
-        import os
+        # W4A16 matmul: Pallas on accelerators (4-bit-native storage when
+        # converted), XLA reference path on CPU / SPTPU_W4_IMPL=xla
+        from scratchpad_tpu.models.common import make_quant_matmul
 
-        if jax.default_backend() == "cpu" or os.environ.get("SPTPU_W4_IMPL") == "xla":
-            from scratchpad_tpu.ops.quant import slice_layer, w4a16_matmul_xla
-
-            self.quant_matmul = lambda x, ql, l: w4a16_matmul_xla(
-                x, slice_layer(ql, l)
-            )
-        else:
-            from scratchpad_tpu.ops.quant.pallas_w4 import w4a16_matmul_pallas
-
-            self.quant_matmul = w4a16_matmul_pallas
+        self.quant_matmul = make_quant_matmul()
 
     # ------------------------------------------------------------- parameters
 

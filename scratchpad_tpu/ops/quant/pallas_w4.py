@@ -278,3 +278,204 @@ def w4a16_matmul_pallas(
     if ql.out_true:
         y = y[..., : ql.out_true]
     return y
+
+
+# ---------------------------------------------------------------------------
+# 4-bit-native storage: Mosaic accepts uint4/int4 kernel inputs with DIRECT
+# casts (u4 -> i8 and s4 -> bf16 both compile; sub-32-bit SHIFTS still do
+# not), so storing the full-height nibble tensor as a 4-bit array replaces
+# the whole unpack chain (u8 -> i32 widen -> mask/shift -> narrow; the r3
+# profile's ~41%-of-SOL VPU cost) with ONE hardware cast. Same HBM bytes
+# (0.5 B/elem). Kept OPT-IN (SPTPU_W4_4BIT=1) until the 4-bit-at-rest
+# layout is proven through the axon relay (r3 found s4 arrays crossing a
+# jit boundary could trigger a device_put relayout recursion; here they are
+# materialised ON DEVICE by a jitted converter and never transferred).
+# ---------------------------------------------------------------------------
+
+
+import dataclasses as _dc
+
+
+@_dc.dataclass
+class Quantized4bit:
+    """Layer-stacked 4-bit-native planes. ``q4`` holds the UNSIGNED nibble
+    values 0..15 stored as int4 via a -8 shift (int4 because u4 -> bf16 is
+    not a legal Mosaic cast while s4 -> bf16 and s4 -> i8 both are); the
+    shift is folded into ``z`` (z4 = z - 8) so dequant math is unchanged:
+    w = (q4 - z4) * s."""
+
+    q4: jax.Array  # int4 [L, In, Out], value = nibble - 8
+    s: jax.Array  # [L, G, Out]
+    z: jax.Array  # [L, G, Out]  (already shifted by -8)
+    group_size: int = 128
+    out_true: int = 0
+
+
+jax.tree_util.register_dataclass(
+    Quantized4bit,
+    data_fields=["q4", "s", "z"],
+    meta_fields=["group_size", "out_true"],
+)
+
+
+def to_4bit(ql: QuantizedLinear) -> Quantized4bit:
+    """Device-side conversion u8 nibble planes -> full-height int4 tensor.
+    Jitted per layer so the i32 intermediates never cover the whole stack;
+    the int4 output is CREATED on device (no host device_put of 4-bit
+    arrays — the r3 relay landmine)."""
+
+    @jax.jit
+    def conv(q):  # [half, Out] u8 -> [In, Out] s4 (nibble - 8)
+        qi = q.astype(jnp.int32)
+        full = jnp.concatenate([qi & 0xF, qi >> 4], axis=0) - 8
+        return full.astype(jnp.int4)
+
+    L = ql.q.shape[0]
+    q4 = jnp.stack([conv(ql.q[l]) for l in range(L)])
+    return Quantized4bit(
+        q4=q4,
+        s=ql.s,
+        z=ql.z.astype(jnp.float32) - 8.0,
+        group_size=ql.group_size,
+        out_true=ql.out_true,
+    )
+
+
+def _w4a8_kernel_q4(
+    layer_ref, x8_ref, ax_ref, gsum_ref, q_ref, s_ref, z_ref, o_ref, *,
+    group_size,
+):
+    """W4A8 over 4-bit-native storage: ONE s4 -> i8 cast replaces the
+    u8 unpack chain; group dots and the factored zero correction are
+    identical to _w4a8_kernel (z here is already nibble-shifted)."""
+    x8 = x8_ref[...]  # [B, In] int8
+    B = x8.shape[0]
+    G = s_ref.shape[1]
+    qi = q_ref[0].astype(jnp.int8)  # [In, OUT_BLK] — the entire "unpack"
+    out_blk = qi.shape[-1]
+    acc = jnp.zeros((B, out_blk), jnp.float32)
+    for g in range(G):
+        xg = x8[:, g * group_size : (g + 1) * group_size]
+        pg = jax.lax.dot(
+            xg,
+            qi[g * group_size : (g + 1) * group_size],
+            preferred_element_type=jnp.int32,
+        )
+        acc = acc + pg.astype(jnp.float32) * s_ref[0][g][None, :].astype(
+            jnp.float32
+        )
+    xg_sum = gsum_ref[...]
+    zs = -(z_ref[0].astype(jnp.float32) * s_ref[0].astype(jnp.float32))
+    acc = acc + jax.lax.dot(xg_sum, zs, preferred_element_type=jnp.float32)
+    o_ref[...] = (acc * ax_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _w4_kernel_q4(layer_ref, x_ref, q_ref, s_ref, z_ref, o_ref, *, group_size):
+    """W4A16 over 4-bit-native storage: s4 -> bf16 hardware cast, then the
+    group-factored v2 math (zero correction uses the shifted z)."""
+    x = x_ref[...]
+    dtype = x.dtype
+    B = x.shape[0]
+    G = s_ref.shape[1]
+    w = q_ref[0].astype(dtype)  # [In, OUT_BLK] — the entire dequant unpack
+    out_blk = w.shape[-1]
+    acc = jnp.zeros((B, out_blk), jnp.float32)
+    for g in range(G):
+        xg = x[:, g * group_size : (g + 1) * group_size]
+        pg = jax.lax.dot(
+            xg,
+            w[g * group_size : (g + 1) * group_size],
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + pg * s_ref[0][g][None, :].astype(jnp.float32)
+    xg_sum = jnp.sum(x.astype(jnp.float32).reshape(B, G, group_size), axis=2)
+    zs = (z_ref[0].astype(jnp.float32) * s_ref[0].astype(jnp.float32))
+    acc = acc - jax.lax.dot(xg_sum, zs, preferred_element_type=jnp.float32)
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "out_block", "a8"))
+def _w4_q4_call(x, q4, s, z, layer_idx, *, group_size, out_block, a8):
+    B, In = x.shape
+    L, _, Out = q4.shape
+    G = s.shape[1]
+    OUT_BLK = min(out_block, Out)
+    while Out % OUT_BLK:
+        OUT_BLK -= 128 if OUT_BLK > 128 else 1
+    ROW_BLK = min(B, 512)
+
+    # q4 block 0.5 B/elem double-buffered + the cast intermediate
+    # (i8: 1 B/elem, bf16: 2 B/elem) + accumulators on the out block
+    cast_b = 1 if a8 else 2
+    xb = 2 if a8 else 4  # x block bytes/elem (i8 vs bf16), double-buffered
+
+    def vmem_cost(r, o):
+        return (
+            xb * r * In
+            + (1 + cast_b) * In * o
+            + 12 * r * o
+            + 8 * r * G
+            + 8 * r
+        )
+
+    BUDGET = 14 * 2**20
+    while vmem_cost(ROW_BLK, OUT_BLK) > BUDGET and OUT_BLK > 128:
+        OUT_BLK //= 2
+    while vmem_cost(ROW_BLK, OUT_BLK) > BUDGET and ROW_BLK > 64:
+        ROW_BLK //= 2
+    assert B % ROW_BLK == 0 and Out % OUT_BLK == 0
+
+    operands = [jnp.atleast_1d(layer_idx).astype(jnp.int32)]
+    if a8:
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1, keepdims=True)
+        ax = jnp.where(amax == 0.0, 1.0, amax / 127.0)
+        x8 = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / ax), -127, 127
+        ).astype(jnp.int8)
+        gsum = jnp.sum(
+            x8.reshape(B, G, group_size).astype(jnp.int32), axis=2
+        ).astype(jnp.float32)
+        operands += [x8, ax, gsum]
+        in_specs = [
+            pl.BlockSpec((ROW_BLK, In), lambda r, o, l: (r, 0)),
+            pl.BlockSpec((ROW_BLK, 1), lambda r, o, l: (r, 0)),
+            pl.BlockSpec((ROW_BLK, G), lambda r, o, l: (r, 0)),
+        ]
+        kernel = functools.partial(_w4a8_kernel_q4, group_size=group_size)
+    else:
+        operands += [x]
+        in_specs = [pl.BlockSpec((ROW_BLK, In), lambda r, o, l: (r, 0))]
+        kernel = functools.partial(_w4_kernel_q4, group_size=group_size)
+    operands += [q4, s, z]
+    in_specs += [
+        pl.BlockSpec((1, In, OUT_BLK), lambda r, o, l: (l[0], 0, o)),
+        pl.BlockSpec((1, G, OUT_BLK), lambda r, o, l: (l[0], 0, o)),
+        pl.BlockSpec((1, G, OUT_BLK), lambda r, o, l: (l[0], 0, o)),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // ROW_BLK, Out // OUT_BLK),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((ROW_BLK, OUT_BLK), lambda r, o, l: (r, o)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Out), x.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(*operands)
+
+
+def w4_matmul_4bit(
+    x: jax.Array, ql: Quantized4bit, layer_idx, a8: bool,
+    out_block: int = None,
+) -> jax.Array:
+    if out_block is None:
+        out_block = int(os.environ.get("SPTPU_W4_OUT_BLOCK", "1024"))
+    y = _w4_q4_call(
+        x, ql.q4, ql.s, ql.z, layer_idx,
+        group_size=ql.group_size, out_block=out_block, a8=a8,
+    )
+    if ql.out_true:
+        y = y[..., : ql.out_true]
+    return y

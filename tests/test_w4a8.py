@@ -148,3 +148,72 @@ class TestW4A8Engine:
         assert np.isfinite(b).all()
         a = np.asarray(ref.output_token_logprobs)
         assert np.abs(a.mean() - b.mean()) < 1.0, (a, b)
+
+
+class TestFourBitNative:
+    """4-bit-native storage (pallas_w4.Quantized4bit): Mosaic-direct s4
+    casts replace the u8 unpack chain. Interpret-mode parity vs the u8
+    kernels / XLA reference (on-chip perf is measured by bench_ab)."""
+
+    def _ql(self, rng, L=2, In=256, Out=256, g=128):
+        w = rng.normal(size=(L, In, Out)).astype(np.float32)
+        return quantize_stacked(w, group_size=g, dtype=jnp.float32), w
+
+    def test_to_4bit_roundtrip(self):
+        from scratchpad_tpu.ops.quant.pallas_w4 import to_4bit
+
+        rng = np.random.default_rng(17)
+        ql, _ = self._ql(rng)
+        q4 = to_4bit(ql)
+        assert q4.q4.dtype == jnp.int4
+        assert q4.q4.shape == (2, 256, 256)
+        # nibble - 8 must reproduce the unsigned nibbles exactly
+        lo = np.asarray(ql.q & 0xF, np.int32)
+        hi = np.asarray(ql.q >> 4, np.int32)
+        full = np.concatenate([lo, hi], axis=1) - 8
+        np.testing.assert_array_equal(
+            np.asarray(q4.q4, np.int32), full
+        )
+        np.testing.assert_allclose(
+            np.asarray(q4.z), np.asarray(ql.z, np.float32) - 8.0
+        )
+
+    def test_a8_matches_u8_kernel(self):
+        from scratchpad_tpu.ops.quant.pallas_w4 import to_4bit, w4_matmul_4bit
+
+        rng = np.random.default_rng(19)
+        ql, _ = self._ql(rng)
+        q4 = to_4bit(ql)
+        x = jnp.asarray(rng.normal(size=(8, 256)), jnp.float32)
+        for l in range(2):
+            ref = w4a8_matmul_xla(x, slice_layer(ql, l))
+            out = w4_matmul_4bit(x, q4, jnp.int32(l), a8=True, out_block=128)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+            )
+
+    def test_a16_matches_dequant_reference(self):
+        from scratchpad_tpu.ops.quant.pallas_w4 import to_4bit, w4_matmul_4bit
+
+        rng = np.random.default_rng(23)
+        ql, _ = self._ql(rng)
+        q4 = to_4bit(ql)
+        x = jnp.asarray(rng.normal(size=(8, 256)), jnp.float32)
+        for l in range(2):
+            ref = x @ dequantize_w4(slice_layer(ql, l), jnp.float32)
+            out = w4_matmul_4bit(x, q4, jnp.int32(l), a8=False, out_block=128)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
+            )
+
+    def test_out_true_slices(self):
+        from scratchpad_tpu.ops.quant.pallas_w4 import to_4bit, w4_matmul_4bit
+
+        rng = np.random.default_rng(29)
+        w = rng.normal(size=(1, 256, 200)).astype(np.float32)
+        ql = quantize_stacked(w, group_size=128, dtype=jnp.float32)
+        q4 = to_4bit(ql)
+        assert q4.out_true == 200
+        x = jnp.asarray(rng.normal(size=(4, 256)), jnp.float32)
+        out = w4_matmul_4bit(x, q4, jnp.int32(0), a8=False, out_block=128)
+        assert out.shape == (4, 200)

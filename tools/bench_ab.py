@@ -89,6 +89,17 @@ def main() -> None:
                  kv_dtype="int8", batch_size=64, max_total_tokens=65536),
             dict(preset="llama-3.1-8b", dtype="bfloat16", quant="w4a8",
                  kv_dtype="int8", batch_size=32, max_total_tokens=32768),
+            # 4-bit-native storage (one Mosaic s4 cast replaces the u8
+            # unpack chain) — the r4 kernel experiment
+            dict(preset="llama-3.2-1b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="int8", batch_size=64, max_total_tokens=65536,
+                 env={"SPTPU_W4_4BIT": "1"}),
+            dict(preset="llama-3.2-3b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="int8", batch_size=64, max_total_tokens=32768,
+                 env={"SPTPU_W4_4BIT": "1"}),
+            dict(preset="llama-3.1-8b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="int8", batch_size=32, max_total_tokens=32768,
+                 env={"SPTPU_W4_4BIT": "1"}),
         ]
     else:
         raise SystemExit(f"unknown suite {suite!r}")
