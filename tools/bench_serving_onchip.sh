@@ -1,0 +1,35 @@
+#!/bin/bash
+# On-chip serving benchmark: boot the full HTTP stack on the TPU, drive an
+# open-loop load with tools/bench_serving.py, record TTFT/TPOT/ITL/goodput
+# (VERDICT r3 item 5; reference harness: tools/benchmark/bench_perf.py).
+# Writes SERVING_r04.json at the repo root. Kills only its own server PID.
+set -u
+cd "$(dirname "$0")/.."
+PORT=${PORT:-18310}
+PRESET=${PRESET:-llama-3.2-1b}
+NPROMPTS=${NPROMPTS:-64}
+RATE=${RATE:-8}
+OUT=${OUT:-SERVING_r04.json}
+
+python -m scratchpad_tpu.cli.sp serve --preset "$PRESET" --random-weights \
+  --max-total-tokens 65536 --max-running-requests 64 \
+  --port "$PORT" > /tmp/serve_onchip.log 2>&1 &
+SPID=$!
+trap 'kill $SPID 2>/dev/null' EXIT
+
+for i in $(seq 1 120); do
+  if curl -fs "http://127.0.0.1:$PORT/health" > /dev/null 2>&1; then
+    break
+  fi
+  sleep 5
+done
+curl -fs "http://127.0.0.1:$PORT/health" || { echo "server never became healthy"; exit 1; }
+
+# warmup pass compiles the serving buckets
+python tools/bench_serving.py --base-url "http://127.0.0.1:$PORT" \
+  --model "$PRESET" --num-prompts 8 --input-len 256 --output-len 32 \
+  --request-rate 0 > /dev/null 2>&1
+
+python tools/bench_serving.py --base-url "http://127.0.0.1:$PORT" \
+  --model "$PRESET" --num-prompts "$NPROMPTS" --input-len 256 --output-len 64 \
+  --request-rate "$RATE" --slo-ttft 5.0 --slo-itl 0.5 --output "$OUT"
