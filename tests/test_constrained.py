@@ -88,6 +88,7 @@ class TestJsonSchema:
             ["[1, 2, 3, 4]", '["a"]'],
         )
 
+    @pytest.mark.slow  # 80s: deep PDA walk over generic JSON
     def test_generic_json(self):
         self.check(
             True,

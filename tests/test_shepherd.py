@@ -51,12 +51,16 @@ def test_max_policy_and_threshold_fallback():
 
 
 def _toy_embed(text: str):
-    """Deterministic bag-of-words hashing embedding for offline tests."""
+    """Deterministic bag-of-words hashing embedding for offline tests.
+    zlib.crc32, NOT hash(): str hashing is randomized per process
+    (PYTHONHASHSEED), which made router outcomes flake across runs."""
+    import zlib
+
     import numpy as np
 
     v = np.zeros(64, np.float32)
     for w in text.lower().split():
-        v[hash(w) % 64] += 1.0
+        v[zlib.crc32(w.encode()) % 64] += 1.0
     return v
 
 
