@@ -83,7 +83,13 @@ def build_sched(preset, dtype, quant, kv_dtype, batch_size, max_total_tokens,
         # the startup ladder capture would double the (relay-expensive)
         # compile/exec work per run
         warmup_capture=False,
-        quantize_lm_head=os.environ.get("SPTPU_BENCH_QLM", "") not in ("", "0"),
+        # unset -> None (auto: 4-bit head for W4-quantized engines);
+        # "0" forces off, anything else forces on
+        quantize_lm_head=(
+            None
+            if "SPTPU_BENCH_QLM" not in os.environ
+            else os.environ["SPTPU_BENCH_QLM"] not in ("", "0")
+        ),
     )
     sched = Scheduler(cfg, args)
 

@@ -29,7 +29,12 @@ class ServerArgs:
     # 4-bit (group-128) LM head: the output projection reads its full
     # [V, H] matrix every decode step (1.05 GiB bf16 at 8B); tied models
     # keep the bf16 embedding for lookups and quantize a head copy
-    quantize_lm_head: bool = False
+    # 4-bit LM head. None = auto: ON for W4-quantized single-device
+    # engines — the head reads its FULL [V, H] bf16 matrix every decode
+    # step (0.79 GiB at 3B tied-embedding models = ~1/3 of the quantized
+    # config's per-step reads; 1.05 GiB at 8B), so leaving it bf16 caps
+    # the W4 speedup. Off for bf16 engines and meshes.
+    quantize_lm_head: Optional[bool] = None
     random_weights: bool = False  # initialise random weights (benchmarks)
     context_length: Optional[int] = None
 

@@ -522,7 +522,23 @@ class ModelRunner:
                             not in ("0", "")
                         ),
                     )
-            if self.args.quantize_lm_head and mesh is None:
+            qlm = self.args.quantize_lm_head
+            if qlm is None:
+                # auto: a bf16 head is ~1/3 of a W4 engine's per-step reads
+                # at tied-embedding models (0.79 GiB at 3B) — quantize it
+                # whenever the decoder weights are quantized. EAGLE needs
+                # the bf16 head for its shared draft head.
+                qlm = (
+                    self.args.quantization
+                    in ("w4a16", "w4", "w4a8", "awq", "gptq", "gptq_v2")
+                    and self.args.speculative_algorithm != "eagle"
+                    # the model's logits epilogue must read lm_head_q
+                    # (untied non-Llama families read params["lm_head"])
+                    and getattr(
+                        self.model, "supports_quantized_lm_head", False
+                    )
+                )
+            if qlm and mesh is None:
                 # W4 output head: the LM head reads its FULL [V, H] matrix
                 # every decode step (1.05 GiB bf16 at 8B — 1.4 ms/step in
                 # the r3 profile, bandwidth-bound); 4-bit halves+halves it.

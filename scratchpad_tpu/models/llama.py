@@ -43,6 +43,9 @@ class LlamaForCausalLM:
     # the decoder body consumes the fused gate|up W4 stack when present
     # (quantize_model_params fuse_gate_up)
     supports_fused_gate_up = True
+    # the logits epilogue consumes params["lm_head_q"] when present
+    # (model_runner quantize_lm_head auto)
+    supports_quantized_lm_head = True
 
     def __init__(self, cfg: ModelConfig):
         self.cfg = cfg
