@@ -101,6 +101,21 @@ def main() -> None:
                  kv_dtype="int8", batch_size=32, max_total_tokens=32768,
                  env={"SPTPU_W4_4BIT": "1"}),
         ]
+    elif suite == "qlm":
+        # all levers in: depth-2 pipeline + fused gate|up + auto 4-bit LM
+        # head (+ 4-bit-native storage when SPTPU_W4_4BIT survives B)
+        runs = [
+            dict(preset="llama-3.2-3b", dtype="bfloat16", quant=None,
+                 kv_dtype="auto", batch_size=64, max_total_tokens=32768),
+            dict(preset="llama-3.2-3b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="int8", batch_size=64, max_total_tokens=32768),
+            dict(preset="llama-3.2-3b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="int8", batch_size=32, max_total_tokens=32768),
+            dict(preset="llama-3.2-1b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="int8", batch_size=64, max_total_tokens=65536),
+            dict(preset="llama-3.1-8b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="int8", batch_size=32, max_total_tokens=32768),
+        ]
     else:
         raise SystemExit(f"unknown suite {suite!r}")
 
