@@ -305,9 +305,11 @@ def main() -> None:
         return
 
     # default suite: bf16 then the quantized serving configs; the LAST
-    # line is the headline the driver records (w4a8+int8KV = the fastest
-    # production config, VERDICT r3 item 3)
-    suite = os.environ.get("SPTPU_BENCH_SUITE", "bf16,w4a8,w4a8+int8")
+    # line is the headline the driver records. Plain W4A8 runs last: at 1B
+    # the quantized-KV kernel's per-chunk scale work costs more than the
+    # byte savings (r4 session B: 16.8k vs 15.4k with int8 KV), so w4a8 is
+    # the fastest 1B production config (VERDICT r3 item 3)
+    suite = os.environ.get("SPTPU_BENCH_SUITE", "bf16,w4a8+int8,w4a8")
     for entry in suite.split(","):
         entry = entry.strip()
         q, _, kv = entry.partition("+")

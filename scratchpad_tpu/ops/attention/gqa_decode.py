@@ -66,6 +66,7 @@ def _gqa_decode_kernel(
     packed: bool = False,
     page_base: int = 0,
     head_slots: Optional[int] = None,
+    n_slots: int = 2,
 ):
     if dynamic_window:
         # i32[1] per-CALL window (a per-layer value traced through the
@@ -160,10 +161,29 @@ def _gqa_decode_kernel(
         for dma in chunk_dmas(seq, c, slot):
             dma.wait()
 
+    def adv(seq, c):
+        """One step along the global chunk order (next chunk of seq, else
+        the next sequence's first live chunk). Reads clamp at B-1 so
+        walking past the batch end stays in bounds; callers guard on
+        seq < B before starting DMAs."""
+        sc_ = jnp.minimum(seq, B - 1)
+        last = c + 1 >= nchunks(sc_)
+        nseq = jnp.where(last, seq + 1, seq)
+        nc = jnp.where(last, first_chunk(jnp.minimum(nseq, B - 1)), c + 1)
+        return nseq, nc
+
     @pl.when(b == 0)
     def _():
         cursor[0] = 0
-        start_chunk(0, first_chunk(0), 0)
+        # fill the pipeline n_slots-1 deep before the first wait
+        seq, c = jnp.int32(0), first_chunk(0)
+        for k in range(n_slots - 1):
+            if k > 0:
+                seq, c = adv(seq, c)
+
+            @pl.when(seq < B)
+            def _(seq=seq, c=c, k=k):
+                start_chunk(seq, c, k)
 
     slot0 = cursor[0]
     seq_len = len_ref[b]
@@ -208,19 +228,21 @@ def _gqa_decode_kernel(
 
     def body(c, carry):
         m, l, acc = carry
-        slot = jax.lax.rem(slot0 + c - c0, 2)
+        slot = jax.lax.rem(slot0 + c - c0, n_slots)
 
-        # prefetch successor chunk: next chunk of this seq, else the next
-        # sequence's first LIVE chunk — the pipeline never drains mid-batch
-        last_of_seq = c + 1 >= live
-        nseq = jnp.where(last_of_seq, b + 1, b)
-        nc = jnp.where(
-            last_of_seq, first_chunk(jnp.minimum(nseq, B - 1)), c + 1
-        )
+        # prefetch the chunk n_slots-1 ahead in the GLOBAL order (walking
+        # across sequence boundaries) into the slot that frees this
+        # iteration — the pipeline never drains mid-batch and deeper
+        # buffering covers bursts of DMA-issue latency
+        nseq, nc = b, c
+        for _ in range(n_slots - 1):
+            nseq, nc = adv(nseq, nc)
 
         @pl.when(nseq < B)
         def _():
-            start_chunk(nseq, nc, jax.lax.rem(slot + 1, 2))
+            start_chunk(
+                nseq, nc, jax.lax.rem(slot + n_slots - 1, n_slots)
+            )
 
         wait_chunk(b, c, slot)
 
@@ -296,7 +318,7 @@ def _gqa_decode_kernel(
     l0 = jnp.zeros((Hq, 1), jnp.float32)
     acc0 = jnp.zeros((Hq, LANES), jnp.float32)
     m, l, acc = jax.lax.fori_loop(c0, live, body, (m0, l0, acc0))
-    cursor[0] = jax.lax.rem(slot0 + live - c0, 2)
+    cursor[0] = jax.lax.rem(slot0 + live - c0, n_slots)
 
     if with_sinks:
         # the sink competes in the softmax denominator only; padding rows
@@ -383,6 +405,10 @@ def _gqa_decode_call(
     # VMEM for the double buffer at CP=16 is ~2 MiB at 16 heads x 128
     cp_env = int(os.environ.get("SPTPU_GQA_CP", "16"))
     CP = max(1, min(cp_env, page_table.shape[1]))
+    # DMA pipeline depth: N slots buffer N-1 chunks ahead (global order,
+    # across sequence boundaries) — deeper buffering rides out DMA-issue
+    # bursts at short contexts where each sequence is ~one chunk
+    NSLOTS = max(2, int(os.environ.get("SPTPU_GQA_SLOTS", "2")))
     P = page_table.shape[1]
     P_pad = -(-P // CP) * CP
     if P_pad != P:
@@ -418,6 +444,7 @@ def _gqa_decode_call(
         packed=packed,
         page_base=page_base,
         head_slots=H2 if lane_head_slots is not None else None,
+        n_slots=NSLOTS,
     )
     in_specs = [
         pl.BlockSpec((1, Hq, Dp), lambda b, *_: (b, 0, 0)),
@@ -425,9 +452,9 @@ def _gqa_decode_call(
     ]
     scratch = [
         pltpu.VMEM(
-            (2, CP, ps, H2 * Dp)
+            (NSLOTS, CP, ps, H2 * Dp)
             if lane_head_slots is not None
-            else (2, CP, ps, H2, Dp),
+            else (NSLOTS, CP, ps, H2, Dp),
             kv_pages.dtype,
         ),
     ]
@@ -438,7 +465,7 @@ def _gqa_decode_call(
     if quantized:
         SL = kv_scale.shape[-1]
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        scratch.append(pltpu.VMEM((2, CP, ps, SL), jnp.float32))
+        scratch.append(pltpu.VMEM((NSLOTS, CP, ps, SL), jnp.float32))
         operands.append(kv_scale)
     if with_sinks:
         # lane-tile the [Hq] sink vector so it lands in VMEM as a normal
@@ -449,7 +476,10 @@ def _gqa_decode_call(
                 sinks.astype(jnp.float32)[:, None], (Hq, 128)
             )
         )
-    scratch += [pltpu.SemaphoreType.DMA((2,)), pltpu.SMEM((1,), jnp.int32)]
+    scratch += [
+        pltpu.SemaphoreType.DMA((NSLOTS,)),
+        pltpu.SMEM((1,), jnp.int32),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2 + int(dynamic_window),
         grid=(B,),
