@@ -95,9 +95,10 @@ class KVCacheConfig:
             heads = 2 * self.num_kv_heads
         per = self.num_layers * heads * self.head_dim * itemsize
         if self.quantized:
-            # per-(token, head, K/V-half) f32 scales — packed rows still
-            # carry separate K and V scales
-            per += self.num_layers * 2 * self.num_kv_heads * 4
+            # per-(token, head, K/V-half) bf16 scales — packed rows still
+            # carry separate K and V scales (bf16: the f32 scale pages were
+            # 25-50% of the quantized read at small head counts, r4)
+            per += self.num_layers * 2 * self.num_kv_heads * 2
         return per
 
 
@@ -235,9 +236,14 @@ def create_kv_cache(
         scale_slots = 2 * cfg.num_kv_heads
         assert scale_slots % scale_shards == 0
         lanes = scale_shards * max(128, scale_slots // scale_shards)
+        # bf16 scales: the 128-lane-padded f32 scale pages were 25-50% of
+        # the quantized-pool read at small head counts (r4 finding — int8
+        # KV measured net-negative at 1B); bf16 halves that. Quantizers
+        # round the scale to bf16 BEFORE dividing so code/scale stay
+        # consistent (xla_backend._quantize_rows).
         scale = _zeros(
             (cfg.total_pages, cfg.page_size, lanes),
-            jnp.float32,
+            jnp.bfloat16,
             scale_sharding,
         )
     cross = None

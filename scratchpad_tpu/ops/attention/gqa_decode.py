@@ -77,7 +77,7 @@ def _gqa_decode_kernel(
         win_ref = None
     q_ref, kv_hbm, *refs = refs
     if quantized:
-        # sc_hbm [Pg, ps, SL] f32: the scale pool lane-padded to SL >= 128
+        # sc_hbm [Pg, ps, SL] bf16: the scale pool lane-padded to SL >= 128
         # (16-lane pages are not DMA-sliceable in mosaic); scale pages
         # stream alongside the kv pages
         sc_hbm, *refs = refs
@@ -219,12 +219,15 @@ def _gqa_decode_kernel(
     if quantized:
         # head-slot selectors over the PADDED scale lanes: row r reads
         # combined slot 2*(r//G) for K and +1 for V; one tiny dot turns the
-        # chunk's per-(token, slot) scales into score-shaped factors
+        # chunk's per-(token, slot) scales into score-shaped factors.
+        # Selectors match the pool's scale dtype (bf16 since r4 — f32
+        # scale pages were 25-50% of the quantized read); the 0/1 x bf16
+        # dot accumulates in f32 exactly.
         SL = sc_buf.shape[-1]
         jj = jax.lax.broadcasted_iota(jnp.int32, (Hq, SL), 1)
         rr = jax.lax.broadcasted_iota(jnp.int32, (Hq, SL), 0)
-        sel_k = (jj == 2 * (rr // G)).astype(jnp.float32)  # [Hq, SL]
-        sel_v = (jj == 2 * (rr // G) + 1).astype(jnp.float32)
+        sel_k = (jj == 2 * (rr // G)).astype(sc_buf.dtype)  # [Hq, SL]
+        sel_v = (jj == 2 * (rr // G) + 1).astype(sc_buf.dtype)
 
     def body(c, carry):
         m, l, acc = carry
@@ -275,7 +278,7 @@ def _gqa_decode_kernel(
                     jax.lax.bitcast_convert_type(bits, jnp.float32)
                     * jnp.float32(2.0**120)
                 ).astype(dt)
-            sc = sc_buf[slot].reshape(CHUNK, SL)  # [CHUNK, SL] f32
+            sc = sc_buf[slot].reshape(CHUNK, SL)  # [CHUNK, SL]
             scale_k = jax.lax.dot_general(
                 sel_k, sc, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -362,7 +365,7 @@ def _gqa_decode_kernel(
 def _gqa_decode_call(
     q,  # [B, Hq, D]
     kv_pages,  # [Pg, ps, 2Hkv, Dp] (or [Pg, ps, 2Hkv*Dp] lane-folded)
-    kv_scale,  # f32[Pg, ps, 2Hkv] for int8 pages, else None
+    kv_scale,  # bf16[Pg, ps, SL>=128] for int8/fp8 pages, else None
     layer_idx,
     page_table,  # [B, P] per-layer page ids
     seq_lens,  # [B]
@@ -465,7 +468,7 @@ def _gqa_decode_call(
     if quantized:
         SL = kv_scale.shape[-1]
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        scratch.append(pltpu.VMEM((NSLOTS, CP, ps, SL), jnp.float32))
+        scratch.append(pltpu.VMEM((NSLOTS, CP, ps, SL), kv_scale.dtype))
         operands.append(kv_scale)
     if with_sinks:
         # lane-tile the [Hq] sink vector so it lands in VMEM as a normal

@@ -26,15 +26,21 @@ _NEG = -1e30
 
 def _quantize_rows(x: jax.Array, qdtype) -> tuple[jax.Array, jax.Array]:
     """Per-(token, head) symmetric low-bit storage:
-    x [T, H, D] -> (int8 | float8_e4m3fn values, scale [T, H])."""
+    x [T, H, D] -> (int8 | float8_e4m3fn values, scale [T, H]).
+
+    Scales are rounded to bf16 BEFORE the divide: the pool stores them in
+    bf16 (f32 scale pages were 25-50% of the quantized read), and dividing
+    by the exact stored value keeps code*scale consistent everywhere."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
     if qdtype == jnp.int8:
         scale = jnp.maximum(amax / 127.0, 1e-8)
+        scale = scale.astype(jnp.bfloat16).astype(jnp.float32)
         q = jnp.clip(
             jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
         ).astype(jnp.int8)
     else:  # fp8 e4m3
         scale = jnp.maximum(amax / 448.0, 1e-8)
+        scale = scale.astype(jnp.bfloat16).astype(jnp.float32)
         scaled = x.astype(jnp.float32) / scale[..., None]
         # flush sub-normal e4m3 codes (|v| < 2^-6 = 1.5% of the row max):
         # the decode kernel then rebuilds values with the cheap normal-only
@@ -87,7 +93,7 @@ def write_kv(
             scale = (
                 kv.scale.reshape(Pg * ps, SL)
                 .at[rows]
-                .set(sc)
+                .set(sc.astype(kv.scale.dtype))
                 .reshape(Pg, ps, SL)
             )
             new_kv = (
@@ -129,7 +135,7 @@ def write_kv(
             [(0, 0), (0, 0), (0, per - H2 // ns)],
         ).reshape(T, SL)
         scale = (
-            scale.reshape(Pg * ps, SL).at[rows].set(sc).reshape(Pg, ps, SL)
+            scale.reshape(Pg * ps, SL).at[rows].set(sc.astype(scale.dtype)).reshape(Pg, ps, SL)
         )
     new_kv = (
         kv.kv.reshape(Pg * ps, H2, Dp)
@@ -174,7 +180,7 @@ def _write_kv_lanes(
             [(0, 0), (0, 0), (0, per - H2 // ns)],
         ).reshape(T, SL)
         scale = (
-            scale.reshape(Pg * ps, SL).at[rows].set(sc).reshape(Pg, ps, SL)
+            scale.reshape(Pg * ps, SL).at[rows].set(sc.astype(scale.dtype)).reshape(Pg, ps, SL)
         )
     new_kv = (
         kv.kv.reshape(Pg * ps, L)

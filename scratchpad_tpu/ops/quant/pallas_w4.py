@@ -282,14 +282,22 @@ def w4a16_matmul_pallas(
 
 # ---------------------------------------------------------------------------
 # 4-bit-native storage: Mosaic accepts uint4/int4 kernel inputs with DIRECT
-# casts (u4 -> i8 and s4 -> bf16 both compile; sub-32-bit SHIFTS still do
-# not), so storing the full-height nibble tensor as a 4-bit array replaces
-# the whole unpack chain (u8 -> i32 widen -> mask/shift -> narrow; the r3
-# profile's ~41%-of-SOL VPU cost) with ONE hardware cast. Same HBM bytes
-# (0.5 B/elem). Kept OPT-IN (SPTPU_W4_4BIT=1) until the 4-bit-at-rest
-# layout is proven through the axon relay (r3 found s4 arrays crossing a
-# jit boundary could trigger a device_put relayout recursion; here they are
-# materialised ON DEVICE by a jitted converter and never transferred).
+# casts (u4 -> i8 and s4 -> bf16 both compile; sub-32-bit SHIFTS and
+# in-kernel bitwidth-changing BITCASTS do not), so storing the full-height
+# nibble tensor as a 4-bit array replaces the whole unpack chain
+# (u8 -> i32 widen -> mask/shift -> narrow; the r3 profile's ~41%-of-SOL
+# VPU cost) with ONE hardware cast. Same HBM bytes (0.5 B/elem).
+#
+# STATUS (r4): kernels AOT-compile at 8B shapes and pass interpret parity,
+# but the path stays OPT-IN (SPTPU_W4_4BIT=1) because s4 arrays entering a
+# jit as arguments trigger a device_put RELAYOUT, and the axon relay's
+# device_put wrapper recurses on 4-bit transfers (measured r4 session B:
+# RecursionError on S4[2048,16384] at the first serving call; same failure
+# class r3 recorded for host transfers). On a directly-attached TPU host
+# the relayout is an ordinary one-time copy and the path should work —
+# re-test there before defaulting. In-kernel u8->s4 bitcast (which would
+# avoid 4-bit jit args entirely) is not supported by Mosaic ("changing
+# bitwidths").
 # ---------------------------------------------------------------------------
 
 

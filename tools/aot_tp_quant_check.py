@@ -110,7 +110,7 @@ def build(mesh, tp, lane_heads):
     )
     shapes = dict(
         kv_pool=jax.ShapeDtypeStruct(pool_shape, jnp.int8),
-        kv_scale=jax.ShapeDtypeStruct((L * Ptot, ps, tp * 128), jnp.float32),
+        kv_scale=jax.ShapeDtypeStruct((L * Ptot, ps, tp * 128), jnp.bfloat16),
         q=jax.ShapeDtypeStruct((B, Hq, D), jnp.bfloat16),
         k_new=jax.ShapeDtypeStruct((B, Hkv, D), jnp.bfloat16),
         v_new=jax.ShapeDtypeStruct((B, Hkv, D), jnp.bfloat16),
