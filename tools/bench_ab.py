@@ -103,14 +103,16 @@ def main() -> None:
         ]
     elif suite == "qlm":
         # all levers in: depth-2 pipeline + fused gate|up + auto 4-bit LM
-        # head (+ 4-bit-native storage when SPTPU_W4_4BIT survives B)
+        # head + bf16 KV scale pool
         runs = [
             dict(preset="llama-3.2-3b", dtype="bfloat16", quant=None,
                  kv_dtype="auto", batch_size=64, max_total_tokens=32768),
             dict(preset="llama-3.2-3b", dtype="bfloat16", quant="w4a8",
                  kv_dtype="int8", batch_size=64, max_total_tokens=32768),
             dict(preset="llama-3.2-3b", dtype="bfloat16", quant="w4a8",
-                 kv_dtype="int8", batch_size=32, max_total_tokens=32768),
+                 kv_dtype="auto", batch_size=32, max_total_tokens=32768),
+            dict(preset="llama-3.2-1b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="auto", batch_size=64, max_total_tokens=65536),
             dict(preset="llama-3.2-1b", dtype="bfloat16", quant="w4a8",
                  kv_dtype="int8", batch_size=64, max_total_tokens=65536),
             dict(preset="llama-3.1-8b", dtype="bfloat16", quant="w4a8",
