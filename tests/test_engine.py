@@ -332,3 +332,58 @@ class TestAdaptiveDecodeWindow:
         sched.waiting = [self._req("w")]
         assert sched._pick_decode_window() == 4
         sched.waiting = []
+
+
+class TestAbortMidPipeline:
+    def test_abort_with_windows_in_flight(self):
+        """abort_request while decode windows are dispatched (depth-3
+        pipeline): the aborted request must keep its pages until the
+        pipeline drains (in-flight windows still write its KV), then free
+        everything; the surviving request finishes normally."""
+        from scratchpad_tpu.config import ServerArgs
+        from scratchpad_tpu.config.model_config import get_preset
+        from scratchpad_tpu.core.req import Req
+        from scratchpad_tpu.core.scheduler import Scheduler
+
+        cfg = get_preset("tiny-debug", dtype="float32")
+        args = ServerArgs(
+            preset="tiny-debug",
+            random_weights=True,
+            dtype="float32",
+            page_size=4,
+            max_total_tokens=1024,
+            enable_overlap=True,
+            decode_pipeline_depth=3,
+            decode_window_size=4,
+        )
+        sched = Scheduler(cfg, args)
+        rng = np.random.default_rng(7)
+        for i in range(2):
+            sched.add_request(
+                Req(
+                    rid=f"r{i}",
+                    origin_input_ids=rng.integers(1, 500, 10).tolist(),
+                    sampling_params=SamplingParams(
+                        temperature=0.0, max_new_tokens=40, ignore_eos=True
+                    ),
+                )
+            )
+        # run until the pipeline is primed with in-flight windows
+        for _ in range(40):
+            sched.step()
+            if len(sched._inflight) >= 2:
+                break
+        assert sched._inflight, "pipeline never filled"
+        sched.abort_request("r0")
+        events = []
+        steps = 0
+        while sched.has_work() and steps < 200:
+            events.extend(sched.step())
+            steps += 1
+        assert not sched.has_work()
+        fins = {e.req.rid: e.req.finished_reason for e in events if e.finished}
+        assert str(fins["r0"]).lower().find("abort") >= 0 or fins["r0"] is not None
+        assert "r1" in fins
+        r1 = next(e.req for e in events if e.finished and e.req.rid == "r1")
+        assert len(r1.output_ids) == 40
+        sched.check_memory_leak()
