@@ -118,6 +118,65 @@ def main() -> None:
             dict(preset="llama-3.1-8b", dtype="bfloat16", quant="w4a8",
                  kv_dtype="int8", batch_size=32, max_total_tokens=32768),
         ]
+    elif suite == "vlm":
+        # on-chip multimodal measurement (VERDICT r3 item 8): vision-tower
+        # encode latency + image-prompt prefill + decode on Qwen2-VL-2B
+        # geometry (random weights)
+        import time
+
+        import numpy as np
+
+        from scratchpad_tpu.config import ServerArgs
+        from scratchpad_tpu.config.model_config import get_preset
+        from scratchpad_tpu.sampling.sampling_params import SamplingParams
+        from scratchpad_tpu.server.engine import Engine
+
+        cfg = get_preset("qwen2-vl-2b", dtype="bfloat16")
+        eng = Engine(
+            ServerArgs(
+                preset="qwen2-vl-2b",
+                random_weights=True,
+                dtype="bfloat16",
+                max_total_tokens=16384,
+                max_running_requests=8,
+                warmup_capture=False,
+            ),
+            model_config=cfg,
+        )
+        rng_np = np.random.default_rng(0)
+        size = eng.scheduler.runner.model.vision.image_size
+        px = rng_np.standard_normal((1, 3, size, size)).astype(np.float32) * 0.5
+        # vision tower alone (jitted encode path)
+        eng.scheduler.runner.encode_images(px)  # compile
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            feats = eng.scheduler.runner.encode_images(px)
+        enc_ms = (time.perf_counter() - t0) / repeats * 1e3
+        img_tok = cfg.multimodal["image_token_id"]
+        vstart = cfg.multimodal["vision_start_token_id"]
+        prompt = [3, vstart, img_tok, 11, 13, 17, 19, 23]
+        dec = int(os.environ.get("SPTPU_VLM_DECODE", "64"))
+        sp = SamplingParams(
+            temperature=0.0, max_new_tokens=dec, ignore_eos=True
+        )
+        eng.generate(input_ids=prompt, sampling_params=sp, image_data=px)
+        samples = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = eng.generate(
+                input_ids=prompt, sampling_params=sp, image_data=px
+            )
+            samples.append(dec / (time.perf_counter() - t0))
+        print(json.dumps({
+            "metric": "vlm_qwen2vl2b_encode_ms", "value": round(enc_ms, 1),
+            "unit": "ms", "patches": int(feats.shape[0] * feats.shape[1]),
+        }), flush=True)
+        print(json.dumps({
+            "metric": "vlm_qwen2vl2b_e2e_decode_tok_s",
+            "value": round(float(np.median(samples)), 1),
+            "unit": "tok/s", "prompt_tokens": out.prompt_tokens,
+        }), flush=True)
+        return
     else:
         raise SystemExit(f"unknown suite {suite!r}")
 
