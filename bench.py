@@ -310,14 +310,23 @@ def main() -> None:
     # byte savings (r4 session B: 16.8k vs 15.4k with int8 KV), so w4a8 is
     # the fastest 1B production config (VERDICT r3 item 3)
     suite = os.environ.get("SPTPU_BENCH_SUITE", "bf16,w4a8+int8,w4a8")
+    last = None
     for entry in suite.split(","):
         entry = entry.strip()
         q, _, kv = entry.partition("+")
         q = None if q in ("", "bf16", "none") else q
-        res = run_config(
-            jax, quant=q, kv_dtype=(kv or "auto"), **common
-        )
+        try:
+            res = run_config(
+                jax, quant=q, kv_dtype=(kv or "auto"), **common
+            )
+        except Exception as e:  # noqa: BLE001 — one config must not
+            # erase the whole driver record; report and continue
+            print(f"config {entry!r} failed: {e}", file=sys.stderr)
+            continue
+        last = res
         print(json.dumps(res), flush=True)
+    if last is None:
+        raise SystemExit("every bench config failed")
 
 
 if __name__ == "__main__":
