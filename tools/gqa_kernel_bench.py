@@ -89,29 +89,35 @@ def main() -> None:
     )
     q = jax.random.normal(rng, (B, Hq, D), jnp.bfloat16)
 
-    ITERS = int(os.environ.get("KB_ITERS", "50"))
+    # two-point measurement: the axon relay adds ~50 ms of fixed dispatch+
+    # fetch latency per jit call, so a single loop count measures the relay
+    # (r4 first attempt: "916 us/call" at a 35 us kernel). Timing N_LO and
+    # N_HI iterations and differencing cancels the fixed offset exactly.
+    N_LO = int(os.environ.get("KB_ITERS_LO", "100"))
+    N_HI = int(os.environ.get("KB_ITERS_HI", "1100"))
 
-    def many(q, kv_kv, kv_scale):
-        import dataclasses as dc
+    def make_many(iters):
+        def many(q, kv_kv, kv_scale):
+            import dataclasses as dc
 
-        k = dc.replace(kv, kv=kv_kv, scale=kv_scale)
+            k = dc.replace(kv, kv=kv_kv, scale=kv_scale)
 
-        def body(i, acc):
-            o = decode_attention_gqa(
-                q + acc[:, :1, :1] * 0,  # chain: no DCE
-                k,
-                0,
-                meta,
-                page_size=ps,
-                sm_scale=D**-0.5,
+            def body(i, acc):
+                o = decode_attention_gqa(
+                    q + acc[:, :1, :1] * 0,  # chain: no DCE
+                    k,
+                    0,
+                    meta,
+                    page_size=ps,
+                    sm_scale=D**-0.5,
+                )
+                return acc + o.astype(jnp.float32)
+
+            return jax.lax.fori_loop(
+                0, iters, body, jnp.zeros((B, Hq, D), jnp.float32)
             )
-            return acc + o.astype(jnp.float32)
 
-        return jax.lax.fori_loop(
-            0, ITERS, body, jnp.zeros((B, Hq, D), jnp.float32)
-        )
-
-    jmany = jax.jit(many)
+        return many
 
     # bytes the kernel must stream per call: each request's live pages
     page_bytes = int(np.prod(kv.kv.shape[1:])) * kv.kv.dtype.itemsize
@@ -121,23 +127,28 @@ def main() -> None:
 
     for cp in (8, 16, 32):
         os.environ["SPTPU_GQA_CP"] = str(cp)
-        decode_attention_gqa._clear_cache() if hasattr(
-            decode_attention_gqa, "_clear_cache"
-        ) else None
         jax.clear_caches()
-        jmany = jax.jit(many)
-        out = jmany(q, kv.kv, kv.scale)
-        np.asarray(out)  # full fetch (relay-safe sync)
-        t0 = time.perf_counter()
-        out = jmany(q, kv.kv, kv.scale)
-        np.asarray(out)
-        dt = (time.perf_counter() - t0) / ITERS
+        jlo = jax.jit(make_many(N_LO))
+        jhi = jax.jit(make_many(N_HI))
+        np.asarray(jlo(q, kv.kv, kv.scale))  # compile + warm
+        np.asarray(jhi(q, kv.kv, kv.scale))
+
+        def timed(f):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                np.asarray(f(q, kv.kv, kv.scale))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        dt = (timed(jhi) - timed(jlo)) / (N_HI - N_LO)
         gbs = total / dt / 1e9
         print(
             json.dumps(
                 {
                     "preset": preset, "ctx": ctx, "bs": B, "cp": cp,
                     "kv": kv_dtype, "packed": use_packed, "ps": ps,
+                    "slots": os.environ.get("SPTPU_GQA_SLOTS", "2"),
                     "us_per_call": round(dt * 1e6, 1),
                     "achieved_GBs": round(gbs, 1),
                     "frac_of_819": round(gbs / 819.0, 3),
