@@ -25,10 +25,13 @@ for i in $(seq 1 120); do
 done
 curl -fs "http://127.0.0.1:$PORT/health" || { echo "server never became healthy"; exit 1; }
 
-# warmup pass compiles the serving buckets
+# warmup = the IDENTICAL workload: the decode bucket ladder + prefill
+# token buckets compile lazily, so a smaller warmup leaves the measured
+# run compile-bound (r4 first attempt: median ITL 51 ms but p99 51 s —
+# every tail stall was an inline compile through the relay)
 python tools/bench_serving.py --base-url "http://127.0.0.1:$PORT" \
-  --model "$PRESET" --num-prompts 8 --input-len 256 --output-len 32 \
-  --request-rate 0 > /dev/null 2>&1
+  --model "$PRESET" --num-prompts "$NPROMPTS" --input-len 256 --output-len 64 \
+  --request-rate "$RATE" > /dev/null 2>&1
 
 python tools/bench_serving.py --base-url "http://127.0.0.1:$PORT" \
   --model "$PRESET" --num-prompts "$NPROMPTS" --input-len 256 --output-len 64 \
