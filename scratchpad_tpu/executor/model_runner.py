@@ -2023,22 +2023,40 @@ class ModelRunner:
 
     def capture(self, decode_only: bool = True) -> None:
         """Pre-compile the decode bucket ladder on the hot (packed window)
-        path (CUDA-graph capture analogue)."""
+        path (CUDA-graph capture analogue).
+
+        Covers the window sizes serving actually picks (1 = grammar/
+        top-logprobs, 4 = prefill-waiting cap, 8 = streaming cap, the
+        configured window) and two PAGE buckets (the smallest + the one
+        covering the context limit) — the r4 serving bench showed every
+        uncovered (bs, window, P) combination stalling a live request on
+        an inline compile."""
         t0 = time.monotonic()
-        windows = sorted({1, 4, self.args.decode_window_size})
+        windows = sorted(
+            {
+                1,
+                4,
+                max(min(self.args.stream_interval, 64), 8),
+                self.args.decode_window_size,
+            }
+        )
         if self.param_offload:
             windows = [1]  # offload streams layers once per single-step dispatch
+        p_buckets = sorted({4, _pow2_bucket(
+            self.max_pages_per_req, 4, self.max_pages_per_req
+        )})
         n = 0
         for bs in self.args.decode_bs_buckets:
             if bs > self.max_running_requests:
                 break
             for k in windows:
-                wb = self._dummy_decode_batch(bs)
-                ids, _, _ = self.run_decode_window(wb, k)
-                n += 1
+                for p in p_buckets:
+                    wb = self._dummy_decode_batch(bs, pages=p)
+                    ids, _, _ = self.run_decode_window(wb, k)
+                    n += 1
         logger.info("captured %d decode variants in %.1fs", n, time.monotonic() - t0)
 
-    def _dummy_decode_batch(self, bs: int) -> WorkerBatch:
+    def _dummy_decode_batch(self, bs: int, pages: int = 4) -> WorkerBatch:
         sinfo = SamplingBatchInfo(
             temperature=np.zeros(bs, np.float32),
             top_p=np.ones(bs, np.float32),
@@ -2051,7 +2069,7 @@ class ModelRunner:
             positions=np.zeros(bs, np.int32),
             out_cache_loc=np.zeros(bs, np.int32),
             req_indices=np.arange(bs, dtype=np.int32),
-            page_table=np.zeros((bs, 4), np.int32),
+            page_table=np.zeros((bs, pages), np.int32),
             seq_lens=np.ones(bs, np.int32),
             extend_lens=np.ones(bs, np.int32),
             sampling_info=sinfo,
