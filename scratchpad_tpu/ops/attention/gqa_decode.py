@@ -403,10 +403,14 @@ def _gqa_decode_call(
 
     import os
 
-    # chunk size sweep (v5e, Llama-3.2-1B bs=64): CP=4 -> 9.2k tok/s,
-    # CP=8 -> 10.0k, CP=16 -> 10.6k (fewer DMA issues, bigger dots);
-    # VMEM for the double buffer at CP=16 is ~2 MiB at 16 heads x 128
-    cp_env = int(os.environ.get("SPTPU_GQA_CP", "16"))
+    # chunk size: the r4 two-point kernel microbench (relay offset
+    # cancelled, tools/gqa_kernel_bench.py) puts CP=32 at 0.564 of HBM SOL
+    # vs 0.425 at the old CP=16 default (+33%) on 1B bf16 ctx192 bs64 —
+    # bigger chunks amortise the per-chunk VPU work now that the decode
+    # pipeline no longer hides kernel time behind dispatch latency.
+    # (r3's e2e sweep saw CP=16~CP=32 because dispatch dominated then.)
+    # VMEM at CP=32 is ~2 MiB/slot at 16 head slots x 128 lanes.
+    cp_env = int(os.environ.get("SPTPU_GQA_CP", "32"))
     CP = max(1, min(cp_env, page_table.shape[1]))
     # DMA pipeline depth: N slots buffer N-1 chunks ahead (global order,
     # across sequence boundaries) — deeper buffering rides out DMA-issue
