@@ -11,8 +11,11 @@ NPROMPTS=${NPROMPTS:-64}
 RATE=${RATE:-8}
 OUT=${OUT:-SERVING_r04.json}
 
+# --no-warmup-capture: through the relay the capture ladder exceeds the
+# health window; the identical warm RUN below compiles the shapes that
+# matter instead
 python -m scratchpad_tpu.cli.sp serve --preset "$PRESET" --random-weights \
-  --max-total-tokens 65536 --max-running-requests 64 \
+  --max-total-tokens 65536 --max-running-requests 64 --no-warmup-capture \
   --port "$PORT" > /tmp/serve_onchip.log 2>&1 &
 SPID=$!
 trap 'kill $SPID 2>/dev/null' EXIT
