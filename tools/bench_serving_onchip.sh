@@ -36,6 +36,11 @@ python tools/bench_serving.py --base-url "http://127.0.0.1:$PORT" \
   --model "$PRESET" --num-prompts "$NPROMPTS" --input-len 256 --output-len 64 \
   --request-rate "$RATE" > /dev/null 2>&1
 
+# flush the radix cache so the measured pass repeats the warmed shape
+# profile exactly (with cache hits the re-sent prompts become tiny
+# cached-prefix extends -> NEW bucket shapes -> inline compiles again)
+curl -fs -X POST "http://127.0.0.1:$PORT/flush_cache" > /dev/null
+
 python tools/bench_serving.py --base-url "http://127.0.0.1:$PORT" \
   --model "$PRESET" --num-prompts "$NPROMPTS" --input-len 256 --output-len 64 \
   --request-rate "$RATE" --slo-ttft 5.0 --slo-itl 0.5 --output "$OUT"
