@@ -16,6 +16,7 @@ OUT=${OUT:-SERVING_r04.json}
 # matter instead
 python -m scratchpad_tpu.cli.sp serve --preset "$PRESET" --random-weights \
   --max-total-tokens 65536 --max-running-requests 64 --no-warmup-capture \
+  --watchdog-timeout 900 \
   --port "$PORT" > /tmp/serve_onchip.log 2>&1 &
 SPID=$!
 trap 'kill $SPID 2>/dev/null' EXIT
