@@ -118,6 +118,14 @@ def main() -> None:
             dict(preset="llama-3.1-8b", dtype="bfloat16", quant="w4a8",
                  kv_dtype="int8", batch_size=32, max_total_tokens=32768),
         ]
+    elif suite == "ns32":
+        # the headline north-star pair, same session back-to-back
+        runs = [
+            dict(preset="llama-3.2-3b", dtype="bfloat16", quant=None,
+                 kv_dtype="auto", batch_size=32, max_total_tokens=32768),
+            dict(preset="llama-3.2-3b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="auto", batch_size=32, max_total_tokens=32768),
+        ]
     elif suite == "vlm":
         # on-chip multimodal measurement (VERDICT r3 item 8): vision-tower
         # encode latency + image-prompt prefill + decode on Qwen2-VL-2B
