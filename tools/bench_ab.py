@@ -126,6 +126,16 @@ def main() -> None:
             dict(preset="llama-3.2-3b", dtype="bfloat16", quant="w4a8",
                  kv_dtype="auto", batch_size=32, max_total_tokens=32768),
         ]
+    elif suite == "cpab":
+        # did the CP=32 default hurt the W4A8 configs? same-session A/B
+        runs = [
+            dict(preset="llama-3.2-3b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="auto", batch_size=32, max_total_tokens=32768,
+                 env={"SPTPU_GQA_CP": "16"}),
+            dict(preset="llama-3.2-3b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="auto", batch_size=32, max_total_tokens=32768,
+                 env={"SPTPU_GQA_CP": "32"}),
+        ]
     elif suite == "vlm":
         # on-chip multimodal measurement (VERDICT r3 item 8): vision-tower
         # encode latency + image-prompt prefill + decode on Qwen2-VL-2B
