@@ -133,6 +133,14 @@ def _gqa_decode_kernel(
         return jnp.minimum(c, nchunks(seq) - 1)
 
     def chunk_dmas(seq, c, slot):
+        """(live, dma) pairs for chunk c of seq. Pages past the sequence's
+        LIVE page count are never copied: the last chunk of every sequence
+        (and every padding row) used to DMA all CP pages of page-table
+        padding — at ctx 192 / ps 16 / CP 16 that is 4 dump-page reads per
+        12 live pages, 33% wasted HBM traffic (r4 CP=32 e2e regression).
+        start/wait compute the same predicates, so semaphore counts
+        balance."""
+        live_p = pl.cdiv(len_ref[seq], page_size)
         out = []
         for j in range(CP):
             # page_base: static per-layer page offset (unrolled layer
@@ -140,26 +148,37 @@ def _gqa_decode_kernel(
             # one SMEM upload serves every layer's call (the per-call
             # [B, P] copy-start was ~56 us x layers x steps)
             page = pt_ref[seq, c * CP + j] + page_base
+            live = c * CP + j < live_p
             out.append(
-                pltpu.make_async_copy(
-                    kv_hbm.at[page], kv_buf.at[slot, j], sems.at[slot]
+                (
+                    live,
+                    pltpu.make_async_copy(
+                        kv_hbm.at[page], kv_buf.at[slot, j], sems.at[slot]
+                    ),
                 )
             )
             if quantized:
                 out.append(
-                    pltpu.make_async_copy(
-                        sc_hbm.at[page], sc_buf.at[slot, j], sems.at[slot]
+                    (
+                        live,
+                        pltpu.make_async_copy(
+                            sc_hbm.at[page], sc_buf.at[slot, j], sems.at[slot]
+                        ),
                     )
                 )
         return out
 
     def start_chunk(seq, c, slot):
-        for dma in chunk_dmas(seq, c, slot):
-            dma.start()
+        for live, dma in chunk_dmas(seq, c, slot):
+            @pl.when(live)
+            def _(dma=dma):
+                dma.start()
 
     def wait_chunk(seq, c, slot):
-        for dma in chunk_dmas(seq, c, slot):
-            dma.wait()
+        for live, dma in chunk_dmas(seq, c, slot):
+            @pl.when(live)
+            def _(dma=dma):
+                dma.wait()
 
     def adv(seq, c):
         """One step along the global chunk order (next chunk of seq, else
@@ -248,6 +267,19 @@ def _gqa_decode_kernel(
             )
 
         wait_chunk(b, c, slot)
+
+        # dead pages (past the sequence's live count) were never DMA'd:
+        # zero their VMEM so stale bits can't poison the masked math
+        # (0 x NaN = NaN through the PV dot / scale selectors). VMEM
+        # stores are far cheaper than the HBM dump-page reads they
+        # replace; full chunks take no stores at all.
+        live_p = pl.cdiv(len_ref[b], page_size)
+        for j in range(CP):
+            @pl.when(c * CP + j >= live_p)
+            def _(j=j):
+                kv_buf[slot, j] = jnp.zeros_like(kv_buf[slot, j])
+                if quantized:
+                    sc_buf[slot, j] = jnp.zeros_like(sc_buf[slot, j])
 
         # [CP, ps, H2, Dp] -> [CHUNK, LANES]: cheap in-VMEM relayout of ~1 MiB
         # (merging the last two dims of the HBM array instead would relayout
@@ -403,14 +435,15 @@ def _gqa_decode_call(
 
     import os
 
-    # chunk size: the r4 two-point kernel microbench (relay offset
-    # cancelled, tools/gqa_kernel_bench.py) puts CP=32 at 0.564 of HBM SOL
-    # vs 0.425 at the old CP=16 default (+33%) on 1B bf16 ctx192 bs64 —
-    # bigger chunks amortise the per-chunk VPU work now that the decode
-    # pipeline no longer hides kernel time behind dispatch latency.
-    # (r3's e2e sweep saw CP=16~CP=32 because dispatch dominated then.)
-    # VMEM at CP=32 is ~2 MiB/slot at 16 head slots x 128 lanes.
-    cp_env = int(os.environ.get("SPTPU_GQA_CP", "32"))
+    # chunk size: CP=16 default. The r4 two-point microbench put CP=32 at
+    # +33% kernel-level on the packed 1B pool, but E2E the flip COST ~13%
+    # on 3B W4A8 bs32 (6,086 -> 5,288 same-session A/B, AB_cpab_r4.jsonl):
+    # at short contexts a CP-page chunk reads the page-table PADDING
+    # (dump-page DMAs) past each sequence's live pages, and the overread
+    # grows with CP. Keep CP=16; revisit with a live-page-clamped chunk
+    # loop (nchunks already uses cdiv(len, CHUNK) but the last chunk still
+    # DMAs all CP pages) for long-context serving.
+    cp_env = int(os.environ.get("SPTPU_GQA_CP", "16"))
     CP = max(1, min(cp_env, page_table.shape[1]))
     # DMA pipeline depth: N slots buffer N-1 chunks ahead (global order,
     # across sequence boundaries) — deeper buffering rides out DMA-issue
