@@ -67,6 +67,7 @@ def _gqa_decode_kernel(
     page_base: int = 0,
     head_slots: Optional[int] = None,
     n_slots: int = 2,
+    clamp_dead: bool = False,
 ):
     if dynamic_window:
         # i32[1] per-CALL window (a per-layer value traced through the
@@ -133,14 +134,19 @@ def _gqa_decode_kernel(
         return jnp.minimum(c, nchunks(seq) - 1)
 
     def chunk_dmas(seq, c, slot):
-        """(live, dma) pairs for chunk c of seq. Pages past the sequence's
-        LIVE page count are never copied: the last chunk of every sequence
-        (and every padding row) used to DMA all CP pages of page-table
-        padding — at ctx 192 / ps 16 / CP 16 that is 4 dump-page reads per
-        12 live pages, 33% wasted HBM traffic (r4 CP=32 e2e regression).
-        start/wait compute the same predicates, so semaphore counts
-        balance."""
-        live_p = pl.cdiv(len_ref[seq], page_size)
+        """(live, dma) pairs for chunk c of seq. With clamping (opt-in,
+        see CLAMP below) pages past the sequence's LIVE page count are
+        never copied: the last chunk of every sequence (and every padding
+        row) otherwise DMAs page-table padding — at ctx 192 / ps 16 /
+        CP 16 that is 4 dump-page reads per 12 live pages, 33% wasted HBM
+        traffic. start/wait compute the same predicates, so semaphore
+        counts balance. OPT-IN because the first on-chip reading with the
+        per-page predicates came in ~9% BELOW the unclamped sessions
+        (within the cross-session variance band — needs a same-session
+        A/B; dump-page reads may also be effectively free if the repeated
+        page 0 stays resident)."""
+        if clamp_dead:
+            live_p = pl.cdiv(len_ref[seq], page_size)
         out = []
         for j in range(CP):
             # page_base: static per-layer page offset (unrolled layer
@@ -148,7 +154,7 @@ def _gqa_decode_kernel(
             # one SMEM upload serves every layer's call (the per-call
             # [B, P] copy-start was ~56 us x layers x steps)
             page = pt_ref[seq, c * CP + j] + page_base
-            live = c * CP + j < live_p
+            live = (c * CP + j < live_p) if clamp_dead else None
             out.append(
                 (
                     live,
@@ -170,15 +176,21 @@ def _gqa_decode_kernel(
 
     def start_chunk(seq, c, slot):
         for live, dma in chunk_dmas(seq, c, slot):
-            @pl.when(live)
-            def _(dma=dma):
+            if live is None:
                 dma.start()
+            else:
+                @pl.when(live)
+                def _(dma=dma):
+                    dma.start()
 
     def wait_chunk(seq, c, slot):
         for live, dma in chunk_dmas(seq, c, slot):
-            @pl.when(live)
-            def _(dma=dma):
+            if live is None:
                 dma.wait()
+            else:
+                @pl.when(live)
+                def _(dma=dma):
+                    dma.wait()
 
     def adv(seq, c):
         """One step along the global chunk order (next chunk of seq, else
@@ -268,18 +280,18 @@ def _gqa_decode_kernel(
 
         wait_chunk(b, c, slot)
 
-        # dead pages (past the sequence's live count) were never DMA'd:
-        # zero their VMEM so stale bits can't poison the masked math
-        # (0 x NaN = NaN through the PV dot / scale selectors). VMEM
-        # stores are far cheaper than the HBM dump-page reads they
-        # replace; full chunks take no stores at all.
-        live_p = pl.cdiv(len_ref[b], page_size)
-        for j in range(CP):
-            @pl.when(c * CP + j >= live_p)
-            def _(j=j):
-                kv_buf[slot, j] = jnp.zeros_like(kv_buf[slot, j])
-                if quantized:
-                    sc_buf[slot, j] = jnp.zeros_like(sc_buf[slot, j])
+        if clamp_dead:
+            # dead pages (past the sequence's live count) were never
+            # DMA'd: zero their VMEM so stale bits can't poison the
+            # masked math (0 x NaN = NaN through the PV dot / scale
+            # selectors). Full chunks take no stores at all.
+            live_p2 = pl.cdiv(len_ref[b], page_size)
+            for j in range(CP):
+                @pl.when(c * CP + j >= live_p2)
+                def _(j=j):
+                    kv_buf[slot, j] = jnp.zeros_like(kv_buf[slot, j])
+                    if quantized:
+                        sc_buf[slot, j] = jnp.zeros_like(sc_buf[slot, j])
 
         # [CP, ps, H2, Dp] -> [CHUNK, LANES]: cheap in-VMEM relayout of ~1 MiB
         # (merging the last two dims of the HBM array instead would relayout
@@ -485,6 +497,9 @@ def _gqa_decode_call(
         page_base=page_base,
         head_slots=H2 if lane_head_slots is not None else None,
         n_slots=NSLOTS,
+        # live-page DMA clamping (skip + zero dead pages): opt-in pending
+        # a same-session on-chip A/B (see chunk_dmas docstring)
+        clamp_dead=os.environ.get("SPTPU_GQA_CLAMP", "0") == "1",
     )
     in_specs = [
         pl.BlockSpec((1, Hq, Dp), lambda b, *_: (b, 0, 0)),
