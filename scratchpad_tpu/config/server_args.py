@@ -180,6 +180,16 @@ class ServerArgs:
     video_frames: int = 8
     api_key: Optional[str] = None
 
+    # split <think> spans into `reasoning_content` (reference:
+    # server/openai_api/reasoning_parser.py). None = off; "deepseek-r1"
+    # starts requests inside a think block (the template opens the tag);
+    # any other value ("qwen3", "default") splits on explicit tags only.
+    reasoning_parser: Optional[str] = None
+    # emit reasoning_content deltas incrementally while streaming
+    # (reference: reasoning_parser.py stream_reasoning); False holds each
+    # think block and emits it whole when it closes
+    stream_reasoning: bool = True
+
     # accept base64-pickled per-request logit processors over HTTP
     # (arbitrary code execution by design — off unless opted in;
     # reference: server/args.py enable_custom_logit_processor)

@@ -50,6 +50,26 @@ from scratchpad_tpu.memory.kv_cache import KVCache
 _NEG = -1e30
 
 
+def _dequant_chunk(raw, dt):
+    """Low-bit chunk codes -> compute dtype (EXACT in bf16: int8 magnitudes
+    <= 127 and normal fp8-e4m3 values carry <= 8 mantissa bits)."""
+    if raw.dtype == jnp.int8:
+        # int8 -> f32 via int32 (no direct int8 -> float in mosaic)
+        return raw.astype(jnp.int32).astype(jnp.float32).astype(dt)
+    # fp8 e4m3 -> f32: v5e has no native fp8, so mosaic's direct cast is a
+    # slow emulation. Rebuild the f32 bit pattern with native int ops:
+    # placing (exp:4, man:3) at f32 bit 20 yields exactly value * 2^-120
+    # for every NORMAL e4m3 (e4m3fn has no inf, and NaN never reaches a KV
+    # pool; sub-normal codes are flushed at write time,
+    # xla_backend._quantize_rows).
+    xb = jax.lax.bitcast_convert_type(raw, jnp.int8).astype(jnp.int32)
+    bits = ((xb & 0x80) << 24) | ((xb & 0x7F) << 20)
+    return (
+        jax.lax.bitcast_convert_type(bits, jnp.float32)
+        * jnp.float32(2.0**120)
+    ).astype(dt)
+
+
 def _gqa_decode_kernel(
     # scalar prefetch
     pt_ref,  # i32[B, P] global page ids (layer folded in, padded with 0)
@@ -92,10 +112,10 @@ def _gqa_decode_kernel(
         sinks_ref = None
     o_ref, kv_buf, *refs = refs
     if quantized:
-        sc_buf, *refs = refs
+        sc_buf, const_sk, const_sv, *refs = refs
     else:
-        sc_buf = None
-    sems, cursor = refs
+        sc_buf = const_sk = const_sv = None
+    const_q, sems, cursor = refs
     b = pl.program_id(0)
     B = pl.num_programs(0)
     CP = chunk_pages
@@ -203,6 +223,8 @@ def _gqa_decode_kernel(
         nc = jnp.where(last, first_chunk(jnp.minimum(nseq, B - 1)), c + 1)
         return nseq, nc
 
+    Hq_, LANES_ = const_q.shape
+
     @pl.when(b == 0)
     def _():
         cursor[0] = 0
@@ -215,6 +237,30 @@ def _gqa_decode_kernel(
             @pl.when(seq < B)
             def _(seq=seq, c=c, k=k):
                 start_chunk(seq, c, k)
+
+        # run-once constants (reused by every grid step; the builds overlap
+        # the first chunks' DMA flight time). Block-diagonal lane mask: row
+        # r keeps head slot kslot(r)'s lanes — see the layout comment below.
+        # masks are built through an f32 select (the i1 compare carries a
+        # 32-bit (8,128) layout; selecting 16-bit values directly forces an
+        # unsupported i1 relayout to (16,128)) and then packed to the
+        # compute dtype
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (Hq_, LANES_), 1)
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (Hq_, LANES_), 0)
+        kslot_i = (row_i // G) if packed else 2 * (row_i // G)
+        const_q[...] = jnp.where(
+            lane_i // Dp == kslot_i, 1.0, 0.0
+        ).astype(q_ref.dtype)
+        if quantized:
+            SL_ = sc_buf.shape[-1]
+            jj = jax.lax.broadcasted_iota(jnp.int32, (Hq_, SL_), 1)
+            rr = jax.lax.broadcasted_iota(jnp.int32, (Hq_, SL_), 0)
+            const_sk[...] = jnp.where(
+                jj == 2 * (rr // G), 1.0, 0.0
+            ).astype(sc_buf.dtype)
+            const_sv[...] = jnp.where(
+                jj == 2 * (rr // G) + 1, 1.0, 0.0
+            ).astype(sc_buf.dtype)
 
     slot0 = cursor[0]
     seq_len = len_ref[b]
@@ -242,23 +288,20 @@ def _gqa_decode_kernel(
     dt = q_ref.dtype
     q = q_ref[0]  # [Hq, Dp]
     qt = jnp.concatenate([q] * H2, axis=1)  # [Hq, LANES]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (Hq, LANES), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (Hq, LANES), 0)
-    kslot = (row // G) if packed else 2 * (row // G)
-    q_bd = jnp.where(lane // Dp == kslot, qt, jnp.zeros((), dt))
+    # block-diagonal Q via the hoisted 0/1 lane mask (built once at b == 0;
+    # the per-step iota/compare chain was a measurable slice of the
+    # per-sequence fixed cost, r4 microbench)
+    q_bd = qt * const_q[...]
 
     if quantized:
-        # head-slot selectors over the PADDED scale lanes: row r reads
-        # combined slot 2*(r//G) for K and +1 for V; one tiny dot turns the
-        # chunk's per-(token, slot) scales into score-shaped factors.
-        # Selectors match the pool's scale dtype (bf16 since r4 — f32
-        # scale pages were 25-50% of the quantized read); the 0/1 x bf16
-        # dot accumulates in f32 exactly.
+        # head-slot selectors over the PADDED scale lanes (hoisted to
+        # b == 0): row r reads combined slot 2*(r//G) for K and +1 for V;
+        # one tiny dot turns the chunk's per-(token, slot) scales into
+        # score-shaped factors. Selectors match the pool's scale dtype
+        # (bf16 since r4); the 0/1 x bf16 dot accumulates in f32 exactly.
         SL = sc_buf.shape[-1]
-        jj = jax.lax.broadcasted_iota(jnp.int32, (Hq, SL), 1)
-        rr = jax.lax.broadcasted_iota(jnp.int32, (Hq, SL), 0)
-        sel_k = (jj == 2 * (rr // G)).astype(sc_buf.dtype)  # [Hq, SL]
-        sel_v = (jj == 2 * (rr // G) + 1).astype(sc_buf.dtype)
+        sel_k = const_sk[...]  # [Hq, SL]
+        sel_v = const_sv[...]
 
     def body(c, carry):
         m, l, acc = carry
@@ -298,30 +341,7 @@ def _gqa_decode_kernel(
         # the ENTIRE pool per call — measured 26x slower end-to-end)
         raw = kv_buf[slot].reshape(CHUNK, LANES)
         if quantized:
-            # dequantised codes are EXACT in bf16: int8 magnitudes <= 127
-            # and every fp8-e4m3 value carry <= 8 mantissa bits
-            if raw.dtype == jnp.int8:
-                # int8 -> f32 via int32 (no direct int8 -> float in mosaic)
-                buf = raw.astype(jnp.int32).astype(jnp.float32).astype(dt)
-            else:
-                # fp8 e4m3 -> f32: v5e has no native fp8, so mosaic's direct
-                # cast is a slow emulation. Rebuild the f32 bit pattern with
-                # native int ops instead: placing (exp:4, man:3) at f32 bit
-                # 20 yields exactly value * 2^-120 for every NORMAL e4m3
-                # (e4m3fn has no inf, and NaN never reaches a KV pool).
-                # Sub-normal codes never occur: the quantizer flushes
-                # |v| < 2^-6 at write time (xla_backend._quantize_rows), so
-                # the per-element denormal select the v2 path carried is
-                # gone — this is the fix for fp8 decoding ~6% slower than
-                # int8 at equal bytes (VERDICT r2 item 8)
-                xb = jax.lax.bitcast_convert_type(raw, jnp.int8).astype(
-                    jnp.int32
-                )
-                bits = ((xb & 0x80) << 24) | ((xb & 0x7F) << 20)
-                buf = (
-                    jax.lax.bitcast_convert_type(bits, jnp.float32)
-                    * jnp.float32(2.0**120)
-                ).astype(dt)
+            buf = _dequant_chunk(raw, dt)
             sc = sc_buf[slot].reshape(CHUNK, SL)  # [CHUNK, SL]
             scale_k = jax.lax.dot_general(
                 sel_k, sc, (((1,), (1,)), ((), ())),
@@ -392,6 +412,357 @@ def _gqa_decode_kernel(
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _gqa_decode_grouped_kernel(
+    # scalar prefetch
+    pt_ref,  # i32[B, P] global page ids (layer folded in, padded with 0)
+    len_ref,  # i32[B] kv lens (0 = padding row)
+    *refs,
+    page_size: int,
+    sb: int,
+    logit_cap: Optional[float],
+    quantized: bool,
+    with_sinks: bool,
+    packed: bool,
+    page_base: int,
+    head_slots: Optional[int],
+    n_slots: int,
+):
+    """Grouped single-chunk decode (v3): SB sequences per grid step.
+
+    At serving-typical short contexts each sequence owns ~one chunk, so the
+    per-sequence fixed costs of the v2 kernel — grid step, block-diagonal Q
+    build, mask iotas, softmax epilogue, output write — dominate over the
+    DMA time of its ~12 live pages (r4 microbench: 0.56 of SOL at ctx 192).
+    This variant amortises ALL of them by SB: one grid step streams the
+    WHOLE page table of SB sequences (one chunk each, no online softmax),
+    builds one [SB*Hq, LANES] block-diagonal Q, runs one QK / one PV dot
+    whose off-diagonal (cross-sequence) blocks are masked to -inf, and
+    batches the softmax + V-block selection across the group. The extra
+    MXU columns (each row dots against all SB chunks) trade against full
+    M-dimension utilisation (SB*Hq rows vs Hq) — measured, not assumed:
+    see tools/gqa_kernel_bench.py variants and PERF_r05.md.
+
+    Constant tensors (block-diagonal lane mask, scale selectors, column
+    position map) are built ONCE at grid step 0 into VMEM scratch and
+    reused — the per-step iota/compare chains were a measurable slice of
+    the v2 per-sequence cost.
+
+    Reference analogue: the 2-stage split-KV flash-decode
+    (scratchpad/nn/attention/triton_attn/decode_attention.py:547-608)
+    attacks the same fixed-cost problem with cross-block grid parallelism;
+    on a single-core TPU the equivalent is batching sequences into the
+    grid step.
+    """
+    q_ref, kv_hbm, *refs = refs
+    if quantized:
+        sc_hbm, *refs = refs
+    else:
+        sc_hbm = None
+    if with_sinks:
+        sinks_ref, *refs = refs
+    else:
+        sinks_ref = None
+    o_ref, kv_buf, *refs = refs
+    if quantized:
+        sc_buf, const_sk, const_sv, *refs = refs
+    else:
+        sc_buf = const_sk = const_sv = None
+    const_q, const_pos, sems = refs
+
+    g = pl.program_id(0)
+    NG = pl.num_programs(0)
+    SB = sb
+    CP = pt_ref.shape[1]  # whole table = one chunk per sequence
+    CHUNK = CP * page_size
+    Hq, Dp = q_ref.shape[1], q_ref.shape[2]
+    H2 = head_slots if head_slots is not None else kv_buf.shape[3]
+    LANES = H2 * Dp
+    G = Hq // H2 if packed else Hq // (H2 // 2)
+    SH = SB * Hq
+    SC = SB * CHUNK
+    dt = q_ref.dtype
+
+    def start_group(gg, slot):
+        for i in range(SB):
+            for j in range(CP):
+                page = pt_ref[gg * SB + i, j] + page_base
+                pltpu.make_async_copy(
+                    kv_hbm.at[page], kv_buf.at[slot, i * CP + j], sems.at[slot]
+                ).start()
+                if quantized:
+                    pltpu.make_async_copy(
+                        sc_hbm.at[page], sc_buf.at[slot, i * CP + j],
+                        sems.at[slot],
+                    ).start()
+
+    def wait_group(gg, slot):
+        for i in range(SB):
+            for j in range(CP):
+                page = pt_ref[gg * SB + i, j] + page_base
+                pltpu.make_async_copy(
+                    kv_hbm.at[page], kv_buf.at[slot, i * CP + j], sems.at[slot]
+                ).wait()
+                if quantized:
+                    pltpu.make_async_copy(
+                        sc_hbm.at[page], sc_buf.at[slot, i * CP + j],
+                        sems.at[slot],
+                    ).wait()
+
+    @pl.when(g == 0)
+    def _():
+        # fill the DMA pipeline first — the constant builds below overlap
+        # the flight time of the first groups' pages
+        for k in range(n_slots - 1):
+            if k < NG:
+                start_group(k, k)
+        # run-once constants (reused by every grid step). Masks go through
+        # an f32 select (the i1 compare carries a 32-bit (8,128) layout;
+        # selecting 16-bit values directly forces an unsupported i1
+        # relayout) and then pack to the compute dtype.
+        # Block-diagonal lane mask — row r keeps head slot kslot(r)'s lanes
+        lane = jax.lax.broadcasted_iota(jnp.int32, (SH, LANES), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (SH, LANES), 0)
+        hq = row % Hq
+        kslot = (hq // G) if packed else 2 * (hq // G)
+        const_q[...] = jnp.where(lane // Dp == kslot, 1.0, 0.0).astype(dt)
+        # column position map: token position within the column's sequence
+        # on the diagonal (row member == column member), else a sentinel
+        # that always fails the `pos < len` test — one compare per step
+        # replaces the member/positions iota chain
+        cm = jax.lax.broadcasted_iota(jnp.int32, (SH, SC), 1)
+        rm = jax.lax.broadcasted_iota(jnp.int32, (SH, SC), 0) // Hq
+        const_pos[...] = jnp.where(
+            cm // CHUNK == rm, cm % CHUNK, jnp.int32(2**30)
+        )
+        if quantized:
+            SL = sc_buf.shape[-1]
+            jj = jax.lax.broadcasted_iota(jnp.int32, (SH, SL), 1)
+            rr = jax.lax.broadcasted_iota(jnp.int32, (SH, SL), 0) % Hq
+            const_sk[...] = jnp.where(
+                jj == 2 * (rr // G), 1.0, 0.0
+            ).astype(sc_buf.dtype)
+            const_sv[...] = jnp.where(
+                jj == 2 * (rr // G) + 1, 1.0, 0.0
+            ).astype(sc_buf.dtype)
+
+    slot = jax.lax.rem(g, n_slots)
+    nxt = g + n_slots - 1
+
+    @pl.when(nxt < NG)
+    def _():
+        start_group(nxt, jax.lax.rem(nxt, n_slots))
+
+    wait_group(g, slot)
+
+    # per-row (query) sequence lengths — also the final padding-row mask
+    rowm = jax.lax.broadcasted_iota(jnp.int32, (SH, 1), 0) // Hq
+    lrow = jnp.zeros((SH, 1), jnp.int32)
+    for i in range(SB):
+        lrow = jnp.where(rowm == i, len_ref[g * SB + i], lrow)
+
+    q = q_ref[...].reshape(SH, Dp)
+    qt = jnp.concatenate([q] * H2, axis=1)  # [SH, LANES]
+    q_bd = qt * const_q[...]
+
+    raw = kv_buf[slot].reshape(SC, LANES)
+    if quantized:
+        buf = _dequant_chunk(raw, dt)
+        SL = sc_buf.shape[-1]
+        sc = sc_buf[slot].reshape(SC, SL)
+        scale_k = jax.lax.dot_general(
+            const_sk[...], sc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [SH, SC]
+        scale_v = jax.lax.dot_general(
+            const_sv[...], sc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        buf = raw
+    s = jax.lax.dot_general(
+        q_bd, buf, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [SH, SC]
+    if quantized:
+        s = s * scale_k
+    if logit_cap is not None:
+        s = logit_cap * jnp.tanh(s / logit_cap)
+    s = jnp.where(const_pos[...] < lrow, s, _NEG)
+
+    # single chunk covers the whole sequence: plain softmax, no online
+    # rescale chain
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    if with_sinks:
+        sink = jnp.concatenate(
+            [sinks_ref[:, :1].astype(jnp.float32)] * SB, axis=0
+        )  # [SH, 1]
+        l = l + jnp.exp(sink - m)
+    pq = (p * scale_v).astype(dt) if quantized else p.astype(buf.dtype)
+    acc = jax.lax.dot_general(
+        pq, buf, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [SH, LANES]
+    l_safe = jnp.where(l > 0, l, 1.0)
+    acc = acc / l_safe
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (SH, Dp), 0) % Hq
+    out = jnp.zeros((SH, Dp), jnp.float32)
+    if packed:
+        for j in range(H2):
+            blk = acc[:, j * Dp : (j + 1) * Dp]
+            out += jnp.where(rows // G == j, blk, 0.0)
+    else:
+        for j in range(1, H2, 2):
+            blk = acc[:, j * Dp : (j + 1) * Dp]
+            out += jnp.where(rows // G == j // 2, blk, 0.0)
+    out = jnp.where(lrow > 0, out, 0.0)
+    o_ref[...] = out.reshape(SB, Hq, Dp).astype(o_ref.dtype)
+
+
+def _grouped_sb(
+    B: int, P: int, ps: int, lanes_bytes: int, want: int, Hq: int, lanes: int
+) -> int:
+    """Pick the per-grid-step sequence group size: the largest SB <= want
+    dividing B whose double-buffered superchunk + score workspace stays
+    within the VMEM budget (0/1 = use the per-sequence kernel). The
+    estimate counts the kv scratch, ~8 score-shaped f32 temporaries and
+    the accumulator/constant planes — sb=8 at the 1B geometry (24 MiB by
+    this estimate) fails Mosaic VMEM allocation, sb=4 (10 MiB) compiles
+    (AOT-probed, r5)."""
+    for sb in (8, 4, 2):
+        if sb > want or B % sb:
+            continue
+        if sb * P > 128:  # DMA burst / dot column budget
+            continue
+        kv_bytes = 2 * sb * P * ps * lanes_bytes
+        sh, sc = sb * Hq, sb * P * ps
+        work = 8 * sh * sc * 4 + 3 * sh * lanes * 4
+        if kv_bytes + work > 16 * 1024 * 1024:
+            continue
+        return sb
+    return 1
+
+
+def _gqa_decode_grouped(
+    q,
+    kv_pages,
+    kv_scale,
+    layer_idx,
+    page_table,
+    seq_lens,
+    sinks,
+    *,
+    page_size,
+    sm_scale,
+    logit_cap,
+    num_layers,
+    packed,
+    static_layer,
+    lane_head_slots,
+    sb,
+):
+    """Setup + pallas_call for the grouped single-chunk kernel (traced from
+    inside _gqa_decode_call, which owns the jit boundary and routing)."""
+    import os
+
+    B, Hq, D = q.shape
+    if lane_head_slots is not None:
+        Pg, ps, LANES = kv_pages.shape
+        H2 = lane_head_slots
+        Dp = LANES // H2
+    else:
+        Pg, ps, H2, Dp = kv_pages.shape
+        LANES = H2 * Dp
+    Ptot = Pg // num_layers
+    quantized = kv_scale is not None
+    with_sinks = sinks is not None
+    P = page_table.shape[1]
+    NSLOTS = max(2, int(os.environ.get("SPTPU_GQA_SLOTS", "2")))
+    NG = B // sb
+    NSLOTS = min(NSLOTS, max(NG, 1))
+
+    if static_layer is not None:
+        pt_global = page_table.astype(jnp.int32)
+        page_base = int(static_layer) * Ptot
+    else:
+        pt_global = (page_table + layer_idx.astype(jnp.int32) * Ptot).astype(
+            jnp.int32
+        )
+        page_base = 0
+
+    qs = q * jnp.asarray(sm_scale, q.dtype)
+    if Dp != D:
+        qs = jnp.pad(qs, [(0, 0), (0, 0), (0, Dp - D)])
+
+    kernel = functools.partial(
+        _gqa_decode_grouped_kernel,
+        page_size=page_size,
+        sb=sb,
+        logit_cap=logit_cap,
+        quantized=quantized,
+        with_sinks=with_sinks,
+        packed=packed,
+        page_base=page_base,
+        head_slots=H2 if lane_head_slots is not None else None,
+        n_slots=NSLOTS,
+    )
+    SH, SC = sb * Hq, sb * P * page_size
+    in_specs = [
+        pl.BlockSpec((sb, Hq, Dp), lambda g, *_: (g, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),  # kv pages stay in HBM
+    ]
+    operands = [pt_global, seq_lens.astype(jnp.int32), qs, kv_pages]
+    scratch = [
+        pltpu.VMEM(
+            (NSLOTS, sb * P, ps, LANES)
+            if lane_head_slots is not None
+            else (NSLOTS, sb * P, ps, H2, Dp),
+            kv_pages.dtype,
+        ),
+    ]
+    if quantized:
+        SL = kv_scale.shape[-1]
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        operands.append(kv_scale)
+        scratch += [
+            pltpu.VMEM((NSLOTS, sb * P, ps, SL), kv_scale.dtype),
+            pltpu.VMEM((SH, SL), kv_scale.dtype),  # const_sk
+            pltpu.VMEM((SH, SL), kv_scale.dtype),  # const_sv
+        ]
+    if with_sinks:
+        in_specs.append(pl.BlockSpec((Hq, 128), lambda g, *_: (0, 0)))
+        operands.append(
+            jnp.broadcast_to(sinks.astype(jnp.float32)[:, None], (Hq, 128))
+        )
+    scratch += [
+        pltpu.VMEM((SH, LANES), q.dtype),  # const_q (block-diag lane mask)
+        pltpu.VMEM((SH, SC), jnp.int32),  # const_pos (column position map)
+        pltpu.SemaphoreType.DMA((NSLOTS,)),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(NG,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((sb, Hq, Dp), lambda g, *_: (g, 0, 0)),
+        scratch_shapes=scratch,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Dp), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(*operands)
+    if packed:
+        half = Dp // 2
+        return out[..., half : half + D]
+    return out[..., :D]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -446,6 +817,32 @@ def _gqa_decode_call(
     with_sinks = sinks is not None
 
     import os
+
+    # grouped single-chunk kernel (v3): SB sequences per grid step when the
+    # whole page table fits one chunk and the layer has no windowed/chunked
+    # masking (sinks are fine — they only join the softmax denominator).
+    # SPTPU_GQA_GROUP: "auto" (default) picks SB, "0" disables, N forces.
+    group_env = os.environ.get("SPTPU_GQA_GROUP", "auto")
+    P = page_table.shape[1]
+    if (
+        group_env != "0"
+        and not dynamic_window
+        and sliding_window is None
+        and chunk_size is None
+        and B >= 2
+    ):
+        want = 8 if group_env in ("auto", "") else int(group_env)
+        lanes_bytes = H2 * Dp * jnp.dtype(kv_pages.dtype).itemsize
+        sb = _grouped_sb(B, P, page_size, lanes_bytes, want, Hq, H2 * Dp)
+        if sb >= 2:
+            return _gqa_decode_grouped(
+                q, kv_pages, kv_scale, layer_idx, page_table, seq_lens,
+                sinks,
+                page_size=page_size, sm_scale=sm_scale, logit_cap=logit_cap,
+                num_layers=num_layers, packed=packed,
+                static_layer=static_layer, lane_head_slots=lane_head_slots,
+                sb=sb,
+            )
 
     # chunk size: CP=16 default. The r4 two-point microbench put CP=32 at
     # +33% kernel-level on the packed 1B pool, but E2E the flip COST ~13%
@@ -520,7 +917,11 @@ def _gqa_decode_call(
     if quantized:
         SL = kv_scale.shape[-1]
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        scratch.append(pltpu.VMEM((NSLOTS, CP, ps, SL), kv_scale.dtype))
+        scratch += [
+            pltpu.VMEM((NSLOTS, CP, ps, SL), kv_scale.dtype),
+            pltpu.VMEM((Hq, SL), kv_scale.dtype),  # const_sk
+            pltpu.VMEM((Hq, SL), kv_scale.dtype),  # const_sv
+        ]
         operands.append(kv_scale)
     if with_sinks:
         # lane-tile the [Hq] sink vector so it lands in VMEM as a normal
@@ -532,6 +933,7 @@ def _gqa_decode_call(
             )
         )
     scratch += [
+        pltpu.VMEM((Hq, H2 * Dp), q.dtype),  # const_q (block-diag mask)
         pltpu.SemaphoreType.DMA((NSLOTS,)),
         pltpu.SMEM((1,), jnp.int32),
     ]

@@ -669,6 +669,19 @@ class ServerApp:
             )
 
             tool_parser = StreamingToolParser(creq.tools)
+        # incremental <think> separation ahead of the tool parser: think
+        # spans stream as reasoning_content deltas, the remainder flows on
+        # as content (reference: reasoning_parser.py:47 streaming mode)
+        reasoning_parser = None
+        if self.args.reasoning_parser:
+            from scratchpad_tpu.server.openai_api.reasoning_parser import (
+                StreamingReasoningParser,
+            )
+
+            reasoning_parser = StreamingReasoningParser(
+                force_reasoning=self.args.reasoning_parser == "deepseek-r1",
+                stream_reasoning=self.args.stream_reasoning,
+            )
 
         async def _send(delta: DeltaMessage, finish=None, usage=None):
             nonlocal first, cid
@@ -694,18 +707,34 @@ class ServerApp:
             for d in res.deltas:
                 await _send(DeltaMessage(tool_calls=[d]))
 
+        async def _send_content(text):
+            if not text:
+                return
+            if tool_parser is not None:
+                await _send_increment(tool_parser.feed(text))
+            else:
+                await _send(DeltaMessage(content=text))
+
         async for kind, payload in self.runner.generate(
             prompt=prompt, sampling_params=sp, stream=True,
             image_data=image_data, video_data=video_data,
         ):
             if kind == "delta":
-                if tool_parser is not None:
-                    await _send_increment(tool_parser.feed(payload))
+                if reasoning_parser is not None:
+                    r, c = reasoning_parser.feed(payload)
+                    if r:
+                        await _send(DeltaMessage(reasoning_content=r))
+                    await _send_content(c)
                 else:
-                    await _send(DeltaMessage(content=payload))
+                    await _send_content(payload)
             elif kind == "done":
                 out: GenerationOutput = payload
                 finish = out.finish_reason
+                if reasoning_parser is not None:
+                    r, c = reasoning_parser.finish()
+                    if r:
+                        await _send(DeltaMessage(reasoning_content=r))
+                    await _send_content(c)
                 if tool_parser is not None:
                     await _send_increment(tool_parser.finish())
                     if tool_parser.saw_tool_call:

@@ -176,6 +176,54 @@ def test_gqa_decode_v2_grouping():
     np.testing.assert_allclose(out[0, 3], 7.0, rtol=1e-6)
 
 
+@pytest.mark.parametrize("group", ["0", "2", "4"])
+def test_gqa_decode_grouped_vs_per_seq(group, monkeypatch):
+    """The grouped single-chunk kernel (v3, SPTPU_GQA_GROUP>=2) and the
+    per-sequence kernel (GROUP=0) must agree with the XLA backend bit-for-
+    bit at the same shapes (B=4 divisible by both group sizes)."""
+    from scratchpad_tpu.ops.attention.gqa_decode import decode_attention_gqa
+
+    monkeypatch.setenv("SPTPU_GQA_GROUP", group)
+    jax.clear_caches()
+    try:
+        q, kv, meta = make_case(B=4, seed=3)
+        kw = dict(page_size=16, sm_scale=0.125)
+        ref = decode_attention_xla(q, kv, jnp.int32(1), meta, **kw)
+        out = decode_attention_gqa(q, kv, jnp.int32(1), meta, **kw)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+    finally:
+        jax.clear_caches()
+
+
+def test_gqa_decode_grouped_padding_rows(monkeypatch):
+    """Grouped path: whole groups of padding rows (len 0) stay zero."""
+    from scratchpad_tpu.ops.attention.gqa_decode import decode_attention_gqa
+
+    monkeypatch.setenv("SPTPU_GQA_GROUP", "2")
+    jax.clear_caches()
+    try:
+        q, kv, meta = make_case(B=8, seed=5)
+        seq = np.asarray(meta.seq_lens).copy()
+        seq[3:] = 0  # pad rows split across groups of 2
+        meta = dataclasses.replace(meta, seq_lens=jnp.asarray(seq))
+        out = decode_attention_gqa(
+            q, kv, jnp.int32(0), meta, page_size=16, sm_scale=0.125
+        )
+        a = np.asarray(out)
+        assert np.isfinite(a).all()
+        assert np.abs(a[3:]).max() == 0.0
+        ref = decode_attention_xla(
+            q, kv, jnp.int32(0), meta, page_size=16, sm_scale=0.125
+        )
+        np.testing.assert_allclose(
+            a[:3], np.asarray(ref)[:3], rtol=2e-5, atol=2e-5
+        )
+    finally:
+        jax.clear_caches()
+
+
 def test_gqa_decode_v2_multi_layer_and_long():
     """Layer folding + many chunks per sequence (exercises the DMA chain)."""
     from scratchpad_tpu.ops.attention.gqa_decode import decode_attention_gqa

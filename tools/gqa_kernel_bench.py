@@ -123,10 +123,25 @@ def main() -> None:
     page_bytes = int(np.prod(kv.kv.shape[1:])) * kv.kv.dtype.itemsize
     total = B * pages_per_seq * page_bytes
     if kv.scale is not None:
-        total += B * pages_per_seq * int(np.prod(kv.scale.shape[1:])) * 4
+        total += (
+            B
+            * pages_per_seq
+            * int(np.prod(kv.scale.shape[1:]))
+            * kv.scale.dtype.itemsize
+        )
 
-    for cp in (8, 16, 32):
-        os.environ["SPTPU_GQA_CP"] = str(cp)
+    # sweep (chunk-pages, group-SB) variants: group=0 is the per-sequence
+    # v2 kernel (CP applies), group>=2 the grouped single-chunk v3 kernel
+    # (whole table per sequence, CP ignored). KB_SWEEP overrides, e.g.
+    # "16:0,16:4" = v2 cp16 + grouped sb4.
+    sweep = os.environ.get("KB_SWEEP", "8:0,16:0,32:0,0:2,0:4,0:8")
+    combos = []
+    for tok in sweep.split(","):
+        cp_s, grp_s = tok.split(":")
+        combos.append((int(cp_s), int(grp_s)))
+    for cp, grp in combos:
+        os.environ["SPTPU_GQA_CP"] = str(cp or 16)
+        os.environ["SPTPU_GQA_GROUP"] = str(grp)
         jax.clear_caches()
         jlo = jax.jit(make_many(N_LO))
         jhi = jax.jit(make_many(N_HI))
@@ -147,6 +162,7 @@ def main() -> None:
             json.dumps(
                 {
                     "preset": preset, "ctx": ctx, "bs": B, "cp": cp,
+                    "group": grp,
                     "kv": kv_dtype, "packed": use_packed, "ps": ps,
                     "slots": os.environ.get("SPTPU_GQA_SLOTS", "2"),
                     "us_per_call": round(dt * 1e6, 1),
