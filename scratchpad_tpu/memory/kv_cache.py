@@ -31,6 +31,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+# extra s8 lanes per row on inline-scale pools: a 128-lane hi-byte plane
+# + a 128-lane lo-byte plane of the per-slot bf16 scales
+INLINE_SCALE_LANES = 256
+
+
 def padded_head_dim(d: int) -> int:
     """Round head_dim up to the 128-lane tile when a Pallas kernel needs to
     DMA per-page blocks (pages pack two-per-lane-row below 128 and become
@@ -65,6 +70,19 @@ class KVCacheConfig:
     # the same bytes in the order the gqa kernel's flattened [CHUNK, LANES]
     # block consumes, so page DMAs stay whole-leading-dim slices).
     lane_heads: bool = False
+    # INLINE-SCALE quantized layout (single-device decode): each page
+    # carries its per-(token, head, K/V-half) bf16 scales as 256 extra s8
+    # lanes — one hi-byte plane and one lo-byte plane of 128 lanes each —
+    # so the decode kernel streams ONE DMA per page instead of a kv+scale
+    # pair (the second stream made int8 KV a net loss at small models,
+    # r4). Pool shape [Pg, ps, H2*Dp + 256] with the kv lanes laid out
+    # exactly like `lane_heads` (padded) or flattened `packed` rows; the
+    # kernel rebuilds f32 scales with the same i32-shift+bitcast trick as
+    # the fp8 dequant (Mosaic's native s8->bf16 bitcast merges SUBLANES,
+    # not lanes, so byte planes are the expressible encoding).
+    # Reference analogue: fp8 KV scales stored alongside the pool
+    # (scratchpad/memory/pool.py:274-278).
+    inline_scale: bool = False
     # MLA latent cache (reference: MLATokenToKVPool, memory/pool.py:427-474):
     # ONE vector per token per layer holding [c_kv(kv_lora_rank), k_rope],
     # i.e. head axis is 1 and head_dim is the latent width.
@@ -95,10 +113,15 @@ class KVCacheConfig:
             heads = 2 * self.num_kv_heads
         per = self.num_layers * heads * self.head_dim * itemsize
         if self.quantized:
-            # per-(token, head, K/V-half) bf16 scales — packed rows still
-            # carry separate K and V scales (bf16: the f32 scale pages were
-            # 25-50% of the quantized read at small head counts, r4)
-            per += self.num_layers * 2 * self.num_kv_heads * 2
+            if self.inline_scale:
+                # hi/lo byte planes inside the page rows
+                per += self.num_layers * 256
+            else:
+                # per-(token, head, K/V-half) bf16 scales — packed rows
+                # still carry separate K and V scales (bf16: the f32 scale
+                # pages were 25-50% of the quantized read at small head
+                # counts, r4)
+                per += self.num_layers * 2 * self.num_kv_heads * 2
         return per
 
 
@@ -127,20 +150,33 @@ class KVCache:
     # lane-folded layout (see KVCacheConfig.lane_heads): kv is 3-D
     # [pages, ps, head_slots * head_dim]; 0 = the 4-D layouts above
     lane_head_slots: int = 0
+    # inline-scale quantized pages (see KVCacheConfig.inline_scale): the
+    # last INLINE_SCALE_LANES lanes of each row are the bf16 scale byte
+    # planes; kv is 3-D and `scale` is None
+    inline_scale: bool = False
 
     @property
     def lane_heads(self) -> bool:
-        return self.lane_head_slots > 0
+        return self.lane_head_slots > 0 and not self.inline_scale
+
+    @property
+    def kv_lanes(self) -> int:
+        """Lanes holding kv values (excludes inline scale planes)."""
+        if self.inline_scale:
+            return self.kv.shape[-1] - INLINE_SCALE_LANES
+        return self.kv.shape[-1]
 
     @property
     def head_dim(self) -> int:
-        if self.lane_heads:
-            return self.kv.shape[-1] // self.lane_head_slots
+        if self.lane_head_slots > 0:
+            return self.kv_lanes // self.lane_head_slots
         return self.kv.shape[-1]
 
     @property
     def num_kv_heads(self) -> int:
-        if self.lane_heads:
+        if self.lane_head_slots > 0:
+            if self.packed:
+                return self.lane_head_slots
             return self.lane_head_slots // 2
         return self.kv.shape[-2] if self.packed else self.kv.shape[-2] // 2
 
@@ -156,7 +192,13 @@ class KVCache:
 jax.tree_util.register_dataclass(
     KVCache,
     data_fields=["kv", "scale", "cross"],
-    meta_fields=["num_layers", "packed", "scale_shards", "lane_head_slots"],
+    meta_fields=[
+        "num_layers",
+        "packed",
+        "scale_shards",
+        "lane_head_slots",
+        "inline_scale",
+    ],
 )
 
 
@@ -173,6 +215,33 @@ def create_kv_cache(
         head_slots = cfg.num_kv_heads
     else:
         head_slots = 1 if cfg.mla else 2 * cfg.num_kv_heads
+    if cfg.inline_scale:
+        assert cfg.quantized and not cfg.mla, (
+            "inline_scale is for quantized MHA pools"
+        )
+        assert mesh is None or tp_axis is None or tp_axis not in getattr(
+            mesh, "axis_names", ()
+        ), (
+            "inline_scale pools are single-device (tp shards need the "
+            "per-shard-block scale pool)"
+        )
+        assert cfg.head_dim % 128 == 0
+        assert 2 * cfg.num_kv_heads <= 128, "scale byte planes hold <= 128 slots"
+        shape = (
+            cfg.total_pages,
+            cfg.page_size,
+            head_slots * cfg.head_dim + INLINE_SCALE_LANES,
+        )
+        kv = jnp.zeros(shape, cfg.quant_dtype)
+        return KVCache(
+            kv=kv,
+            scale=None,
+            cross=None,
+            num_layers=cfg.num_layers,
+            packed=cfg.packed,
+            lane_head_slots=head_slots,
+            inline_scale=True,
+        )
     if cfg.lane_heads:
         assert not (cfg.packed or cfg.mla), "lane_heads is plain MHA only"
         assert cfg.head_dim % 128 == 0, "lane blocks must be lane-tiled"

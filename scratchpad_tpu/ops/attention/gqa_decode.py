@@ -70,6 +70,22 @@ def _dequant_chunk(raw, dt):
     ).astype(dt)
 
 
+def _inline_scales(raw_all, lanes, sdt):
+    """Decode inline-scale byte planes (rows [..., lanes + 256]) to
+    [..., 128] scales: hi/lo s8 lanes -> bf16 bit pattern placed in the
+    f32 exponent+mantissa top (same trick as the fp8 dequant above;
+    Mosaic's native s8->bf16 bitcast merges sublanes, so byte planes are
+    the lane-exact encoding — see memory/kv_cache.py inline_scale)."""
+    planes = raw_all[:, lanes:]
+    if planes.dtype != jnp.int8:  # fp8 pools: reinterpret, don't convert
+        planes = jax.lax.bitcast_convert_type(planes, jnp.int8)
+    hi = planes[:, :128].astype(jnp.int32) & 0xFF
+    lo = planes[:, 128:].astype(jnp.int32) & 0xFF
+    return jax.lax.bitcast_convert_type(
+        (hi << 24) | (lo << 16), jnp.float32
+    ).astype(sdt)
+
+
 def _gqa_decode_kernel(
     # scalar prefetch
     pt_ref,  # i32[B, P] global page ids (layer folded in, padded with 0)
@@ -88,6 +104,7 @@ def _gqa_decode_kernel(
     head_slots: Optional[int] = None,
     n_slots: int = 2,
     clamp_dead: bool = False,
+    inline: bool = False,
 ):
     if dynamic_window:
         # i32[1] per-CALL window (a per-layer value traced through the
@@ -97,10 +114,11 @@ def _gqa_decode_kernel(
     else:
         win_ref = None
     q_ref, kv_hbm, *refs = refs
-    if quantized:
+    if quantized and not inline:
         # sc_hbm [Pg, ps, SL] bf16: the scale pool lane-padded to SL >= 128
         # (16-lane pages are not DMA-sliceable in mosaic); scale pages
-        # stream alongside the kv pages
+        # stream alongside the kv pages. Inline-scale pools carry the
+        # scales INSIDE the kv pages (no second stream).
         sc_hbm, *refs = refs
     else:
         sc_hbm = None
@@ -111,10 +129,14 @@ def _gqa_decode_kernel(
     else:
         sinks_ref = None
     o_ref, kv_buf, *refs = refs
-    if quantized:
-        sc_buf, const_sk, const_sv, *refs = refs
+    if quantized and not inline:
+        sc_buf, *refs = refs
     else:
-        sc_buf = const_sk = const_sv = None
+        sc_buf = None
+    if quantized:
+        const_sk, const_sv, *refs = refs
+    else:
+        const_sk = const_sv = None
     const_q, sems, cursor = refs
     b = pl.program_id(0)
     B = pl.num_programs(0)
@@ -124,9 +146,11 @@ def _gqa_decode_kernel(
     # combined (K,V) head slots (= Hkv when packed). Lane-folded pools
     # ([Pg, ps, H2*Dp] — see memory/kv_cache.py lane_heads) carry a 3-D
     # VMEM block, so the slot count comes in statically; the flattened
-    # [CHUNK, LANES] form below is IDENTICAL either way.
+    # [CHUNK, LANES] form below is IDENTICAL either way. Inline-scale rows
+    # carry 256 extra byte-plane lanes past the kv lanes.
     H2 = head_slots if head_slots is not None else kv_buf.shape[3]
     LANES = H2 * Dp
+    LT = LANES + 256 if inline else LANES
     G = Hq // H2 if packed else Hq // (H2 // 2)
 
     def nchunks(seq):
@@ -183,7 +207,7 @@ def _gqa_decode_kernel(
                     ),
                 )
             )
-            if quantized:
+            if sc_hbm is not None:
                 out.append(
                     (
                         live,
@@ -252,15 +276,15 @@ def _gqa_decode_kernel(
             lane_i // Dp == kslot_i, 1.0, 0.0
         ).astype(q_ref.dtype)
         if quantized:
-            SL_ = sc_buf.shape[-1]
+            SL_ = const_sk.shape[-1]
             jj = jax.lax.broadcasted_iota(jnp.int32, (Hq_, SL_), 1)
             rr = jax.lax.broadcasted_iota(jnp.int32, (Hq_, SL_), 0)
             const_sk[...] = jnp.where(
                 jj == 2 * (rr // G), 1.0, 0.0
-            ).astype(sc_buf.dtype)
+            ).astype(const_sk.dtype)
             const_sv[...] = jnp.where(
                 jj == 2 * (rr // G) + 1, 1.0, 0.0
-            ).astype(sc_buf.dtype)
+            ).astype(const_sv.dtype)
 
     slot0 = cursor[0]
     seq_len = len_ref[b]
@@ -299,7 +323,7 @@ def _gqa_decode_kernel(
         # one tiny dot turns the chunk's per-(token, slot) scales into
         # score-shaped factors. Selectors match the pool's scale dtype
         # (bf16 since r4); the 0/1 x bf16 dot accumulates in f32 exactly.
-        SL = sc_buf.shape[-1]
+        SL = const_sk.shape[-1]
         sel_k = const_sk[...]  # [Hq, SL]
         sel_v = const_sv[...]
 
@@ -333,16 +357,20 @@ def _gqa_decode_kernel(
                 @pl.when(c * CP + j >= live_p2)
                 def _(j=j):
                     kv_buf[slot, j] = jnp.zeros_like(kv_buf[slot, j])
-                    if quantized:
+                    if sc_buf is not None:
                         sc_buf[slot, j] = jnp.zeros_like(sc_buf[slot, j])
 
         # [CP, ps, H2, Dp] -> [CHUNK, LANES]: cheap in-VMEM relayout of ~1 MiB
         # (merging the last two dims of the HBM array instead would relayout
         # the ENTIRE pool per call — measured 26x slower end-to-end)
-        raw = kv_buf[slot].reshape(CHUNK, LANES)
+        raw_all = kv_buf[slot].reshape(CHUNK, LT)
+        raw = raw_all[:, :LANES] if inline else raw_all
         if quantized:
             buf = _dequant_chunk(raw, dt)
-            sc = sc_buf[slot].reshape(CHUNK, SL)  # [CHUNK, SL]
+            if inline:
+                sc = _inline_scales(raw_all, LANES, sel_k.dtype)
+            else:
+                sc = sc_buf[slot].reshape(CHUNK, SL)  # [CHUNK, SL]
             scale_k = jax.lax.dot_general(
                 sel_k, sc, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -426,6 +454,7 @@ def _gqa_decode_grouped_kernel(
     page_base: int,
     head_slots: Optional[int],
     n_slots: int,
+    inline: bool = False,
 ):
     """Grouped single-chunk decode (v3): SB sequences per grid step.
 
@@ -454,7 +483,7 @@ def _gqa_decode_grouped_kernel(
     grid step.
     """
     q_ref, kv_hbm, *refs = refs
-    if quantized:
+    if quantized and not inline:
         sc_hbm, *refs = refs
     else:
         sc_hbm = None
@@ -463,10 +492,14 @@ def _gqa_decode_grouped_kernel(
     else:
         sinks_ref = None
     o_ref, kv_buf, *refs = refs
-    if quantized:
-        sc_buf, const_sk, const_sv, *refs = refs
+    if quantized and not inline:
+        sc_buf, *refs = refs
     else:
-        sc_buf = const_sk = const_sv = None
+        sc_buf = None
+    if quantized:
+        const_sk, const_sv, *refs = refs
+    else:
+        const_sk = const_sv = None
     const_q, const_pos, sems = refs
 
     g = pl.program_id(0)
@@ -477,6 +510,7 @@ def _gqa_decode_grouped_kernel(
     Hq, Dp = q_ref.shape[1], q_ref.shape[2]
     H2 = head_slots if head_slots is not None else kv_buf.shape[3]
     LANES = H2 * Dp
+    LT = LANES + 256 if inline else LANES
     G = Hq // H2 if packed else Hq // (H2 // 2)
     SH = SB * Hq
     SC = SB * CHUNK
@@ -489,7 +523,7 @@ def _gqa_decode_grouped_kernel(
                 pltpu.make_async_copy(
                     kv_hbm.at[page], kv_buf.at[slot, i * CP + j], sems.at[slot]
                 ).start()
-                if quantized:
+                if sc_hbm is not None:
                     pltpu.make_async_copy(
                         sc_hbm.at[page], sc_buf.at[slot, i * CP + j],
                         sems.at[slot],
@@ -502,7 +536,7 @@ def _gqa_decode_grouped_kernel(
                 pltpu.make_async_copy(
                     kv_hbm.at[page], kv_buf.at[slot, i * CP + j], sems.at[slot]
                 ).wait()
-                if quantized:
+                if sc_hbm is not None:
                     pltpu.make_async_copy(
                         sc_hbm.at[page], sc_buf.at[slot, i * CP + j],
                         sems.at[slot],
@@ -535,15 +569,15 @@ def _gqa_decode_grouped_kernel(
             cm // CHUNK == rm, cm % CHUNK, jnp.int32(2**30)
         )
         if quantized:
-            SL = sc_buf.shape[-1]
+            SL = const_sk.shape[-1]
             jj = jax.lax.broadcasted_iota(jnp.int32, (SH, SL), 1)
             rr = jax.lax.broadcasted_iota(jnp.int32, (SH, SL), 0) % Hq
             const_sk[...] = jnp.where(
                 jj == 2 * (rr // G), 1.0, 0.0
-            ).astype(sc_buf.dtype)
+            ).astype(const_sk.dtype)
             const_sv[...] = jnp.where(
                 jj == 2 * (rr // G) + 1, 1.0, 0.0
-            ).astype(sc_buf.dtype)
+            ).astype(const_sv.dtype)
 
     slot = jax.lax.rem(g, n_slots)
     nxt = g + n_slots - 1
@@ -564,11 +598,14 @@ def _gqa_decode_grouped_kernel(
     qt = jnp.concatenate([q] * H2, axis=1)  # [SH, LANES]
     q_bd = qt * const_q[...]
 
-    raw = kv_buf[slot].reshape(SC, LANES)
+    raw_all = kv_buf[slot].reshape(SC, LT)
+    raw = raw_all[:, :LANES] if inline else raw_all
     if quantized:
         buf = _dequant_chunk(raw, dt)
-        SL = sc_buf.shape[-1]
-        sc = sc_buf[slot].reshape(SC, SL)
+        if inline:
+            sc = _inline_scales(raw_all, LANES, const_sk.dtype)
+        else:
+            sc = sc_buf[slot].reshape(SC, sc_buf.shape[-1])
         scale_k = jax.lax.dot_general(
             const_sk[...], sc, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -662,6 +699,7 @@ def _gqa_decode_grouped(
     static_layer,
     lane_head_slots,
     sb,
+    inline=False,
 ):
     """Setup + pallas_call for the grouped single-chunk kernel (traced from
     inside _gqa_decode_call, which owns the jit boundary and routing)."""
@@ -669,14 +707,16 @@ def _gqa_decode_grouped(
 
     B, Hq, D = q.shape
     if lane_head_slots is not None:
-        Pg, ps, LANES = kv_pages.shape
+        Pg, ps, LT = kv_pages.shape
         H2 = lane_head_slots
+        LANES = LT - 256 if inline else LT
         Dp = LANES // H2
     else:
         Pg, ps, H2, Dp = kv_pages.shape
         LANES = H2 * Dp
+        LT = LANES
     Ptot = Pg // num_layers
-    quantized = kv_scale is not None
+    quantized = kv_scale is not None or inline
     with_sinks = sinks is not None
     P = page_table.shape[1]
     NSLOTS = max(2, int(os.environ.get("SPTPU_GQA_SLOTS", "2")))
@@ -707,6 +747,7 @@ def _gqa_decode_grouped(
         page_base=page_base,
         head_slots=H2 if lane_head_slots is not None else None,
         n_slots=NSLOTS,
+        inline=inline,
     )
     SH, SC = sb * Hq, sb * P * page_size
     in_specs = [
@@ -716,20 +757,23 @@ def _gqa_decode_grouped(
     operands = [pt_global, seq_lens.astype(jnp.int32), qs, kv_pages]
     scratch = [
         pltpu.VMEM(
-            (NSLOTS, sb * P, ps, LANES)
+            (NSLOTS, sb * P, ps, LT)
             if lane_head_slots is not None
             else (NSLOTS, sb * P, ps, H2, Dp),
             kv_pages.dtype,
         ),
     ]
-    if quantized:
+    if quantized and not inline:
         SL = kv_scale.shape[-1]
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         operands.append(kv_scale)
+        scratch.append(pltpu.VMEM((NSLOTS, sb * P, ps, SL), kv_scale.dtype))
+    if quantized:
+        SL = 128 if inline else kv_scale.shape[-1]
+        sdt = q.dtype if inline else kv_scale.dtype
         scratch += [
-            pltpu.VMEM((NSLOTS, sb * P, ps, SL), kv_scale.dtype),
-            pltpu.VMEM((SH, SL), kv_scale.dtype),  # const_sk
-            pltpu.VMEM((SH, SL), kv_scale.dtype),  # const_sv
+            pltpu.VMEM((SH, SL), sdt),  # const_sk
+            pltpu.VMEM((SH, SL), sdt),  # const_sv
         ]
     if with_sinks:
         in_specs.append(pl.BlockSpec((Hq, 128), lambda g, *_: (0, 0)))
@@ -775,6 +819,7 @@ def _gqa_decode_grouped(
         "packed",
         "static_layer",
         "lane_head_slots",
+        "inline",
     ),
 )
 def _gqa_decode_call(
@@ -796,19 +841,21 @@ def _gqa_decode_call(
     packed=False,
     static_layer=None,
     lane_head_slots=None,
+    inline=False,
 ):
     B, Hq, D = q.shape
     if lane_head_slots is not None:
         # lane-folded pool [Pg, ps, H2*Dp]: same bytes per row in the same
         # order as the flattened VMEM block the kernel computes on, but
-        # sliceable on the lane axis at any tp (memory/kv_cache.py)
-        Pg, ps, LANES = kv_pages.shape
+        # sliceable on the lane axis at any tp (memory/kv_cache.py).
+        # Inline-scale pools carry 256 extra byte-plane lanes.
+        Pg, ps, LT_ = kv_pages.shape
         H2 = lane_head_slots
-        Dp = LANES // H2
+        Dp = (LT_ - 256 if inline else LT_) // H2
     else:
         Pg, ps, H2, Dp = kv_pages.shape
     Ptot = Pg // num_layers
-    quantized = kv_scale is not None
+    quantized = kv_scale is not None or inline
     # packed + quantized compose: scale lanes stay interleaved
     # [k0, v0, ...] so sel_k/sel_v hit head h's K/V scales while the
     # block-diagonal dots read the packed row's halves
@@ -841,7 +888,7 @@ def _gqa_decode_call(
                 page_size=page_size, sm_scale=sm_scale, logit_cap=logit_cap,
                 num_layers=num_layers, packed=packed,
                 static_layer=static_layer, lane_head_slots=lane_head_slots,
-                sb=sb,
+                sb=sb, inline=inline,
             )
 
     # chunk size: CP=16 default. The r4 two-point microbench put CP=32 at
@@ -897,6 +944,7 @@ def _gqa_decode_call(
         # live-page DMA clamping (skip + zero dead pages): opt-in pending
         # a same-session on-chip A/B (see chunk_dmas docstring)
         clamp_dead=os.environ.get("SPTPU_GQA_CLAMP", "0") == "1",
+        inline=inline,
     )
     in_specs = [
         pl.BlockSpec((1, Hq, Dp), lambda b, *_: (b, 0, 0)),
@@ -904,7 +952,7 @@ def _gqa_decode_call(
     ]
     scratch = [
         pltpu.VMEM(
-            (NSLOTS, CP, ps, H2 * Dp)
+            (NSLOTS, CP, ps, H2 * Dp + (256 if inline else 0))
             if lane_head_slots is not None
             else (NSLOTS, CP, ps, H2, Dp),
             kv_pages.dtype,
@@ -914,15 +962,18 @@ def _gqa_decode_call(
     if dynamic_window:
         operands.append(window_dyn.astype(jnp.int32).reshape(1))
     operands += [qs, kv_pages]
-    if quantized:
+    if quantized and not inline:
         SL = kv_scale.shape[-1]
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        scratch += [
-            pltpu.VMEM((NSLOTS, CP, ps, SL), kv_scale.dtype),
-            pltpu.VMEM((Hq, SL), kv_scale.dtype),  # const_sk
-            pltpu.VMEM((Hq, SL), kv_scale.dtype),  # const_sv
-        ]
+        scratch.append(pltpu.VMEM((NSLOTS, CP, ps, SL), kv_scale.dtype))
         operands.append(kv_scale)
+    if quantized:
+        SL = 128 if inline else kv_scale.shape[-1]
+        sdt = q.dtype if inline else kv_scale.dtype
+        scratch += [
+            pltpu.VMEM((Hq, SL), sdt),  # const_sk
+            pltpu.VMEM((Hq, SL), sdt),  # const_sv
+        ]
     if with_sinks:
         # lane-tile the [Hq] sink vector so it lands in VMEM as a normal
         # (sublane, lane) block
@@ -984,6 +1035,7 @@ def decode_attention_gqa(
     scale = (
         kv.scale
         if kv.kv.dtype in (jnp.int8, jnp.float8_e4m3fn)
+        and not kv.inline_scale
         else None
     )
     window_dyn = None
@@ -1015,6 +1067,7 @@ def decode_attention_gqa(
         packed=kv.packed,
         static_layer=static_layer,
         lane_head_slots=kv.lane_head_slots or None,
+        inline=kv.inline_scale,
     )
 
 

@@ -183,6 +183,8 @@ def dequant_pages(kv: KVCache, layer_idx, page_table, out_dtype=jnp.bfloat16):
     leading dim keep the s8 pool in its default layout (see the layout
     landmine notes in xla_backend._gather_kv).
     """
+    if kv.inline_scale:
+        return _dequant_pages_inline(kv, layer_idx, page_table, out_dtype)
     Pg, ps, H2, Dp = kv.kv.shape
     Ptot = kv.pages_per_layer
     B, P = page_table.shape
@@ -203,6 +205,45 @@ def dequant_pages(kv: KVCache, layer_idx, page_table, out_dtype=jnp.bfloat16):
     deq = (deq * sc[..., None]).astype(out_dtype)
     new_pt = jnp.arange(B * P, dtype=jnp.int32).reshape(B, P)
     return deq, new_pt
+
+
+def _dequant_pages_inline(kv: KVCache, layer_idx, page_table, out_dtype):
+    """dequant_pages for INLINE-SCALE pools (memory/kv_cache.py
+    inline_scale): rows carry kv lanes + scale byte planes; decode the
+    scales from the gathered rows themselves and expand into the
+    interleaved lane-padded scratch the bundled ragged kernel consumes."""
+    from scratchpad_tpu.ops.attention.xla_backend import inline_scales_of
+
+    Pg, ps, Ltot = kv.kv.shape
+    H2 = kv.lane_head_slots
+    kvL = kv.kv_lanes
+    Dp = kvL // H2
+    Hkv = kv.num_kv_heads
+    Ptot = kv.pages_per_layer
+    B, P = page_table.shape
+    rows = (
+        page_table.astype(jnp.int32) + jnp.asarray(layer_idx, jnp.int32) * Ptot
+    ).reshape(-1)
+    g = jnp.take(kv.kv, rows, axis=0)  # [B*P, ps, kvL+256]
+    sc = inline_scales_of(g, 2 * Hkv)  # [B*P, ps, 2Hkv] f32
+    vals = g[..., :kvL].reshape(B * P, ps, H2, Dp)
+    if vals.dtype == jnp.int8:
+        deq = vals.astype(jnp.int32).astype(jnp.float32)
+    else:
+        deq = vals.astype(jnp.float32)
+    if kv.packed:
+        half = Dp // 2
+        k = deq[..., :half] * sc[..., 0::2, None]
+        v = deq[..., half:] * sc[..., 1::2, None]
+        pad = [(0, 0), (0, 0), (0, 0), (0, Dp - half)]
+        scratch = jnp.stack(
+            [jnp.pad(k, pad), jnp.pad(v, pad)], axis=3
+        ).reshape(B * P, ps, 2 * Hkv, Dp)
+    else:
+        scratch = deq * sc[..., None]
+    scratch = scratch.astype(out_dtype)
+    new_pt = jnp.arange(B * P, dtype=jnp.int32).reshape(B, P)
+    return scratch, new_pt
 
 
 def attention_ragged_quant(
@@ -361,6 +402,8 @@ def unpack_pages(kv: KVCache, layer_idx, page_table, out_dtype=jnp.bfloat16):
     Same shape of trade as dequant_pages above: the packed pool halves the
     DECODE read (the dominant traffic), while extend pays a small
     expand-to-scratch for just the B*P pages this batch touches."""
+    if kv.inline_scale:
+        return _dequant_pages_inline(kv, layer_idx, page_table, out_dtype)
     Pg, ps, Hkv, Dp = kv.kv.shape
     half = Dp // 2
     Ptot = kv.pages_per_layer

@@ -66,6 +66,8 @@ def write_kv(
     reference: scratchpad/memory/pool.py:392-424). INT8 caches additionally
     store per-(row, head) scales — finer than the reference's static
     per-layer fp8 scales (pool.py:274-278)."""
+    if kv.inline_scale:
+        return _write_kv_inline(kv, k_new, v_new, layer_idx, out_cache_loc)
     if kv.lane_heads:
         return _write_kv_lanes(kv, k_new, v_new, layer_idx, out_cache_loc)
     Pg, ps, H2, Dp = kv.kv.shape
@@ -148,6 +150,77 @@ def write_kv(
     return dataclasses.replace(kv, kv=new_kv, scale=scale)
 
 
+def _write_kv_inline(
+    kv: KVCache, k_new, v_new, layer_idx, out_cache_loc
+) -> KVCache:
+    """write_kv for inline-scale quantized pools (see
+    memory/kv_cache.py KVCacheConfig.inline_scale): one whole-row scatter
+    carries the quantized kv lanes AND the bf16 scales encoded as hi/lo
+    byte planes in the last 256 lanes — page moves (radix, host tier) and
+    the decode kernel then touch a single array."""
+    import dataclasses
+
+    Pg, ps, Ltot = kv.kv.shape
+    H2 = kv.lane_head_slots
+    kvL = kv.kv_lanes
+    Dp = kvL // H2
+    T, Hkv, D = k_new.shape
+    if kv.packed:
+        half = Dp // 2
+        pad = [(0, 0), (0, 0), (0, half - D)]
+        kq, ks = _quantize_rows(jnp.pad(k_new, pad), kv.kv.dtype)
+        vq, vs = _quantize_rows(jnp.pad(v_new, pad), kv.kv.dtype)
+        upd = jnp.concatenate([kq, vq], axis=-1)  # [T, Hkv, Dp]
+    else:
+        if Dp != D:
+            pad = [(0, 0), (0, 0), (0, Dp - D)]
+            k_new = jnp.pad(k_new, pad)
+            v_new = jnp.pad(v_new, pad)
+        rows3 = jnp.stack([k_new, v_new], axis=2).reshape(T, H2, Dp)
+        upd, sc_all = _quantize_rows(rows3, kv.kv.dtype)
+    if kv.packed:
+        sc_all = jnp.stack([ks, vs], axis=2).reshape(T, 2 * Hkv)
+    else:
+        sc_all = sc_all  # [T, H2] == [T, 2Hkv]
+    # bf16 scale -> hi/lo byte planes (128 lanes each, slot j at lane j)
+    bits = jax.lax.bitcast_convert_type(
+        sc_all.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.int32)
+    hi = (bits >> 8).astype(jnp.int8)
+    lo = (bits & 0xFF).astype(jnp.int8)
+    nsl = sc_all.shape[-1]
+    hi = jnp.pad(hi, [(0, 0), (0, 128 - nsl)])
+    lo = jnp.pad(lo, [(0, 0), (0, 128 - nsl)])
+    if kv.kv.dtype != jnp.int8:
+        # fp8 pools: BIT-preserve the byte planes (a value cast to e4m3
+        # would destroy them)
+        hi = jax.lax.bitcast_convert_type(hi, kv.kv.dtype)
+        lo = jax.lax.bitcast_convert_type(lo, kv.kv.dtype)
+    row = jnp.concatenate(
+        [upd.astype(kv.kv.dtype).reshape(T, kvL), hi, lo], axis=-1
+    )  # [T, kvL + 256]
+    rows = layer_idx * kv.slots_per_layer + out_cache_loc
+    new_kv = (
+        kv.kv.reshape(Pg * ps, Ltot).at[rows].set(row).reshape(Pg, ps, Ltot)
+    )
+    return dataclasses.replace(kv, kv=new_kv)
+
+
+def inline_scales_of(rows: jax.Array, n_slots: int) -> jax.Array:
+    """Decode the hi/lo byte planes of inline-scale rows back to f32
+    scales [..., n_slots] (inverse of _write_kv_inline's encoding; the
+    Pallas kernels inline the same i32-shift+bitcast arithmetic)."""
+    planes = rows[..., -256:]
+    if planes.dtype != jnp.int8:  # fp8 pools: reinterpret, don't convert
+        planes = jax.lax.bitcast_convert_type(planes, jnp.int8)
+    hi = planes[..., :128].astype(jnp.int32) & 0xFF
+    lo = planes[..., 128:].astype(jnp.int32) & 0xFF
+    f = jax.lax.bitcast_convert_type(
+        ((hi << 24) | (lo << 16)).astype(jnp.int32), jnp.float32
+    )
+    return f[..., :n_slots]
+
+
 def _write_kv_lanes(
     kv: KVCache, k_new, v_new, layer_idx, out_cache_loc
 ) -> KVCache:
@@ -194,6 +267,8 @@ def _write_kv_lanes(
 def _gather_kv(kv: KVCache, layer_idx, meta: ForwardMeta, page_size: int, D: int):
     """Dense per-request KV: [B, S_max, Hkv, D], S_max = MAXP * page_size.
     Dequantizes int8 rows with their stored scales."""
+    if kv.inline_scale:
+        return _gather_kv_inline(kv, layer_idx, meta, page_size, D)
     if kv.lane_heads:
         return _gather_kv_lanes(kv, layer_idx, meta, page_size, D)
     Pg, ps, H2, Dp = kv.kv.shape
@@ -265,6 +340,40 @@ def _gather_kv_lanes(
         sc = sc.reshape(sc.shape[:-2] + (H2,))
         g = g.astype(jnp.float32) * sc[..., None]
     return g[:, :, 0::2, :], g[:, :, 1::2, :]
+
+
+def _gather_kv_inline(
+    kv: KVCache, layer_idx, meta: ForwardMeta, page_size: int, D: int
+):
+    """_gather_kv for inline-scale quantized pools: whole rows gather flat
+    [kvL + 256], then the kv lanes dequantize with the scales decoded from
+    the row's own byte planes (inline_scales_of)."""
+    Pg, ps, Ltot = kv.kv.shape
+    H2 = kv.lane_head_slots
+    kvL = kv.kv_lanes
+    Dp = kvL // H2
+    B, maxp = meta.page_table.shape
+    offsets = jnp.arange(page_size, dtype=jnp.int32)
+    slots = (
+        meta.page_table[:, :, None] * page_size + offsets[None, None, :]
+    ).reshape(B, maxp * page_size)
+    rows = layer_idx * kv.slots_per_layer + slots
+    flat = kv.kv.reshape(Pg * ps, Ltot)
+    g = jnp.take(flat, rows, axis=0)  # [B, S_max, kvL+256]
+    Hkv = kv.num_kv_heads
+    sc = inline_scales_of(g, 2 * Hkv)  # [B, S_max, 2Hkv]
+    vals = g[..., :kvL].reshape(B, g.shape[1], H2, Dp)
+    if vals.dtype == jnp.int8:
+        vals = vals.astype(jnp.int32).astype(jnp.float32)
+    else:
+        vals = vals.astype(jnp.float32)
+    if kv.packed:
+        half = Dp // 2
+        k = vals[..., :D] * sc[..., 0::2][..., None]
+        v = vals[..., half : half + D] * sc[..., 1::2][..., None]
+        return k, v
+    vals = vals[..., :D] * sc[..., None]
+    return vals[:, :, 0::2, :], vals[:, :, 1::2, :]
 
 
 def _softcap(scores: jax.Array, cap: Optional[float]) -> jax.Array:

@@ -288,16 +288,15 @@ def w4a16_matmul_pallas(
 # (u8 -> i32 widen -> mask/shift -> narrow; the r3 profile's ~41%-of-SOL
 # VPU cost) with ONE hardware cast. Same HBM bytes (0.5 B/elem).
 #
-# STATUS (r4): kernels AOT-compile at 8B shapes and pass interpret parity,
-# but the path stays OPT-IN (SPTPU_W4_4BIT=1) because s4 arrays entering a
-# jit as arguments trigger a device_put RELAYOUT, and the axon relay's
-# device_put wrapper recurses on 4-bit transfers (measured r4 session B:
-# RecursionError on S4[2048,16384] at the first serving call; same failure
-# class r3 recorded for host transfers). On a directly-attached TPU host
-# the relayout is an ordinary one-time copy and the path should work —
-# re-test there before defaulting. In-kernel u8->s4 bitcast (which would
-# avoid 4-bit jit args entirely) is not supported by Mosaic ("changing
-# bitwidths").
+# STATUS (r5): the jit BOUNDARY is now uint8 — nibble pairs packed along
+# adjacent In rows — and the s4 view is created INSIDE the kernel with
+# pltpu.bitcast(u8, int4), which Mosaic compiles as a sublane split: byte
+# row r becomes s4 rows (2r, 2r+1) with the LOW nibble first (AOT-probed
+# + interpret-verified, r5). This removes the r4 blocker entirely: no
+# 4-bit arrays ever cross a jit boundary, so the axon relay's device_put
+# wrapper (which recursed on S4 transfers, r4 session B) never sees one.
+# An XLA-level bitcast_convert_type at the jit top was rejected: it
+# materializes a full s4 relayout copy per call (HLO-inspected).
 # ---------------------------------------------------------------------------
 
 
@@ -312,7 +311,11 @@ class Quantized4bit:
     shift is folded into ``z`` (z4 = z - 8) so dequant math is unchanged:
     w = (q4 - z4) * s."""
 
-    q4: jax.Array  # int4 [L, In, Out], value = nibble - 8
+    # uint8 [L, In/2, Out]: byte (r, c) packs the s4 bit patterns of
+    # w[2r, c] (LOW nibble) and w[2r+1, c] (high nibble), pattern =
+    # nibble ^ 8 (= two's-complement bits of nibble - 8) — exactly the
+    # order pltpu.bitcast(u8, int4) expands to inside the kernel
+    q4: jax.Array
     s: jax.Array  # [L, G, Out]
     z: jax.Array  # [L, G, Out]  (already shifted by -8)
     group_size: int = 128
@@ -327,16 +330,17 @@ jax.tree_util.register_dataclass(
 
 
 def to_4bit(ql: QuantizedLinear) -> Quantized4bit:
-    """Device-side conversion u8 nibble planes -> full-height int4 tensor.
-    Jitted per layer so the i32 intermediates never cover the whole stack;
-    the int4 output is CREATED on device (no host device_put of 4-bit
-    arrays — the r3 relay landmine)."""
+    """Repack the half-height nibble planes (lo = rows [0, In/2), hi =
+    rows [In/2, In)) into ADJACENT-ROW byte pairs: byte (r, c) carries the
+    s4 patterns of w[2r, c] / w[2r+1, c]. Stays uint8 end to end (jitted
+    per layer) — no 4-bit array ever crosses a jit boundary (the axon
+    relay device_put landmine, see the STATUS note above)."""
 
     @jax.jit
-    def conv(q):  # [half, Out] u8 -> [In, Out] s4 (nibble - 8)
+    def conv(q):  # [half, Out] u8 -> [half, Out] u8 row-pair packed
         qi = q.astype(jnp.int32)
-        full = jnp.concatenate([qi & 0xF, qi >> 4], axis=0) - 8
-        return full.astype(jnp.int4)
+        full = jnp.concatenate([qi & 0xF, qi >> 4], axis=0) ^ 8
+        return (full[0::2] | (full[1::2] << 4)).astype(jnp.uint8)
 
     L = ql.q.shape[0]
     q4 = jnp.stack([conv(ql.q[l]) for l in range(L)])
@@ -359,7 +363,9 @@ def _w4a8_kernel_q4(
     x8 = x8_ref[...]  # [B, In] int8
     B = x8.shape[0]
     G = s_ref.shape[1]
-    qi = q_ref[0].astype(jnp.int8)  # [In, OUT_BLK] — the entire "unpack"
+    # [In/2, OUT_BLK] u8 -> [In, OUT_BLK] s4 (sublane split, low nibble
+    # first) -> i8: the entire "unpack" is one bitcast + one cast
+    qi = pltpu.bitcast(q_ref[0], jnp.int4).astype(jnp.int8)
     out_blk = qi.shape[-1]
     acc = jnp.zeros((B, out_blk), jnp.float32)
     for g in range(G):
@@ -385,7 +391,9 @@ def _w4_kernel_q4(layer_ref, x_ref, q_ref, s_ref, z_ref, o_ref, *, group_size):
     dtype = x.dtype
     B = x.shape[0]
     G = s_ref.shape[1]
-    w = q_ref[0].astype(dtype)  # [In, OUT_BLK] — the entire dequant unpack
+    # [In/2, OUT_BLK] u8 -> [In, OUT_BLK] s4 -> compute dtype: the entire
+    # dequant unpack is one bitcast + one hardware cast
+    w = pltpu.bitcast(q_ref[0], jnp.int4).astype(dtype)
     out_blk = w.shape[-1]
     acc = jnp.zeros((B, out_blk), jnp.float32)
     for g in range(G):
@@ -456,7 +464,7 @@ def _w4_q4_call(x, q4, s, z, layer_idx, *, group_size, out_block, a8):
         kernel = functools.partial(_w4_kernel_q4, group_size=group_size)
     operands += [q4, s, z]
     in_specs += [
-        pl.BlockSpec((1, In, OUT_BLK), lambda r, o, l: (l[0], 0, o)),
+        pl.BlockSpec((1, In // 2, OUT_BLK), lambda r, o, l: (l[0], 0, o)),
         pl.BlockSpec((1, G, OUT_BLK), lambda r, o, l: (l[0], 0, o)),
         pl.BlockSpec((1, G, OUT_BLK), lambda r, o, l: (l[0], 0, o)),
     ]

@@ -758,11 +758,13 @@ def launch_server(args: ServerArgs, engine: Optional[Engine] = None) -> None:
         import jax
 
         if jax.default_backend() != "cpu":
-            # pre-compile the decode bucket ladder before accepting traffic
-            # (the CUDA-graph-capture-at-init analogue, reference:
-            # model_executor/model_runner.py:490 init_cuda_graphs) — first
-            # requests otherwise stall on minutes of remote compiles
-            engine.scheduler.runner.capture()
+            # pre-compile the decode AND extend bucket ladders before
+            # accepting traffic (the CUDA-graph-capture-at-init analogue,
+            # reference: model_executor/model_runner.py:490
+            # init_cuda_graphs) — first requests otherwise stall on
+            # minutes of remote compiles / per-boot deserialization
+            # (SERVING_r04.json: TTFT ~10 s from exactly this)
+            engine.scheduler.runner.capture(decode_only=False)
     app = ServerApp(engine, args)
     logger.info("serving %s on %s:%d", args.served_model_name, args.host, args.port)
     web.run_app(app.app, host=args.host, port=args.port, print=None)

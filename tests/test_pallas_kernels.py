@@ -368,6 +368,96 @@ def test_gqa_backend_engine_parity():
     assert run("gqa") == run("xla")
 
 
+def _inline_vs_separate_case(seed, packed, qdtype):
+    """Build an inline-scale cache AND a separate-scale cache from the SAME
+    K/V rows through write_kv, plus the meta/q of make_case's geometry."""
+    import dataclasses as dc
+
+    from scratchpad_tpu.memory.kv_cache import KVCacheConfig, create_kv_cache
+    from scratchpad_tpu.ops.attention.xla_backend import write_kv
+
+    B, Hq, Hkv, D, ps, P, L = 4, 8, 2, 64, 16, 16, 2
+    q, _, meta = make_case(B=B, Hq=Hq, Hkv=Hkv, D=D, ps=ps, P=P, L=L,
+                           seed=seed)
+    Ptot = P * B + 1
+    rng = np.random.default_rng(seed + 100)
+    base = dict(
+        num_layers=L, num_pages=Ptot, page_size=ps, num_kv_heads=Hkv,
+        head_dim=128, quantized=True, quant_dtype=qdtype, packed=packed,
+    )
+    kv_inline = create_kv_cache(KVCacheConfig(inline_scale=True, **base))
+    kv_sep = create_kv_cache(KVCacheConfig(**base))
+    T = Ptot * ps  # write every slot of every page, per layer
+    loc = jnp.arange(T, dtype=jnp.int32)
+    for layer in range(L):
+        k_new = jnp.asarray(rng.normal(size=(T, Hkv, D)), jnp.float32)
+        v_new = jnp.asarray(rng.normal(size=(T, Hkv, D)), jnp.float32)
+        kv_inline = write_kv(kv_inline, k_new, v_new, jnp.int32(layer), loc)
+        kv_sep = write_kv(kv_sep, k_new, v_new, jnp.int32(layer), loc)
+    return q, kv_inline, kv_sep, meta
+
+
+@pytest.mark.parametrize("packed", [False, True])
+@pytest.mark.parametrize("qdtype", [jnp.int8, jnp.float8_e4m3fn])
+@pytest.mark.parametrize("group", ["0", "4"])
+def test_gqa_decode_inline_scale_matches_separate(
+    packed, qdtype, group, monkeypatch
+):
+    """Inline-scale pools (scales as byte planes inside the kv pages, ONE
+    DMA stream) must reproduce the separate-scale-pool results exactly:
+    same quantizer, same codes, same bf16 scales — on both the grouped and
+    per-sequence kernels, and through the XLA gather fallback."""
+    from scratchpad_tpu.ops.attention.gqa_decode import decode_attention_gqa
+
+    monkeypatch.setenv("SPTPU_GQA_GROUP", group)
+    jax.clear_caches()
+    try:
+        q, kv_inline, kv_sep, meta = _inline_vs_separate_case(
+            11, packed, qdtype
+        )
+        kw = dict(page_size=16, sm_scale=0.125)
+        ref_sep = decode_attention_gqa(q, kv_sep, jnp.int32(1), meta, **kw)
+        out_inl = decode_attention_gqa(q, kv_inline, jnp.int32(1), meta, **kw)
+        np.testing.assert_allclose(
+            np.asarray(out_inl), np.asarray(ref_sep), rtol=2e-5, atol=2e-5
+        )
+        ref_xla = decode_attention_xla(q, kv_inline, jnp.int32(1), meta, **kw)
+        np.testing.assert_allclose(
+            np.asarray(out_inl), np.asarray(ref_xla), rtol=2e-4, atol=2e-4
+        )
+    finally:
+        jax.clear_caches()
+
+
+def test_inline_scale_roundtrip_exact():
+    """The hi/lo byte-plane encoding must round-trip bf16 scales exactly."""
+    from scratchpad_tpu.memory.kv_cache import KVCacheConfig, create_kv_cache
+    from scratchpad_tpu.ops.attention.xla_backend import (
+        _quantize_rows,
+        inline_scales_of,
+        write_kv,
+    )
+
+    rng = np.random.default_rng(0)
+    cfg = KVCacheConfig(
+        num_layers=1, num_pages=4, page_size=8, num_kv_heads=2,
+        head_dim=128, quantized=True, quant_dtype=jnp.int8,
+        inline_scale=True,
+    )
+    kv = create_kv_cache(cfg)
+    T = 32
+    k_new = jnp.asarray(rng.normal(size=(T, 2, 128)) * 7.3, jnp.float32)
+    v_new = jnp.asarray(rng.normal(size=(T, 2, 128)) * 0.02, jnp.float32)
+    kv = write_kv(kv, k_new, v_new, jnp.int32(0), jnp.arange(T))
+    rows = kv.kv.reshape(4 * 8, -1)[:T]
+    got = np.asarray(inline_scales_of(rows, 4))
+    upd = jnp.stack([k_new, v_new], axis=2).reshape(T, 4, 128)
+    _, sc_true = _quantize_rows(upd, jnp.int8)
+    np.testing.assert_array_equal(
+        got, np.asarray(sc_true, np.float32)
+    )
+
+
 def test_gqa_decode_v2_int8_kv_matches_xla():
     """INT8 paged KV with per-(token, head) scales: the kernel folds the
     scales into the score matrices post-dot; must match the XLA backend's

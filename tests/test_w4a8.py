@@ -165,14 +165,16 @@ class TestFourBitNative:
         rng = np.random.default_rng(17)
         ql, _ = self._ql(rng)
         q4 = to_4bit(ql)
-        assert q4.q4.dtype == jnp.int4
-        assert q4.q4.shape == (2, 256, 256)
-        # nibble - 8 must reproduce the unsigned nibbles exactly
+        # r5: uint8 at the jit boundary — adjacent-In-row nibble pairs
+        # whose in-kernel pltpu.bitcast expands to s4 rows (2r, 2r+1)
+        assert q4.q4.dtype == jnp.uint8
+        assert q4.q4.shape == (2, 128, 256)
         lo = np.asarray(ql.q & 0xF, np.int32)
         hi = np.asarray(ql.q >> 4, np.int32)
-        full = np.concatenate([lo, hi], axis=1) - 8
+        full = (np.concatenate([lo, hi], axis=1) - 8) & 0xF  # s4 patterns
+        expect = full[:, 0::2] | (full[:, 1::2] << 4)
         np.testing.assert_array_equal(
-            np.asarray(q4.q4, np.int32), full
+            np.asarray(q4.q4, np.int32), expect
         )
         np.testing.assert_allclose(
             np.asarray(q4.z), np.asarray(ql.z, np.float32) - 8.0

@@ -136,6 +136,49 @@ def main() -> None:
                  kv_dtype="auto", batch_size=32, max_total_tokens=32768,
                  env={"SPTPU_GQA_CP": "32"}),
         ]
+    elif suite == "r5kernel":
+        # round-5 kernel levers, same session: grouped decode kernel (v3)
+        # on/off, inline-scale int8 KV vs separate pool, 4-bit-native W4
+        # via the u8-boundary bitcast — all on the 1B headline config,
+        # with a bf16 anchor pair
+        runs = [
+            dict(preset="llama-3.2-1b", dtype="bfloat16", quant=None,
+                 kv_dtype="auto", batch_size=64, max_total_tokens=65536,
+                 env={"SPTPU_GQA_GROUP": "0"}),
+            dict(preset="llama-3.2-1b", dtype="bfloat16", quant=None,
+                 kv_dtype="auto", batch_size=64, max_total_tokens=65536),
+            dict(preset="llama-3.2-1b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="auto", batch_size=64, max_total_tokens=65536,
+                 env={"SPTPU_GQA_GROUP": "0"}),
+            dict(preset="llama-3.2-1b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="auto", batch_size=64, max_total_tokens=65536),
+            dict(preset="llama-3.2-1b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="int8", batch_size=64, max_total_tokens=65536),
+            dict(preset="llama-3.2-1b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="int8", batch_size=64, max_total_tokens=65536,
+                 env={"SPTPU_KV_INLINE": "1"}),
+            dict(preset="llama-3.2-1b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="auto", batch_size=64, max_total_tokens=65536,
+                 env={"SPTPU_W4_4BIT": "1"}),
+        ]
+    elif suite == "r5big":
+        # round-5 levers at 3B/8B: north-star re-anchor with the grouped
+        # kernel, inline int8 KV, and the 4-bit boundary at 8B
+        runs = [
+            dict(preset="llama-3.2-3b", dtype="bfloat16", quant=None,
+                 kv_dtype="auto", batch_size=32, max_total_tokens=32768),
+            dict(preset="llama-3.2-3b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="auto", batch_size=32, max_total_tokens=32768),
+            dict(preset="llama-3.2-3b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="int8", batch_size=64, max_total_tokens=32768,
+                 env={"SPTPU_KV_INLINE": "1"}),
+            dict(preset="llama-3.1-8b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="int8", batch_size=32, max_total_tokens=32768,
+                 env={"SPTPU_KV_INLINE": "1"}),
+            dict(preset="llama-3.1-8b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="int8", batch_size=32, max_total_tokens=32768,
+                 env={"SPTPU_KV_INLINE": "1", "SPTPU_W4_4BIT": "1"}),
+        ]
     elif suite == "vlm":
         # on-chip multimodal measurement (VERDICT r3 item 8): vision-tower
         # encode latency + image-prompt prefill + decode on Qwen2-VL-2B

@@ -47,6 +47,7 @@ def main() -> None:
 
     use_packed = (packed == "1") or (packed == "auto" and D <= 64)
     quant = kv_dtype in ("int8", "fp8")
+    inline = quant and os.environ.get("KB_INLINE", "0") == "1"
     kvc = KVCacheConfig(
         num_layers=L,
         num_pages=Pg,
@@ -57,6 +58,7 @@ def main() -> None:
         quantized=quant,
         quant_dtype=jnp.int8 if kv_dtype != "fp8" else jnp.float8_e4m3fn,
         packed=use_packed,
+        inline_scale=inline,
     )
     kv = create_kv_cache(kvc)
     # fill with noise so nothing special-cases zeros
@@ -68,7 +70,25 @@ def main() -> None:
         if quant and kvc.quant_dtype == jnp.int8
         else jax.random.normal(rng, kv.kv.shape, jnp.float32).astype(kv.kv.dtype)
     )
-    if kv.scale is not None:
+    if inline:
+        # overwrite the byte planes with a valid bf16 scale (1/64: bits
+        # 0x3C80 -> hi 0x3C, lo 0x80) so the masked softmax stays finite
+        kvl = kv.kv_lanes
+        kv.kv = kv.kv.at[..., kvl : kvl + 128].set(
+            jnp.asarray(0x3C, kv.kv.dtype)
+            if kv.kv.dtype == jnp.int8
+            else jax.lax.bitcast_convert_type(
+                jnp.full((), 0x3C, jnp.int8), kv.kv.dtype
+            )
+        )
+        kv.kv = kv.kv.at[..., kvl + 128 :].set(
+            jnp.asarray(-128, jnp.int32).astype(jnp.int8).astype(kv.kv.dtype)
+            if kv.kv.dtype == jnp.int8
+            else jax.lax.bitcast_convert_type(
+                jnp.asarray(-128, jnp.int32).astype(jnp.int8), kv.kv.dtype
+            )
+        )
+    elif kv.scale is not None:
         kv.scale = jnp.abs(jax.random.normal(rng, kv.scale.shape)) * 0.01
 
     # page table: sequential pages per request (allocator-typical)
