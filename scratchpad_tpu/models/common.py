@@ -66,13 +66,26 @@ def make_w4a8_quant_matmul():
     from scratchpad_tpu.ops.quant.pallas_w4 import (
         Quantized4bit,
         w4_matmul_4bit,
+        w4a16_matmul_pallas,
         w4a8_matmul_pallas,
     )
 
+    # SPTPU_W4A8_EXTEND=a16: route prefill-sized batches (> 256 rows,
+    # above every decode bs bucket) through the A16 kernel — extend is
+    # MXU-bound, so the per-token activation-quantize + gsum work that
+    # pays for int8 dots at decode can exceed its win there (1B W4A8
+    # prefill MFU 0.45 vs bf16 0.51, VERDICT r4 item 6). Numerics only
+    # improve (activations stay bf16). Static per trace: row count is a
+    # bucket constant.
+    ext_a16 = os.environ.get("SPTPU_W4A8_EXTEND", "a8") == "a16"
+
     def dispatch(x, ql, l):
+        a8 = not (ext_a16 and x.shape[0] > 256)
         if isinstance(ql, Quantized4bit):  # 4-bit-native storage opt-in
-            return w4_matmul_4bit(x, ql, l, a8=True)
-        return w4a8_matmul_pallas(x, ql, l)
+            return w4_matmul_4bit(x, ql, l, a8=a8)
+        if a8:
+            return w4a8_matmul_pallas(x, ql, l)
+        return w4a16_matmul_pallas(x, ql, l)
 
     return dispatch
 

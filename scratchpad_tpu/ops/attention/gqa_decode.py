@@ -54,8 +54,11 @@ def _dequant_chunk(raw, dt):
     """Low-bit chunk codes -> compute dtype (EXACT in bf16: int8 magnitudes
     <= 127 and normal fp8-e4m3 values carry <= 8 mantissa bits)."""
     if raw.dtype == jnp.int8:
-        # int8 -> f32 via int32 (no direct int8 -> float in mosaic)
-        return raw.astype(jnp.int32).astype(jnp.float32).astype(dt)
+        # direct s8 -> bf16/f32 cast: one VPU pass (the r2-era Mosaic
+        # rejected it — "no direct int8->float" — but current Mosaic
+        # compiles it, AOT-probed r5; the old 3-pass i32->f32->bf16 chain
+        # was part of the int8 kernel's compute-bound floor)
+        return raw.astype(dt)
     # fp8 e4m3 -> f32: v5e has no native fp8, so mosaic's direct cast is a
     # slow emulation. Rebuild the f32 bit pattern with native int ops:
     # placing (exp:4, man:3) at f32 bit 20 yields exactly value * 2^-120
@@ -667,10 +670,20 @@ def _grouped_sb(
     estimate counts the kv scratch, ~8 score-shaped f32 temporaries and
     the accumulator/constant planes — sb=8 at the 1B geometry (24 MiB by
     this estimate) fails Mosaic VMEM allocation, sb=4 (10 MiB) compiles
-    (AOT-probed, r5)."""
-    for sb in (8, 4, 2):
-        if sb > want or B % sb:
+    (AOT-probed, r5).
+
+    SB=2 first on auto: the QK/PV dot cost grows with SB (each row dots
+    against all SB members' columns) while the per-sequence fixed costs
+    shrink as 1/SB — the r5 two-point microbench at the 1B ctx-192
+    geometry put SB=2 at 0.865 of SOL vs 0.654 for SB=4 and 0.584 for the
+    per-sequence kernel (KBENCH_r5.jsonl). A numeric want (forced via
+    SPTPU_GQA_GROUP=N) is tried exactly first, then the auto order."""
+    order = (want, 2, 4, 8) if want in (2, 4, 8) else (2, 4, 8)
+    seen = set()
+    for sb in order:
+        if sb in seen or sb < 2 or B % sb:
             continue
+        seen.add(sb)
         if sb * P > 128:  # DMA burst / dot column budget
             continue
         kv_bytes = 2 * sb * P * ps * lanes_bytes

@@ -160,6 +160,9 @@ def main() -> None:
             dict(preset="llama-3.2-1b", dtype="bfloat16", quant="w4a8",
                  kv_dtype="auto", batch_size=64, max_total_tokens=65536,
                  env={"SPTPU_W4_4BIT": "1"}),
+            dict(preset="llama-3.2-1b", dtype="bfloat16", quant="w4a8",
+                 kv_dtype="auto", batch_size=64, max_total_tokens=65536,
+                 env={"SPTPU_W4A8_EXTEND": "a16"}),
         ]
     elif suite == "r5big":
         # round-5 levers at 3B/8B: north-star re-anchor with the grouped
