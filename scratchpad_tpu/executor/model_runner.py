@@ -301,7 +301,11 @@ class ModelRunner:
         self.kv_inline = False
         if self.args.kv_layout == "inline" or (
             self.args.kv_layout == "auto"
-            and os.environ.get("SPTPU_KV_INLINE", "0") == "1"
+            # DEFAULT-ON for single-device quantized pools since r5: the
+            # one-stream pages measured +3.3% over the separate scale pool
+            # e2e (1B W4A8+int8KV 18,391 vs 17,796, AB_r5kernel.jsonl)
+            # and page moves carry their scales for free
+            and os.environ.get("SPTPU_KV_INLINE", "1") == "1"
         ):
             ok = (
                 backend == "gqa"
@@ -585,10 +589,14 @@ class ModelRunner:
                 "layers_q" in self.params
                 and mesh is None
                 and jax.default_backend() != "cpu"
-                and __import__("os").environ.get("SPTPU_W4_4BIT", "0") == "1"
+                and __import__("os").environ.get("SPTPU_W4_4BIT", "1") == "1"
             ):
-                # 4-bit-native storage (opt-in): one Mosaic cast replaces
-                # the whole u8 unpack chain (pallas_w4.Quantized4bit).
+                # 4-bit-native storage (DEFAULT since r5): one in-kernel
+                # pltpu.bitcast + cast replaces the whole u8 unpack chain
+                # (pallas_w4.Quantized4bit). The jit boundary stays uint8,
+                # so the r4 relay device_put recursion is gone; measured
+                # +4.2% e2e (1B W4A8 19,314 vs 18,527, AB_r5kernel.jsonl)
+                # and bit-level parity on-chip (tools/tpu_sanity_r5.py).
                 # Non-32-multiple group sizes keep u8 planes — the cast
                 # result's sublane group slices wouldn't tile.
                 from scratchpad_tpu.ops.quant.pallas_w4 import to_4bit

@@ -175,12 +175,13 @@ def main() -> None:
             dict(preset="llama-3.2-3b", dtype="bfloat16", quant="w4a8",
                  kv_dtype="int8", batch_size=64, max_total_tokens=32768,
                  env={"SPTPU_KV_INLINE": "1"}),
+            # inline KV + 4-bit W4 are default-on since r5; A/B the 4-bit
+            # default at the 8B flagship by forcing it OFF first
             dict(preset="llama-3.1-8b", dtype="bfloat16", quant="w4a8",
                  kv_dtype="int8", batch_size=32, max_total_tokens=32768,
-                 env={"SPTPU_KV_INLINE": "1"}),
+                 env={"SPTPU_W4_4BIT": "0"}),
             dict(preset="llama-3.1-8b", dtype="bfloat16", quant="w4a8",
-                 kv_dtype="int8", batch_size=32, max_total_tokens=32768,
-                 env={"SPTPU_KV_INLINE": "1", "SPTPU_W4_4BIT": "1"}),
+                 kv_dtype="int8", batch_size=32, max_total_tokens=32768),
         ]
     elif suite == "vlm":
         # on-chip multimodal measurement (VERDICT r3 item 8): vision-tower
