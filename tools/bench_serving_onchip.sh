@@ -1,27 +1,32 @@
 #!/bin/bash
 # On-chip serving benchmark: boot the full HTTP stack on the TPU, drive an
 # open-loop load with tools/bench_serving.py, record TTFT/TPOT/ITL/goodput
-# (VERDICT r3 item 5; reference harness: tools/benchmark/bench_perf.py).
-# Writes SERVING_r04.json at the repo root. Kills only its own server PID.
+# (VERDICT r3 item 5 / r4 item 3; reference harness:
+# tools/benchmark/bench_perf.py). Kills only its own server PID.
 set -u
 cd "$(dirname "$0")/.."
-PORT=${PORT:-18310}
+PORT=${PORT:-18311}
 PRESET=${PRESET:-llama-3.2-1b}
 NPROMPTS=${NPROMPTS:-64}
 RATE=${RATE:-8}
-OUT=${OUT:-SERVING_r04.json}
+OUT=${OUT:-SERVING_r05.json}
+# r5: warmup capture now pre-runs the DECODE AND EXTEND (T,B,P) ladders
+# before the server accepts traffic (capture(decode_only=False)) — the r4
+# TTFT ~10 s tail was early requests paying per-boot deserialization /
+# inline compiles. Through the relay the boot takes longer; the health
+# loop below allows up to 40 min. WARMUP=0 restores the r4 behavior.
+WARMUP=${WARMUP:-1}
+WFLAG=""
+if [ "$WARMUP" = "0" ]; then WFLAG="--no-warmup-capture"; fi
 
-# --no-warmup-capture: through the relay the capture ladder exceeds the
-# health window; the identical warm RUN below compiles the shapes that
-# matter instead
 python -m scratchpad_tpu.cli.sp serve --preset "$PRESET" --random-weights \
-  --max-total-tokens 65536 --max-running-requests 64 --no-warmup-capture \
+  --max-total-tokens 65536 --max-running-requests 64 $WFLAG \
   --watchdog-timeout 900 \
   --port "$PORT" > /tmp/serve_onchip.log 2>&1 &
 SPID=$!
 trap 'kill $SPID 2>/dev/null' EXIT
 
-for i in $(seq 1 120); do
+for i in $(seq 1 480); do
   if curl -fs "http://127.0.0.1:$PORT/health" > /dev/null 2>&1; then
     break
   fi
@@ -29,17 +34,13 @@ for i in $(seq 1 120); do
 done
 curl -fs "http://127.0.0.1:$PORT/health" || { echo "server never became healthy"; exit 1; }
 
-# warmup = the IDENTICAL workload: the decode bucket ladder + prefill
-# token buckets compile lazily, so a smaller warmup leaves the measured
-# run compile-bound (r4 first attempt: median ITL 51 ms but p99 51 s —
-# every tail stall was an inline compile through the relay)
+# one warm pass: radix/tokenizer paths + any shapes outside the captured
+# ladder (then flush so the measured pass repeats the same shape profile
+# — cached prefixes would otherwise turn re-sent prompts into NEW tiny
+# extend buckets -> inline compiles)
 python tools/bench_serving.py --base-url "http://127.0.0.1:$PORT" \
   --model "$PRESET" --num-prompts "$NPROMPTS" --input-len 256 --output-len 64 \
   --request-rate "$RATE" > /dev/null 2>&1
-
-# flush the radix cache so the measured pass repeats the warmed shape
-# profile exactly (with cache hits the re-sent prompts become tiny
-# cached-prefix extends -> NEW bucket shapes -> inline compiles again)
 curl -fs -X POST "http://127.0.0.1:$PORT/flush_cache" > /dev/null
 
 python tools/bench_serving.py --base-url "http://127.0.0.1:$PORT" \
