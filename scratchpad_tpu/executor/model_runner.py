@@ -197,6 +197,29 @@ class ModelRunner:
             backend = "xla"
         if not getattr(self.model, "supports_pallas_attention", True):
             backend = "xla"
+        # model-aware kv_cache_dtype=auto (VERDICT r4 item 7): on quantized
+        # single-device TPU serving of 3B-class-and-up models, int8 KV
+        # (inline scales) measured FASTER than bf16 KV (r4: 3B bs64 +3%,
+        # 8B flagship runs on it) while at 1B it is ~parity-at-best
+        # (AB_r5kernel: 18.4k vs 18.5k) — auto picks per model. Models
+        # below the threshold, unquantized runs, CPU and meshes keep the
+        # accuracy-default bf16; set --kv-cache-dtype explicitly to force.
+        if (
+            self.args.kv_cache_dtype == "auto"
+            and self.args.quantization in ("w4a8", "w4a16", "awq", "gptq")
+            and backend == "gqa"
+            and mesh is None
+            and jax.default_backend() != "cpu"
+            and not cfg.is_mla
+            and cfg.hidden_size * cfg.num_hidden_layers >= 50_000
+        ):
+            self.args.kv_cache_dtype = "int8"
+            logger.info(
+                "kv_cache_dtype auto -> int8 (quantized serving, "
+                "hidden x layers = %d; set --kv-cache-dtype bfloat16 to "
+                "force full-precision KV)",
+                cfg.hidden_size * cfg.num_hidden_layers,
+            )
         if self.args.kv_cache_dtype in ("int8", "fp8") and backend == "ragged":
             backend = "xla"  # bundled kernel lacks per-row scales
         # int8/fp8 KV decode runs the gqa kernel (post-dot scale folding,

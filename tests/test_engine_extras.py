@@ -359,6 +359,7 @@ def test_nan_divergence_guard():
     eng.scheduler.check_memory_leak()
 
 
+@pytest.mark.slow
 def test_capture_covers_extend_ladder():
     """capture(decode_only=False) pre-runs the extend (T, B, P) ladder
     (VERDICT r4 item 3) without touching live state — every dummy batch
