@@ -332,18 +332,25 @@ jax.tree_util.register_dataclass(
 def to_4bit(ql: QuantizedLinear) -> Quantized4bit:
     """Repack the half-height nibble planes (lo = rows [0, In/2), hi =
     rows [In/2, In)) into ADJACENT-ROW byte pairs: byte (r, c) carries the
-    s4 patterns of w[2r, c] / w[2r+1, c]. Stays uint8 end to end (jitted
-    per layer) — no 4-bit array ever crosses a jit boundary (the axon
-    relay device_put landmine, see the STATUS note above)."""
+    s4 patterns of w[2r, c] / w[2r+1, c]. Stays uint8 end to end — no
+    4-bit array ever crosses a jit boundary (the axon relay device_put
+    landmine, see the STATUS note above).
 
-    @jax.jit
-    def conv(q):  # [half, Out] u8 -> [half, Out] u8 row-pair packed
-        qi = q.astype(jnp.int32)
-        full = jnp.concatenate([qi & 0xF, qi >> 4], axis=0) ^ 8
-        return (full[0::2] | (full[1::2] << 4)).astype(jnp.uint8)
+    The repack runs HOST-SIDE in numpy (one d2h fetch of the u8 planes,
+    one h2d push of the result): the earlier per-layer jitted conversion
+    buffered whole i32 intermediates in the relay client and got the 8B
+    load OOM-KILLED by the host kernel (r5; exit 137, ~60 GB transient
+    across the six weight stacks)."""
+    import numpy as np
 
-    L = ql.q.shape[0]
-    q4 = jnp.stack([conv(ql.q[l]) for l in range(L)])
+    q = np.asarray(ql.q)  # [L, In/2, Out] u8
+    lo = (q & 0xF) ^ 8  # s4 bit patterns of nibble - 8
+    hi = (q >> 4) ^ 8
+    del q
+    full = np.concatenate([lo, hi], axis=1)  # [L, In, Out] row order
+    del lo, hi
+    q4 = jnp.asarray(full[:, 0::2] | (full[:, 1::2] << 4))
+    del full
     return Quantized4bit(
         q4=q4,
         s=ql.s,
