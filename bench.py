@@ -172,18 +172,26 @@ def run_config(jax, *, preset, dtype, quant, kv_dtype, batch_size, prompt_len,
     prof_dir = os.environ.get("SPTPU_BENCH_PROFILE")
     samples = []
     prefill_samples = []
+    # SPTPU_BENCH_PROF=prefill traces the PREFILL loop of the last repeat
+    # instead of decode (VERDICT r4 item 6: where does the 1B quantized
+    # extend MFU go)
+    prof_prefill = os.environ.get("SPTPU_BENCH_PROF", "decode") == "prefill"
     for rep in range(repeats):
         submit(f"m{rep}")
         # drive all prefills first, timed separately (first recorded
         # extend-path numbers — VERDICT r3 item 5; the reference measures
         # TTFT with tools/benchmark/bench_perf.py:21-120)
+        if prof_dir and prof_prefill and rep == repeats - 1:
+            jax.profiler.start_trace(prof_dir)
         tp0 = time.perf_counter()
         while sched.num_queued() > 0 or sched.chunked_req is not None:
             sched.step()
+        if prof_dir and prof_prefill and rep == repeats - 1:
+            jax.profiler.stop_trace()
         prefill_samples.append(
             batch_size * prompt_len / (time.perf_counter() - tp0)
         )
-        if prof_dir and rep == repeats - 1:
+        if prof_dir and not prof_prefill and rep == repeats - 1:
             jax.profiler.start_trace(prof_dir)
         decode_tokens = 0
         t0 = time.perf_counter()
@@ -191,7 +199,7 @@ def run_config(jax, *, preset, dtype, quant, kv_dtype, batch_size, prompt_len,
             events = sched.step()
             decode_tokens += sum(len(ev.new_tokens) for ev in events)
         dt = time.perf_counter() - t0
-        if prof_dir and rep == repeats - 1:
+        if prof_dir and not prof_prefill and rep == repeats - 1:
             jax.profiler.stop_trace()
         samples.append(decode_tokens / dt)
 
