@@ -857,6 +857,33 @@ def _gqa_decode_call(
     inline=False,
 ):
     B, Hq, D = q.shape
+    # SMEM budget guard: the scalar-prefetched [B, P] page table lives in
+    # the 1 MiB SMEM — long-context serving shapes overflow it (measured:
+    # bs64 x 4096 pages = exactly 1 MiB -> "Ran out of memory in memory
+    # space smem", r5 serving capture). Split the batch and run halves;
+    # recursion handles further splits. Env override for tests.
+    import os as _os
+
+    _smem_budget = int(
+        _os.environ.get("SPTPU_GQA_SMEM_SPLIT", str(768 * 1024))
+    )
+    if B >= 2 and B * page_table.shape[1] * 4 > _smem_budget:
+        h = B // 2
+        kw = dict(
+            page_size=page_size, sm_scale=sm_scale, logit_cap=logit_cap,
+            sliding_window=sliding_window, chunk_size=chunk_size,
+            num_layers=num_layers, packed=packed, static_layer=static_layer,
+            lane_head_slots=lane_head_slots, inline=inline,
+        )
+        lo = _gqa_decode_call(
+            q[:h], kv_pages, kv_scale, layer_idx, page_table[:h],
+            seq_lens[:h], window_dyn, sinks, **kw,
+        )
+        hi_ = _gqa_decode_call(
+            q[h:], kv_pages, kv_scale, layer_idx, page_table[h:],
+            seq_lens[h:], window_dyn, sinks, **kw,
+        )
+        return jnp.concatenate([lo, hi_], axis=0)
     if lane_head_slots is not None:
         # lane-folded pool [Pg, ps, H2*Dp]: same bytes per row in the same
         # order as the flattened VMEM block the kernel computes on, but

@@ -224,6 +224,27 @@ def test_gqa_decode_grouped_padding_rows(monkeypatch):
         jax.clear_caches()
 
 
+def test_gqa_decode_smem_batch_split(monkeypatch):
+    """Long-context serving shapes overflow the 1 MiB SMEM with the
+    prefetched [B, P] page table (measured: bs64 x 4096 pages, r5). The
+    call must split the batch transparently; force a tiny budget and
+    check bit-equality with the unsplit path."""
+    from scratchpad_tpu.ops.attention.gqa_decode import decode_attention_gqa
+
+    q, kv, meta = make_case(B=8, seed=13)
+    kw = dict(page_size=16, sm_scale=0.125)
+    ref = decode_attention_gqa(q, kv, jnp.int32(1), meta, **kw)
+    monkeypatch.setenv("SPTPU_GQA_SMEM_SPLIT", "64")  # force 4-way split
+    jax.clear_caches()
+    try:
+        out = decode_attention_gqa(q, kv, jnp.int32(1), meta, **kw)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-6, atol=2e-6
+        )
+    finally:
+        jax.clear_caches()
+
+
 def test_gqa_decode_v2_multi_layer_and_long():
     """Layer folding + many chunks per sequence (exercises the DMA chain)."""
     from scratchpad_tpu.ops.attention.gqa_decode import decode_attention_gqa
