@@ -2101,9 +2101,14 @@ class ModelRunner:
         )
         if self.param_offload:
             windows = [1]  # offload streams layers once per single-step dispatch
-        p_buckets = sorted({4, _pow2_bucket(
-            self.max_pages_per_req, 4, self.max_pages_per_req
-        )})
+        # cover the serving-typical page buckets (4..64 spans ~1k-token
+        # contexts at ps=16) plus the context-limit bucket — {4, max}
+        # alone left every mid-size context compiling inline on its first
+        # live request (r4/r5 serving TTFT tails)
+        pmax = _pow2_bucket(self.max_pages_per_req, 4, self.max_pages_per_req)
+        p_buckets = sorted(
+            {p for p in (4, 8, 16, 32, 64) if p <= pmax} | {pmax}
+        )
         n = 0
         for bs in self.args.decode_bs_buckets:
             if bs > self.max_running_requests:

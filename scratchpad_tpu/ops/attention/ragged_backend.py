@@ -83,6 +83,10 @@ def _ragged_call(
             sliding_window=sliding_window,
         )
     else:
+        # raise the scoped-VMEM ceiling: the kernel's own block heuristic
+        # overflows the 16 MiB default at long-context page tables
+        # (P=8192: "scoped allocation 17.54M > 16M", r5 capture ladder);
+        # v5e has 128 MiB VMEM — give the kernel half
         out = ragged_paged_attention(
             q * jnp.asarray(sm_scale, q.dtype),
             kv_pages,
@@ -93,6 +97,7 @@ def _ragged_call(
             sm_scale=1.0,
             sliding_window=sliding_window,
             soft_cap=logit_cap,
+            vmem_limit_bytes=64 * 1024 * 1024,
         )
     return out[..., :D]
 
