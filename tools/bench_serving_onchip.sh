@@ -10,12 +10,16 @@ PRESET=${PRESET:-llama-3.2-1b}
 NPROMPTS=${NPROMPTS:-64}
 RATE=${RATE:-8}
 OUT=${OUT:-SERVING_r05.json}
-# r5: warmup capture now pre-runs the DECODE AND EXTEND (T,B,P) ladders
+# r5: warmup capture pre-runs the DECODE AND EXTEND (T,B,P) ladders
 # before the server accepts traffic (capture(decode_only=False)) — the r4
 # TTFT ~10 s tail was early requests paying per-boot deserialization /
-# inline compiles. Through the relay the boot takes longer; the health
-# loop below allows up to 40 min. WARMUP=0 restores the r4 behavior.
-WARMUP=${WARMUP:-1}
+# inline compiles. On a DIRECT-ATTACHED host that is the right boot mode
+# (WARMUP=1). Through the axon relay the ~300-executable ladder costs
+# hours, so the default here is WARMUP=0 with TWO in-boot warm passes —
+# Poisson arrivals vary the batch shapes run-to-run, and two passes cover
+# the shape space well enough that the measured pass stays compile-free.
+WARMUP=${WARMUP:-0}
+WARM_PASSES=${WARM_PASSES:-2}
 WFLAG=""
 if [ "$WARMUP" = "0" ]; then WFLAG="--no-warmup-capture"; fi
 
@@ -34,14 +38,16 @@ for i in $(seq 1 480); do
 done
 curl -fs "http://127.0.0.1:$PORT/health" || { echo "server never became healthy"; exit 1; }
 
-# one warm pass: radix/tokenizer paths + any shapes outside the captured
-# ladder (then flush so the measured pass repeats the same shape profile
-# — cached prefixes would otherwise turn re-sent prompts into NEW tiny
-# extend buckets -> inline compiles)
-python tools/bench_serving.py --base-url "http://127.0.0.1:$PORT" \
-  --model "$PRESET" --num-prompts "$NPROMPTS" --input-len 256 --output-len 64 \
-  --request-rate "$RATE" > /dev/null 2>&1
-curl -fs -X POST "http://127.0.0.1:$PORT/flush_cache" > /dev/null
+# warm passes: radix/tokenizer paths + any shapes outside the captured
+# ladder (flush after each so the measured pass repeats the same shape
+# profile — cached prefixes would otherwise turn re-sent prompts into
+# NEW tiny extend buckets -> inline compiles)
+for w in $(seq 1 "$WARM_PASSES"); do
+  python tools/bench_serving.py --base-url "http://127.0.0.1:$PORT" \
+    --model "$PRESET" --num-prompts "$NPROMPTS" --input-len 256 \
+    --output-len 64 --request-rate "$RATE" > /dev/null 2>&1
+  curl -fs -X POST "http://127.0.0.1:$PORT/flush_cache" > /dev/null
+done
 
 python tools/bench_serving.py --base-url "http://127.0.0.1:$PORT" \
   --model "$PRESET" --num-prompts "$NPROMPTS" --input-len 256 --output-len 64 \
