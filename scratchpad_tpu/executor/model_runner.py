@@ -2104,8 +2104,13 @@ class ModelRunner:
         # cover the serving-typical page buckets (4..64 spans ~1k-token
         # contexts at ps=16) plus the context-limit bucket — {4, max}
         # alone left every mid-size context compiling inline on its first
-        # live request (r4/r5 serving TTFT tails)
+        # live request (r4/r5 serving TTFT tails). SPTPU_CAPTURE_PMAX caps
+        # the ladder when boot time is precious (e.g. the relay): shapes
+        # above the cap compile inline if a request ever reaches them.
         pmax = _pow2_bucket(self.max_pages_per_req, 4, self.max_pages_per_req)
+        cap_env = os.environ.get("SPTPU_CAPTURE_PMAX")
+        if cap_env:
+            pmax = min(pmax, max(4, int(cap_env)))
         p_buckets = sorted(
             {p for p in (4, 8, 16, 32, 64) if p <= pmax} | {pmax}
         )

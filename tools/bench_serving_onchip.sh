@@ -18,10 +18,16 @@ OUT=${OUT:-SERVING_r05.json}
 # hours, so the default here is WARMUP=0 with TWO in-boot warm passes —
 # Poisson arrivals vary the batch shapes run-to-run, and two passes cover
 # the shape space well enough that the measured pass stays compile-free.
-WARMUP=${WARMUP:-0}
-WARM_PASSES=${WARM_PASSES:-2}
+WARMUP=${WARMUP:-1}
+WARM_PASSES=${WARM_PASSES:-1}
 WFLAG=""
 if [ "$WARMUP" = "0" ]; then WFLAG="--no-warmup-capture"; fi
+
+# bound the captured page ladder to this workload's contexts (256+64
+# tokens = bucket 32): keeps the relay boot tractable while the measured
+# pass sees a DETERMINISTICALLY pre-compiled (bs, window, P) space —
+# stochastic warm passes alone left ~27 s inline-compile ITL tails (r5)
+export SPTPU_CAPTURE_PMAX=${SPTPU_CAPTURE_PMAX:-32}
 
 python -m scratchpad_tpu.cli.sp serve --preset "$PRESET" --random-weights \
   --max-total-tokens 65536 --max-running-requests 64 $WFLAG \
