@@ -36,7 +36,7 @@ python -m scratchpad_tpu.cli.sp serve --preset "$PRESET" --random-weights \
 SPID=$!
 trap 'kill $SPID 2>/dev/null' EXIT
 
-for i in $(seq 1 480); do
+for i in $(seq 1 960); do
   if curl -fs "http://127.0.0.1:$PORT/health" > /dev/null 2>&1; then
     break
   fi
